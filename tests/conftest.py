@@ -1,0 +1,30 @@
+import os
+import sys
+
+# Tests run on the CPU backend with 8 virtual devices so the
+# multi-chip sharding paths compile and execute without TPU hardware.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+@pytest.fixture(scope="session")
+def data_dir():
+    return DATA_DIR
+
+
+@pytest.fixture(scope="session")
+def ref_index(data_dir):
+    """Reference-built index artifacts loaded once per session."""
+    from bwamem_tpu.index import load_index
+    fm, bns = load_index(os.path.join(data_dir, "genome.fa"))
+    return fm, bns
