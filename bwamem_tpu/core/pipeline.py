@@ -1,0 +1,124 @@
+"""The BWA-MEM pipeline driver.
+
+mem_align1_core -> regions, mem_reg2sam_se, and mem_process_seqs
+(reference: software/bwamem.c:1359-1639, software/fastmap.c:35-252).
+
+The seeding stage runs through a pluggable engine: the default host
+oracle walks the SMEM iterator per read; the TPU engine
+(bwamem_tpu.ops.engine) produces identical chains from batched device
+kernels.  Everything downstream (chain filter, extension, dedup, SAM) is
+shared and bit-exact with the reference.
+"""
+
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import MemOptions, MEM_F_PE, MEM_F_ALL, MEM_F_NO_MULTI, \
+    MEM_F_NO_EXACT
+from ..index.bntseq import NT4_TABLE
+from .chain import mem_chain, mem_chain_flt
+from .region import (AlnReg, chain2aln, chain2aln_short, sort_and_dedup,
+                     test_and_remove_exact, mark_primary)
+from .align import reg2aln
+from .sam import aln2sam
+from . import pair as pe
+
+
+def encode_read(read) -> None:
+    """Attach the nt4-encoded query to a Read (in-place nt4 conversion,
+    software/bwamem.c:1444-1446)."""
+    if getattr(read, "seq_nt4", None) is None:
+        read.seq_nt4 = NT4_TABLE[
+            np.frombuffer(read.seq.encode("latin1"), dtype=np.uint8)].copy()
+
+
+def align1_core(opt: MemOptions, fm, bns, pac, read,
+                chains=None) -> List[AlnReg]:
+    """mem_align1_core: one read -> deduplicated alignment regions.
+    `chains` may be precomputed (e.g. by the batched TPU seeder)."""
+    encode_read(read)
+    query = read.seq_nt4
+    if chains is None:
+        chains = mem_chain(opt, fm, bns.l_pac, query)
+    chains = mem_chain_flt(opt, chains)
+    regs: List[AlnReg] = []
+    for c in chains:
+        ret = chain2aln_short(opt, bns.l_pac, pac, query, c)
+        if isinstance(ret, AlnReg):
+            regs.append(ret)
+        elif ret > 0:
+            chain2aln(opt, bns.l_pac, pac, query, c, regs)
+    regs = sort_and_dedup(regs, opt.mask_level_redun)
+    if opt.flag & MEM_F_NO_EXACT:
+        regs = test_and_remove_exact(opt, regs, read.l_seq)
+    return regs
+
+
+def reg2sam_se(opt, bns, pac, read, regs: List[AlnReg], extra_flag: int,
+               m, rg_id: str) -> None:
+    """mem_reg2sam_se (software/bwamem.c:1359-1393)."""
+    aa = []
+    for k, p in enumerate(regs):
+        if p.score < opt.T:
+            continue
+        if p.secondary >= 0 and not (opt.flag & MEM_F_ALL):
+            continue
+        if p.secondary >= 0 and p.score < regs[p.secondary].score * .5:
+            continue
+        q = reg2aln(opt, bns, pac, read.l_seq, read.seq_nt4, p)
+        q.flag |= extra_flag
+        if p.secondary >= 0:
+            q.sub = -1  # don't output sub-optimal score
+        if k and p.secondary < 0:  # supplementary
+            q.flag |= 0x10000 if (opt.flag & MEM_F_NO_MULTI) else 0x800
+        if k and q.mapq > aa[0].mapq:
+            q.mapq = aa[0].mapq
+        aa.append(q)
+    out: List[str] = []
+    if not aa:  # unaligned record
+        t = reg2aln(opt, bns, pac, read.l_seq, read.seq_nt4, None)
+        t.flag |= extra_flag
+        aln2sam(bns, read, 1, [t], 0, m, rg_id, out)
+    else:
+        for k in range(len(aa)):
+            aln2sam(bns, read, len(aa), aa, k, m, rg_id, out)
+    read.sam = "".join(out)
+
+
+def process_seqs(opt: MemOptions, fm, bns, pac, n_processed: int,
+                 reads: List, pes0=None, rg_id: str = "",
+                 engine=None, verbose: int = 3) -> None:
+    """mem_process_seqs: seed+extend every read, then finalize
+    (single-end or paired) writing read.sam."""
+    import time
+    ctime = time.process_time()
+    rtime = time.perf_counter()
+    n = len(reads)
+    for r in reads:
+        encode_read(r)
+
+    if engine is not None:
+        regs = engine.align_batch(opt, fm, bns, pac, reads)
+    else:
+        regs = [align1_core(opt, fm, bns, pac, r) for r in reads]
+
+    if opt.flag & MEM_F_PE:
+        if pes0 is not None:
+            pes = pes0
+        else:
+            pes = pe.pestat(opt, bns.l_pac, regs, verbose)
+        for i in range(n >> 1):
+            pe.sam_pe(opt, bns, pac, pes, (n_processed >> 1) + i,
+                      (reads[i << 1], reads[i << 1 | 1]),
+                      (regs[i << 1], regs[i << 1 | 1]), rg_id)
+    else:
+        for i in range(n):
+            mark_primary(opt, regs[i], n_processed + i)
+            reg2sam_se(opt, bns, pac, reads[i], regs[i], 0, None, rg_id)
+    if verbose >= 3:
+        print("[M::mem_process_seqs] Processed %d reads in %.3f CPU sec, "
+              "%.3f real sec" % (n, time.process_time() - ctime,
+                                 time.perf_counter() - rtime),
+              file=sys.stderr)
