@@ -1,0 +1,64 @@
+"""Benchmark: end-to-end `mem` alignment throughput (reads/s) on the
+bundled test dataset, reported against the reference CPU baseline.
+
+Baseline: stock bwa ran 512 reads in 0.427 real s with 4 CPU threads —
+~1199 reads/s (software/bwares/stderr.log:8, SURVEY.md §6).
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_READS_PER_S = 1199.0  # 512 reads / 0.427 s, 4 CPU threads
+
+
+def main():
+    data = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "data")
+    from bwamem_tpu.index import load_index
+    from bwamem_tpu.io.fastq import ChunkReader
+    from bwamem_tpu.config import MemOptions
+    import bwamem_tpu.core.pipeline as pl
+
+    fm, bns = load_index(os.path.join(data, "genome.fa"))
+    pac = bns.pac
+    opt = MemOptions()
+
+    engine = None
+    try:
+        from bwamem_tpu.ops.engine import JaxSeedingEngine
+        engine = JaxSeedingEngine(fm)
+    except Exception as ex:  # pragma: no cover
+        sys.stderr.write(f"[bench] device engine unavailable: {ex}\n")
+
+    reader = ChunkReader(os.path.join(data, "reads_se.fq"))
+    reads = reader.read_chunk(1 << 30)
+    # replicate to a steadier workload
+    import copy
+    work = [copy.copy(r) for r in reads * 4]
+
+    # warm-up (compiles)
+    warm = [copy.copy(r) for r in reads[:64]]
+    pl.process_seqs(opt, fm, bns, pac, 0, warm, None, "", engine, verbose=0)
+
+    t0 = time.perf_counter()
+    pl.process_seqs(opt, fm, bns, pac, 0, work, None, "", engine, verbose=0)
+    dt = time.perf_counter() - t0
+    rps = len(work) / dt
+
+    print(json.dumps({
+        "metric": "mem_align_throughput",
+        "value": round(rps, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

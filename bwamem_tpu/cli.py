@@ -188,6 +188,10 @@ def main_mem(argv):
     pac = bns.pac
 
     engine = None
+    if engine_kind not in ("auto", "tpu", "jax", "host"):
+        sys.stderr.write(f"[E::main_mem] unknown --engine '{engine_kind}' "
+                         f"(expected auto|tpu|jax|host)\n")
+        return 1
     if engine_kind in ("auto", "tpu", "jax"):
         try:
             from .ops.engine import JaxSeedingEngine

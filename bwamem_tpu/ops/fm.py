@@ -1,0 +1,225 @@
+"""Device-resident FM-index and batched occ/extend/SA primitives.
+
+This is the TPU-native equivalent of the reference's accelerator data
+path: the interleaved BWT+occ array lives in device HBM as a
+(n_blocks, 16) uint32 table (one row == one 64-byte occ block — the unit
+the FPGA gathers per extension step, hardware/afu_core.v:1428-1432), and
+each batched `extend` performs the two occ-block gathers per lane that
+the hardware's BWT_OCC4 modules perform per PE step
+(hardware/afu_core.v:5427-5897; software oracle software/bwt.c:416-429,
+bwt_occ4 software/bwt.c:187-204).
+
+All counts are int64 (genome coordinates exceed 2^32 for mammalian
+doubled packs); JAX x64 mode is required and enabled on import.
+
+Popcounts use jax.lax.population_count over 2-bit-field masks instead of
+the reference's cnt_table byte LUT (software/bwt.c:60-69,183-185) — the
+VPU has a native popcount, the LUT was a CPU/RTL trick.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+
+import os
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the masked while_loop kernels take ~minutes
+# to compile on the TPU remote-compile path; cache across processes
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+from jax import lax
+
+WORDS_PER_BLOCK = 16
+_M55 = jnp.uint32(0x55555555)
+_ALL1 = jnp.uint32(0xFFFFFFFF)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceFmIndex:
+    """bwt_t resident in device memory (analog of SPL_BWT_ref +
+    SPL_CNT_table upload, software/bwa.c:286-301)."""
+    blocks: jnp.ndarray    # (n_blocks, 16) uint32
+    L2: jnp.ndarray        # (5,) int64 cumulative base counts
+    primary: jnp.ndarray   # () int64
+    seq_len: jnp.ndarray   # () int64
+    sa: jnp.ndarray        # (n_sa,) int64 sampled suffix array
+    sa_intv: int           # static python int (power of two)
+
+    def tree_flatten(self):
+        return ((self.blocks, self.L2, self.primary, self.seq_len, self.sa),
+                (self.sa_intv,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0])
+
+    @classmethod
+    def from_host(cls, fm) -> "DeviceFmIndex":
+        """Upload a host FmIndex (bwamem_tpu.index.fmindex.FmIndex).
+
+        The on-disk interleaved array is compact — the final block may
+        carry fewer than 8 bwt words, with the closing checkpoint packed
+        right after them (software/bwtindex.c:128-150).  The device copy
+        is repacked to uniform 16-word rows (zero-padded tail) so one
+        gather row == one occ block; the closing checkpoint is dropped
+        (occ queries never index past block seq_len>>7)."""
+        blocks = jnp.asarray(_uniform_blocks(fm.bwt, int(fm.seq_len)))
+        return cls(
+            blocks=blocks,
+            L2=jnp.asarray(fm.L2.astype(np.int64)),
+            primary=jnp.asarray(np.int64(fm.primary)),
+            seq_len=jnp.asarray(np.int64(fm.seq_len)),
+            sa=jnp.asarray(fm.sa.astype(np.int64)),
+            sa_intv=int(fm.sa_intv),
+        )
+
+
+def _uniform_blocks(bwt: np.ndarray, seq_len: int) -> np.ndarray:
+    """Repack the compact interleaved uint32 array into (n_blocks, 16)."""
+    n_blocks = (seq_len + 127) >> 7
+    n_plain_words = (seq_len + 15) >> 4
+    out = np.zeros((n_blocks, WORDS_PER_BLOCK), dtype=np.uint32)
+    # all blocks except possibly the last are full 16-word stripes
+    full = n_plain_words >> 3  # blocks with all 8 bwt words present
+    out[:full] = bwt[:full * 16].reshape(-1, 16)
+    if full < n_blocks:
+        rem = n_plain_words - full * 8
+        out[full, :8 + rem] = bwt[full * 16:full * 16 + 8 + rem]
+    return out
+
+
+def occ4(blocks: jnp.ndarray, primary: jnp.ndarray, k: jnp.ndarray
+         ) -> jnp.ndarray:
+    """Batched bwt_occ4 (software/bwt.c:187-204): per-base counts of
+    bwt[0..k] inclusive (sentinel-adjusted), 0 for k == -1.
+
+    k: int64[...]; returns int64[..., 4].
+    """
+    k = k.astype(jnp.int64)
+    valid = k >= 0
+    kk = k - (k >= primary).astype(jnp.int64)
+    kk = jnp.where(valid, kk, 0)
+    blk = (kk >> 7).astype(jnp.int32)
+    row = blocks[blk]                                  # [..., 16] uint32
+    lo = row[..., 0:8:2].astype(jnp.int64)
+    hi = row[..., 1:8:2].astype(jnp.int64)
+    ck = lo | (hi << 32)                               # [..., 4] checkpoint
+    words = row[..., 8:16]                             # [..., 8] uint32
+
+    off = (kk & 127).astype(jnp.int32)                 # 0..127 within block
+    wi = off >> 4                                      # word holding position
+    r = (~off) & 15                                    # masked trailing bases
+    j = jnp.arange(8, dtype=jnp.int32)
+    full = j < wi[..., None]
+    part = j == wi[..., None]
+    pmask = ~((jnp.uint32(1) << (r[..., None].astype(jnp.uint32) * 2))
+              - jnp.uint32(1))
+    wmask = jnp.where(full, _ALL1, jnp.where(part, pmask, jnp.uint32(0)))
+    w = words & wmask
+    hb = (w >> 1) & _M55
+    lb = w & _M55
+    c3 = lax.population_count(hb & lb).astype(jnp.int32).sum(axis=-1)
+    c2 = lax.population_count(hb & ~lb).astype(jnp.int32).sum(axis=-1)
+    c1 = lax.population_count(lb & ~hb).astype(jnp.int32).sum(axis=-1)
+    c0 = (off + 1) - c1 - c2 - c3
+    within = jnp.stack([c0, c1, c2, c3], axis=-1).astype(jnp.int64)
+    return jnp.where(valid[..., None], ck + within, jnp.int64(0))
+
+
+def extend(blocks: jnp.ndarray, primary: jnp.ndarray, L2: jnp.ndarray,
+           x0: jnp.ndarray, x1: jnp.ndarray, s: jnp.ndarray,
+           is_back: bool) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched bwt_extend (software/bwt.c:416-429; RTL
+    hardware/afu_core.v:5427-5639).
+
+    x0/x1/s: int64[...]; is_back is static. Returns (ok0, ok1, oks),
+    each int64[..., 4] — candidate bi-intervals for bases 0..3.
+    """
+    fwd = x0 if is_back else x1
+    tk = occ4(blocks, primary, fwd - 1)                # [..., 4]
+    tl = occ4(blocks, primary, fwd - 1 + s)
+    occ_side = L2[:4] + 1 + tk
+    oks = tl - tk
+    bump = ((fwd <= primary) & (fwd + s - 1 >= primary)).astype(jnp.int64)
+    prev = (x1 if is_back else x0) + bump
+    same3 = prev
+    same2 = same3 + oks[..., 3]
+    same1 = same2 + oks[..., 2]
+    same0 = same1 + oks[..., 1]
+    same = jnp.stack([same0, same1, same2, same3], axis=-1)
+    # is_back: occ computes the forward-index side x0, carry updates x1;
+    # forward: occ computes the reverse-index side x1, carry updates x0
+    if is_back:
+        return occ_side, same, oks
+    return same, occ_side, oks
+
+
+def bwt_b0(blocks: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Batched bwt_B0 (software/bwt.h:72-78): BWT base at $-removed
+    position x. x: int64[...] in [0, seq_len)."""
+    x = x.astype(jnp.int64)
+    blk = (x >> 7).astype(jnp.int32)
+    wi = ((x >> 4) & 7).astype(jnp.int32)
+    row = blocks[blk]                                   # [..., 16]
+    w = jnp.take_along_axis(row, (8 + wi)[..., None], axis=-1)[..., 0]
+    sh = (((~x) & 15) * 2).astype(jnp.uint32)
+    return ((w >> sh) & jnp.uint32(3)).astype(jnp.int32)
+
+
+def occ1(blocks: jnp.ndarray, primary: jnp.ndarray, L2: jnp.ndarray,
+         seq_len: jnp.ndarray, k: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Batched bwt_occ (software/bwt.c:125-147) via occ4 + select;
+    k == seq_len and k == -1 handled like the reference."""
+    all4 = occ4(blocks, primary, jnp.where(k == seq_len, -1, k))
+    sel = jnp.take_along_axis(all4, c[..., None].astype(jnp.int32),
+                              axis=-1)[..., 0]
+    full = jnp.take(L2, c + 1) - jnp.take(L2, c)
+    return jnp.where(k == seq_len, full, sel)
+
+
+def inv_psi(blocks, primary, L2, seq_len, k):
+    """Batched bwt_invPsi (software/bwt.c:71-77). k: int64[...]"""
+    x = k - (k > primary).astype(jnp.int64)
+    c = bwt_b0(blocks, x).astype(jnp.int64)
+    nxt = jnp.take(L2, c) + occ1(blocks, primary, L2, seq_len, k, c)
+    return jnp.where(k == primary, jnp.int64(0), nxt)
+
+
+@partial(jax.jit, static_argnames=("sa_intv", "max_steps"))
+def sa_lookup_batched(blocks, primary, L2, seq_len, sa, sa_intv: int,
+                      k: jnp.ndarray, max_steps: int = 128
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched bwt_sa (software/bwt.c:104-114): inverse-Psi walk to the
+    previous sampled row.  Walks all lanes in lock-step for up to
+    max_steps; returns (sa_values, overflowed) where overflowed lanes
+    must be resolved by the host fallback (the reference's own
+    HW-caps/CPU-fallback pattern, software/bwt.c:603-717)."""
+    mask = jnp.int64(sa_intv - 1)
+
+    def body(state):
+        k, steps, it = state
+        act = (k & mask) != 0
+        k2 = inv_psi(blocks, primary, L2, seq_len, k)
+        k = jnp.where(act, k2, k)
+        steps = steps + act.astype(jnp.int64)
+        return k, steps, it + 1
+
+    def cond(state):
+        k, _, it = state
+        return jnp.any((k & mask) != 0) & (it < max_steps)
+
+    k = k.astype(jnp.int64)
+    state = (k, jnp.zeros_like(k), jnp.int32(0))
+    k_fin, steps, _ = lax.while_loop(cond, body, state)
+    over = (k_fin & mask) != 0
+    vals = steps + sa[(k_fin >> int(np.log2(sa_intv))).astype(jnp.int64)]
+    return jnp.where(over, jnp.int64(-1), vals), over

@@ -1,0 +1,206 @@
+"""Lock-step batched SMEM iteration and seed production.
+
+TPU-native re-design of the reference's batched seeding pipeline
+(smem_next2_batched software/bwamem.c:110-241, mem_insert_seed_batched
+software/bwamem.c:357-451): all live reads advance their SMEM iterator
+in lock-step, each outer iteration issuing at most two batched smem1
+dispatches (main pass + the long-unique-SMEM re-seed pass) to the device
+— exactly the dispatch structure the reference sends to the FPGA, with
+the per-read `done[]` masking replaced by lane masks.
+
+The ordered main/sub merge and the iterator bookkeeping are scalar host
+work on the (tiny) returned interval lists, matching the reference,
+which also keeps them on the CPU (software/bwamem.c:185-238).
+
+Seed reference positions come from one batched SA-lookup dispatch over
+every occurrence of every kept interval (software/bwamem.c:420,
+bwt_sa software/bwt.c:104-114); lanes whose inverse-Psi walk exceeds the
+static step cap fall back to the host oracle — the reference's own
+HW-caps/CPU-fallback pattern (software/bwt.c:603-717).
+"""
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .fm import DeviceFmIndex, sa_lookup_batched
+from .smem import smem1_batched
+
+Intv = Tuple[int, int, int, int]  # (x0, x1, s, info=qb<<32|qe)
+
+
+def _pad_batch(n: int, minimum: int = 64) -> int:
+    """Round the lane count up to a power of two to bound recompiles."""
+    b = minimum
+    while b < n:
+        b <<= 1
+    return b
+
+
+class BatchedSeeder:
+    """Produces, per read, the ordered interval stream the host
+    SmemIterator would produce — computed by batched device kernels."""
+
+    def __init__(self, dfm: DeviceFmIndex, max_len: int = 128,
+                 sa_max_steps: int = 128):
+        self.dfm = dfm
+        self.L = int(max_len)
+        self.M = self.L + 1
+        self.sa_max_steps = int(sa_max_steps)
+
+    def _dispatch(self, qpad, qlen, x, min_intv, active):
+        d = self.dfm
+        ret, n_mem, m0, m1, ms, mqb, mqe = smem1_batched(
+            d.blocks, d.primary, d.L2,
+            jnp.asarray(qpad), jnp.asarray(qlen), jnp.asarray(x),
+            jnp.asarray(min_intv), jnp.asarray(active),
+            L=self.L, M=self.M)
+        return (np.asarray(ret), np.asarray(n_mem), np.asarray(m0),
+                np.asarray(m1), np.asarray(ms), np.asarray(mqb),
+                np.asarray(mqe))
+
+    def interval_streams(self, opt, queries: Sequence[np.ndarray]
+                         ) -> List[List[Intv]]:
+        """Run the full iterator for every read; returns, per read, the
+        concatenated interval lists of every iterator call, in call
+        order (the exact stream mem_chain consumes,
+        software/bwamem.c:593-615)."""
+        n = len(queries)
+        B = _pad_batch(n)
+        L, M = self.L, self.M
+        qpad = np.full((B, L), 4, dtype=np.int32)
+        qlen = np.zeros(B, dtype=np.int32)
+        for i, q in enumerate(queries):
+            qlen[i] = len(q)
+            qpad[i, :len(q)] = q
+
+        from ..config import MEM_F_NO_EXACT
+        start_width = 2 if (opt.flag & MEM_F_NO_EXACT) else 1
+        split_widths = np.zeros(n, dtype=np.int64)
+        split_lens = np.zeros(n, dtype=np.int32)
+        for i, q in enumerate(queries):
+            sl = int(opt.min_seed_len * opt.split_factor + .499)
+            split_lens[i] = min(sl, len(q))
+            split_widths[i] = opt.split_width
+
+        start = np.zeros(B, dtype=np.int32)
+        exhausted = np.zeros(B, dtype=bool)
+        exhausted[n:] = True
+        out: List[List[Intv]] = [[] for _ in range(n)]
+
+        while not exhausted.all():
+            # skip ambiguous bases (software/bwamem.c:258-259)
+            for i in np.nonzero(~exhausted)[0]:
+                q = queries[i]
+                s = start[i]
+                while s < qlen[i] and q[s] > 3:
+                    s += 1
+                start[i] = s
+                if s >= qlen[i]:
+                    exhausted[i] = True
+            active = ~exhausted
+            if not active.any():
+                break
+            x = np.where(active, start, 0).astype(np.int32)
+            mi = np.full(B, start_width, dtype=np.int64)
+            ret, n_mem, m0, m1, ms, mqb, mqe = self._dispatch(
+                qpad, qlen, x, mi, active)
+            ori_start = start.copy()
+            start = np.where(active, ret, start).astype(np.int32)
+
+            # split decision per lane (software/bwamem.c:185-204)
+            need2 = np.zeros(B, dtype=bool)
+            x2 = np.zeros(B, dtype=np.int32)
+            mi2 = np.ones(B, dtype=np.int64)
+            max_i = np.zeros(B, dtype=np.int32)
+            max_lens = np.zeros(B, dtype=np.int64)
+            for i in np.nonzero(active)[0]:
+                k = int(n_mem[i])
+                if k == 0:
+                    continue
+                lens = mqe[i, :k].astype(np.int64) - mqb[i, :k]
+                mx = int(np.argmax(lens))
+                max_i[i] = mx
+                max_lens[i] = lens[mx]
+                if (split_lens[i] > 0 and lens[mx] >= split_lens[i]
+                        and ms[i, mx] <= split_widths[i]):
+                    need2[i] = True
+                    x2[i] = (int(mqb[i, mx]) + int(mqe[i, mx])) >> 1
+                    mi2[i] = int(ms[i, mx]) + 1
+            if need2.any():
+                (_r2, n2, s0, s1, ss, sqb, sqe) = self._dispatch(
+                    qpad, qlen, x2, mi2, need2)
+            for i in np.nonzero(active)[0]:
+                k = int(n_mem[i])
+                matches = [(int(m0[i, j]), int(m1[i, j]), int(ms[i, j]),
+                            (int(mqb[i, j]) << 32) | int(mqe[i, j]))
+                           for j in range(k)]
+                if need2[i]:
+                    sub = [(int(s0[i, j]), int(s1[i, j]), int(ss[i, j]),
+                            (int(sqb[i, j]) << 32) | int(sqe[i, j]))
+                           for j in range(int(n2[i]))]
+                    matches = _merge(matches, sub, int(max_lens[i]),
+                                     int(ori_start[i]), int(qlen[i]))
+                out[i].extend(matches)
+        return out
+
+    def seed_positions(self, fm_host, intervals_per_read, opt
+                       ) -> List[List[Tuple[int, int, int]]]:
+        """For each read, the ordered (rbeg, qbeg, len) seed list after
+        the min_seed_len/max_occ filters (software/bwamem.c:407-420),
+        with all SA lookups batched into one device dispatch."""
+        keys: List[int] = []
+        layout = []  # (read, intv, slen, qb, n_occ, key_offset)
+        for i, intervals in enumerate(intervals_per_read):
+            for p in intervals:
+                slen = (p[3] & 0xFFFFFFFF) - (p[3] >> 32)
+                if slen < opt.min_seed_len or p[2] > opt.max_occ:
+                    continue
+                layout.append((i, p, slen, p[3] >> 32, p[2], len(keys)))
+                keys.extend(range(p[0], p[0] + p[2]))
+        out: List[List[Tuple[int, int, int]]] = \
+            [[] for _ in intervals_per_read]
+        if not keys:
+            return out
+        d = self.dfm
+        karr = np.asarray(keys, dtype=np.int64)
+        vals, over = sa_lookup_batched(
+            d.blocks, d.primary, d.L2, d.seq_len, d.sa, d.sa_intv,
+            jnp.asarray(karr), max_steps=self.sa_max_steps)
+        vals = np.asarray(vals).copy()
+        over = np.asarray(over)
+        for idx in np.nonzero(over)[0]:  # host fallback
+            vals[idx] = fm_host.sa_lookup(int(karr[idx]))
+        for (i, p, slen, qb, n_occ, off) in layout:
+            for k in range(n_occ):
+                out[i].append((int(vals[off + k]), qb, slen))
+        return out
+
+
+def _merge(matches: List[Intv], sub: List[Intv], max_len: int,
+           ori_start: int, qlen: int) -> List[Intv]:
+    """Ordered merge of main and re-seeded matches
+    (software/bwamem.c:206-238): keep sub-matches at least half the max
+    length that end after the original start."""
+    merged: List[Intv] = []
+    i = j = 0
+    while i < len(matches) and j < len(sub):
+        pi, pj = matches[i], sub[j]
+        xi = (pi[3] >> 32 << 32) | (qlen - (pi[3] & 0xFFFFFFFF))
+        xj = (pj[3] >> 32 << 32) | (qlen - (pj[3] & 0xFFFFFFFF))
+        if xi < xj:
+            merged.append(pi)
+            i += 1
+        elif ((pj[3] & 0xFFFFFFFF) - (pj[3] >> 32) >= (max_len >> 1)
+                and (pj[3] & 0xFFFFFFFF) > ori_start):
+            merged.append(pj)
+            j += 1
+        else:
+            j += 1
+    merged.extend(matches[i:])
+    for pj in sub[j:]:
+        if ((pj[3] & 0xFFFFFFFF) - (pj[3] >> 32) >= (max_len >> 1)
+                and (pj[3] & 0xFFFFFFFF) > ori_start):
+            merged.append(pj)
+    return merged

@@ -1,0 +1,225 @@
+"""Batched SMEM search on device — the TPU-native equivalent of the
+reference's 16-PE FPGA SMEM engine.
+
+One `smem1_batched` call runs bwt_smem1 (software/bwt.c:776-835; RTL
+PE_read hardware/afu_core.v:4371-5402; batched CPU transcription
+software/bwt.c:299-414) for a whole batch of reads in lock-step, the
+analog of one accelerator dispatch (software/bwt.c:558-757).  Where each
+FPGA PE walks one read and issues its two occ-line fetches per step, here
+every extension step issues the occ gathers for *all* lanes of the batch
+at once — latency hiding by width instead of by 16-way multithreading.
+
+Shapes are static: B reads of length <= L, interval buffers of width
+M = L + 1 (an upper bound: forward pushes at most one interval per query
+position, the backward pass keeps at most one interval per distinct
+size, and sizes strictly shrink along positions — so M never overflows
+and there is no fallback path to take).
+
+Interval info is carried as explicit (qb, qe) int32 coordinates instead
+of the reference's packed (start<<32|end) uint64 (software/bwt.c:592).
+"""
+
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .fm import extend
+
+
+def _prev_valid_value(vals: jnp.ndarray, valid: jnp.ndarray, fill
+                      ) -> jnp.ndarray:
+    """vals/valid: [..., M]. Returns prev[..., j] = vals at the largest
+    j' < j with valid[j'], else fill."""
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return (jnp.where(bf, bv, av), af | bf)
+
+    scanned_v, _ = lax.associative_scan(
+        op, (jnp.where(valid, vals, fill), valid), axis=-1)
+    # shift right by one: prev strictly before j
+    prev = jnp.roll(scanned_v, 1, axis=-1)
+    prev = prev.at[..., 0].set(fill)
+    return prev
+
+
+@partial(jax.jit, static_argnames=("L", "M"))
+def smem1_batched(blocks, primary, L2,
+                  q: jnp.ndarray,        # int32[B, L] nt4, pad 4
+                  qlen: jnp.ndarray,     # int32[B]
+                  x: jnp.ndarray,        # int32[B] start position
+                  min_intv: jnp.ndarray,  # int64[B]
+                  active: jnp.ndarray,   # bool[B]
+                  L: int, M: int):
+    """Batched smem1: collect SMEMs covering position x per lane.
+
+    Returns (ret, n_mem, m0, m1, ms, mqb, mqe):
+      ret  int32[B]    — next iterator start (curr[0].info low bits)
+      n_mem int32[B]   — number of SMEMs (0 for inactive/bad lanes)
+      m0/m1/ms int64[B, M], mqb/mqe int32[B, M] — SMEM bi-intervals and
+      query [qb, qe) coordinates, sorted by qb ascending.
+    """
+    B = q.shape[0]
+    i64 = jnp.int64
+    i32 = jnp.int32
+
+    qx = jnp.take_along_axis(q, x[:, None], axis=1)[:, 0]        # base at x
+    bad = (qx > 3) | ~active
+    qx_c = jnp.where(bad, 0, qx).astype(jnp.int64)
+    min_intv = jnp.maximum(min_intv, 1)
+
+    # bwt_set_intv (software/bwt.h:80)
+    ik0 = jnp.take(L2, qx_c) + 1
+    ik1 = jnp.take(L2, 3 - qx_c) + 1
+    iks = jnp.take(L2, qx_c + 1) - jnp.take(L2, qx_c)
+    ikend = x + 1
+
+    zbufs = dict(
+        c0=jnp.zeros((B, M), i64), c1=jnp.zeros((B, M), i64),
+        cs=jnp.zeros((B, M), i64), cend=jnp.zeros((B, M), i32))
+
+    # ---- forward extension (software/bwt.c:790-801) ----------------------
+    def fwd_body(st):
+        (i, ik0, ik1, iks, ikend, c0, c1, cs, cend, n_curr, done) = st
+        at_end = i >= qlen
+        ii = jnp.minimum(i, qlen - 1)
+        ii = jnp.clip(ii, 0, L - 1)
+        cb = jnp.take_along_axis(q, ii[:, None], axis=1)[:, 0]
+        is_amb = cb > 3
+        o0, o1, os_ = extend(blocks, primary, L2, ik0, ik1, iks,
+                             is_back=False)
+        cc = jnp.where(is_amb, 0, 3 - cb).astype(i32)
+        n0 = jnp.take_along_axis(o0, cc[:, None].astype(i32), 1)[:, 0]
+        n1 = jnp.take_along_axis(o1, cc[:, None].astype(i32), 1)[:, 0]
+        ns = jnp.take_along_axis(os_, cc[:, None].astype(i32), 1)[:, 0]
+        changed = ns != iks
+        small = ns < min_intv
+        # push ik when: at_end | ambiguous | (changed)
+        push = ~done & (at_end | is_amb | changed)
+        stop = ~done & (at_end | is_amb | (changed & small))
+        idx = jnp.where(push, n_curr, M)  # M = out of bounds, dropped
+        bar = jnp.arange(B)
+        c0 = c0.at[bar, idx].set(ik0, mode="drop")
+        c1 = c1.at[bar, idx].set(ik1, mode="drop")
+        cs = cs.at[bar, idx].set(iks, mode="drop")
+        cend = cend.at[bar, idx].set(ikend, mode="drop")
+        n_curr = n_curr + push.astype(i32)
+        # advance ik (only when continuing)
+        cont = ~done & ~stop
+        ik0 = jnp.where(cont, n0, ik0)
+        ik1 = jnp.where(cont, n1, ik1)
+        iks = jnp.where(cont, ns, iks)
+        ikend = jnp.where(cont, i + 1, ikend)
+        done = done | stop
+        i = i + (~done).astype(i32)
+        return (i, ik0, ik1, iks, ikend, c0, c1, cs, cend, n_curr, done)
+
+    def fwd_cond(st):
+        return jnp.any(~st[-1])
+
+    st = (x + 1, ik0, ik1, iks, ikend, zbufs["c0"], zbufs["c1"], zbufs["cs"],
+          zbufs["cend"], jnp.zeros(B, i32), bad)
+    st = lax.while_loop(fwd_cond, fwd_body, st)
+    (_, _, _, _, _, c0, c1, cs, cend, n_curr, _) = st
+
+    # ret = info of last pushed interval (curr[0] after reversal,
+    # software/bwt.c:803-805); bad lanes return x+1
+    last = jnp.maximum(n_curr - 1, 0)
+    ret = jnp.where(n_curr > 0,
+                    cend[jnp.arange(B), last], x + 1)
+
+    # reverse first n_curr entries per lane: prev[j] = curr[n_curr-1-j]
+    jj = jnp.arange(M, dtype=i32)[None, :]
+    src = jnp.clip(n_curr[:, None] - 1 - jj, 0, M - 1)
+    p0 = jnp.take_along_axis(c0, src, 1)
+    p1 = jnp.take_along_axis(c1, src, 1)
+    ps = jnp.take_along_axis(cs, src, 1)
+    pend = jnp.take_along_axis(cend, src, 1)
+
+    # ---- backward extension (software/bwt.c:808-831) ---------------------
+    def bwd_body(st):
+        (i, p0, p1, ps, pend, n_prev, m0, m1, ms, mqb, mqe, n_mem,
+         done) = st
+        ii = jnp.clip(i, 0, L - 1)
+        cb = jnp.take_along_axis(q, ii[:, None], axis=1)[:, 0]
+        c = jnp.where((i < 0) | (cb > 3), -1, cb)                  # int32[B]
+        o0, o1, os_ = extend(blocks, primary, L2, p0, p1, ps, is_back=True)
+        csel = jnp.clip(c, 0, 3).astype(i32)[:, None, None]
+        n0 = jnp.take_along_axis(o0, jnp.broadcast_to(csel, (B, M, 1)),
+                                 2)[..., 0]
+        n1 = jnp.take_along_axis(o1, jnp.broadcast_to(csel, (B, M, 1)),
+                                 2)[..., 0]
+        ns = jnp.take_along_axis(os_, jnp.broadcast_to(csel, (B, M, 1)),
+                                 2)[..., 0]
+        present = (jj < n_prev[:, None]) & ~done[:, None]
+        fail = (c[:, None] < 0) | (ns < min_intv[:, None])
+        nonfail = present & ~fail
+        # dedup: keep the first nonfail and later nonfails whose size
+        # differs from the previous nonfail's size (== last kept's size)
+        prev_s = _prev_valid_value(ns, nonfail, jnp.int64(-1))
+        # first nonfail: nonfail with zero nonfails strictly before
+        nf_before = jnp.cumsum(nonfail.astype(i32), axis=1) \
+            - nonfail.astype(i32)
+        first_nf = nonfail & (nf_before == 0)
+        keep = nonfail & (first_nf | (ns != prev_s))
+        pos = jnp.cumsum(keep.astype(i32), axis=1) - 1
+        tgt = jnp.where(keep, pos, M)  # M = out of bounds, dropped
+        bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, M))
+        nc0 = jnp.zeros((B, M), i64).at[bidx, tgt].set(
+            jnp.where(keep, n0, 0), mode="drop")
+        nc1 = jnp.zeros((B, M), i64).at[bidx, tgt].set(
+            jnp.where(keep, n1, 0), mode="drop")
+        ncs = jnp.zeros((B, M), i64).at[bidx, tgt].set(
+            jnp.where(keep, ns, 0), mode="drop")
+        ncend = jnp.zeros((B, M), i32).at[bidx, tgt].set(
+            jnp.where(keep, pend, 0), mode="drop")
+        n_curr_new = jnp.sum(keep, axis=1).astype(i32)
+        # mem append: first present&fail with all-fail prefix
+        cand = present & fail & (nf_before == 0)
+        cand_before = jnp.cumsum(cand.astype(i32), axis=1) \
+            - cand.astype(i32)
+        first_cand = cand & (cand_before == 0)
+        has_cand = jnp.any(first_cand, axis=1)
+        jstar = jnp.argmax(first_cand, axis=1).astype(i32)
+        lastm = jnp.maximum(n_mem - 1, 0)
+        allow = (n_mem == 0) | ((i + 1) < mqb[jnp.arange(B), lastm])
+        do_mem = ~done & has_cand & allow
+        midx = jnp.where(do_mem, n_mem, M)  # M = out of bounds, dropped
+        bar = jnp.arange(B)
+        sel = lambda a: a[bar, jstar]
+        m0 = m0.at[bar, midx].set(sel(p0), mode="drop")
+        m1 = m1.at[bar, midx].set(sel(p1), mode="drop")
+        ms = ms.at[bar, midx].set(sel(ps), mode="drop")
+        mqb = mqb.at[bar, midx].set(i + 1, mode="drop")
+        mqe = mqe.at[bar, midx].set(sel(pend), mode="drop")
+        n_mem = n_mem + do_mem.astype(i32)
+        done = done | (n_curr_new == 0)
+        i = i - (~done).astype(i32)
+        return (i, nc0, nc1, ncs, ncend, n_curr_new, m0, m1, ms, mqb, mqe,
+                n_mem, done)
+
+    def bwd_cond(st):
+        return jnp.any(~st[-1])
+
+    st = (x - 1, p0, p1, ps, pend, n_curr,
+          jnp.zeros((B, M), i64), jnp.zeros((B, M), i64),
+          jnp.zeros((B, M), i64), jnp.zeros((B, M), i32),
+          jnp.zeros((B, M), i32), jnp.zeros(B, i32),
+          bad | (n_curr == 0))
+    st = lax.while_loop(bwd_cond, bwd_body, st)
+    (_, _, _, _, _, _, m0, m1, ms, mqb, mqe, n_mem, _) = st
+
+    # reverse mem to qb-ascending order (software/bwt.c:833)
+    src = jnp.clip(n_mem[:, None] - 1 - jj, 0, M - 1)
+    valid = jj < n_mem[:, None]
+    m0 = jnp.where(valid, jnp.take_along_axis(m0, src, 1), 0)
+    m1 = jnp.where(valid, jnp.take_along_axis(m1, src, 1), 0)
+    ms = jnp.where(valid, jnp.take_along_axis(ms, src, 1), 0)
+    mqb = jnp.where(valid, jnp.take_along_axis(mqb, src, 1), 0)
+    mqe = jnp.where(valid, jnp.take_along_axis(mqe, src, 1), 0)
+    return ret, n_mem, m0, m1, ms, mqb, mqe

@@ -3,12 +3,19 @@ import sys
 
 # Tests run on the CPU backend with 8 virtual devices so the
 # multi-chip sharding paths compile and execute without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon sitecustomize registers the TPU plugin whenever
+# PALLAS_AXON_POOL_IPS is set, overriding JAX_PLATFORMS — drop it.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "1")
+# persistent compile cache: the big masked while_loop kernels take
+# ~1 min each to compile; cache across test runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
