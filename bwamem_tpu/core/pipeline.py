@@ -38,6 +38,16 @@ def align1_core(opt: MemOptions, fm, bns, pac, read,
                 chains=None) -> List[AlnReg]:
     """mem_align1_core: one read -> deduplicated alignment regions.
     `chains` may be precomputed (e.g. by the batched TPU seeder)."""
+    from .region import drive_extension_gen
+    gen = align1_core_gen(opt, fm, bns, pac, read, chains)
+    return drive_extension_gen(gen, opt)
+
+
+def align1_core_gen(opt: MemOptions, fm, bns, pac, read, chains=None):
+    """Generator form of mem_align1_core: yields banded-extension
+    requests (see region.chain2aln_gen) and returns the deduplicated
+    region list via StopIteration.value."""
+    from .region import chain2aln_gen
     encode_read(read)
     query = read.seq_nt4
     if chains is None:
@@ -49,7 +59,7 @@ def align1_core(opt: MemOptions, fm, bns, pac, read,
         if isinstance(ret, AlnReg):
             regs.append(ret)
         elif ret > 0:
-            chain2aln(opt, bns.l_pac, pac, query, c, regs)
+            yield from chain2aln_gen(opt, bns.l_pac, pac, query, c, regs)
     regs = sort_and_dedup(regs, opt.mask_level_redun)
     if opt.flag & MEM_F_NO_EXACT:
         regs = test_and_remove_exact(opt, regs, read.l_seq)

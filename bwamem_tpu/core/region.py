@@ -110,8 +110,36 @@ def chain2aln_short(opt, l_pac: int, pac, query: np.ndarray, c) -> object:
 
 
 def chain2aln(opt, l_pac: int, pac, query: np.ndarray, c, av: List[AlnReg]):
-    """mem_chain2aln: extend each seed (longest first) unless contained
-    in an existing region (software/bwamem.c:1040-1188)."""
+    """mem_chain2aln driven by the host-oracle SW (single-read path)."""
+    drive_extension_gen(chain2aln_gen(opt, l_pac, pac, query, c, av), opt)
+
+
+def drive_extension_gen(gen, opt):
+    """Serve an extension generator's requests with the scalar host
+    oracle (the reference's CPU-fallback role); returns the generator's
+    return value."""
+    mat = np.asarray(opt.mat, dtype=np.int64)
+    try:
+        req = next(gen)
+        while True:
+            _tag, qs, rs, w, pen, h0 = req
+            out = ksw.ksw_extend2(qs, rs, mat, opt.o_del, opt.e_del,
+                                  opt.o_ins, opt.e_ins, w, pen,
+                                  opt.zdrop, h0)
+            req = gen.send(out)
+    except StopIteration as e:
+        return e.value
+
+
+def chain2aln_gen(opt, l_pac: int, pac, query: np.ndarray, c,
+                  av: List[AlnReg]):
+    """mem_chain2aln as a generator: extend each seed (longest first)
+    unless contained in an existing region (software/bwamem.c:1040-1188).
+    Each banded-extension call is yielded as
+    ("extend2", query_slice, target_slice, band, end_bonus, h0) and its
+    (score, qle, tle, gtle, gscore, max_off) tuple sent back — so a
+    batching driver can run one device dispatch per wave of live reads
+    (the reference's batch-dispatch idea applied to the SW stage)."""
     if c.n == 0:
         return
     l_query = len(query)
@@ -193,9 +221,8 @@ def chain2aln(opt, l_pac: int, pac, query: np.ndarray, c, av: List[AlnReg]):
                 prev = a.score
                 aw0 = opt.w << i
                 (a.score, qle, tle, gtle, gscore,
-                 max_off0) = ksw.ksw_extend2(
-                    qs, rs, mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-                    aw0, opt.pen_clip5, opt.zdrop, s_len * opt.a)
+                 max_off0) = yield ("extend2", qs, rs, aw0,
+                                    opt.pen_clip5, s_len * opt.a)
                 if a.score == prev or max_off0 < (aw0 >> 1) + (aw0 >> 2):
                     break
             if gscore <= 0 or gscore <= a.score - opt.pen_clip5:
@@ -222,9 +249,8 @@ def chain2aln(opt, l_pac: int, pac, query: np.ndarray, c, av: List[AlnReg]):
                 prev = a.score
                 aw1 = opt.w << i
                 (a.score, qle, tle, gtle, gscore,
-                 max_off1) = ksw.ksw_extend2(
-                    query[qe:], rseq[re:], mat, opt.o_del, opt.e_del,
-                    opt.o_ins, opt.e_ins, aw1, opt.pen_clip3, opt.zdrop, sc0)
+                 max_off1) = yield ("extend2", query[qe:], rseq[re:], aw1,
+                                    opt.pen_clip3, sc0)
                 if a.score == prev or max_off1 < (aw1 >> 1) + (aw1 >> 2):
                     break
             if gscore <= 0 or gscore <= a.score - opt.pen_clip3:

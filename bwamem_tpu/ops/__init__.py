@@ -1,0 +1,1 @@
+from . import fm  # noqa: F401  (sets jax x64 + compile-cache config)

@@ -19,13 +19,24 @@ from .fm import DeviceFmIndex
 from .seeding import BatchedSeeder
 
 
+def _pad_pow2(n: int, minimum: int = 16) -> int:
+    b = minimum
+    while b < n:
+        b <<= 1
+    return b
+
+
 class JaxSeedingEngine:
-    def __init__(self, fm_host, max_len: int = 128, sa_max_steps: int = 128):
+    def __init__(self, fm_host, max_len: int = 128, sa_max_steps: int = 128,
+                 ext_lq: int = 128, ext_lt: int = 544):
         self.fm_host = fm_host
         self.dfm = DeviceFmIndex.from_host(fm_host)
         self.seeder = BatchedSeeder(self.dfm, max_len=max_len,
-                                    sa_max_steps=sa_max_steps)
+                                    sa_max_steps=sa_max_steps,
+                                    fm_host=fm_host)
         self.max_len = max_len
+        self._ext_lq = ext_lq
+        self._ext_lt = ext_lt
 
     def chain_batch(self, opt, reads) -> List[list]:
         """Batched replacement for per-read mem_chain
@@ -77,8 +88,82 @@ class JaxSeedingEngine:
 
     def align_batch(self, opt, fm, bns, pac, reads) -> List[list]:
         """mem_align1_core for a whole batch: batched device seeding,
-        shared host chain-filter/extension/dedup downstream."""
-        from ..core.pipeline import align1_core
+        then all reads' chain extensions advanced in lock-step waves —
+        every wave is ONE batched ksw_extend2 device dispatch over the
+        live (read, seed, side) lanes (the reference's batch-dispatch
+        structure applied to the SW stage)."""
+        from ..core.pipeline import align1_core_gen
         chains = self.chain_batch(opt, reads)
-        return [align1_core(opt, fm, bns, pac, r, chains=chains[i])
+        gens = [align1_core_gen(opt, fm, bns, pac, r, chains=chains[i])
                 for i, r in enumerate(reads)]
+        results: List[list] = [None] * len(reads)
+        live = {}
+        for i, g in enumerate(gens):
+            try:
+                live[i] = g.send(None)
+            except StopIteration as e:
+                results[i] = e.value
+        while live:
+            order = list(live.keys())
+            outs = self._extend_wave(opt, [live[i] for i in order])
+            live = {}
+            for i, out in zip(order, outs):
+                try:
+                    live[i] = gens[i].send(out)
+                except StopIteration as e:
+                    results[i] = e.value
+        return results
+
+    def _extend_wave(self, opt, reqs):
+        """One batched ksw_extend2 dispatch over a wave of requests
+        ("extend2", qs, rs, w, end_bonus, h0).  Oversized lanes fall
+        back to the host oracle (the reference's HW-cap/CPU-fallback
+        split, software/bwt.c:603-717)."""
+        import jax.numpy as jnp
+        from .ksw import ksw_extend2_batched
+        from ..oracle import ksw as oksw
+
+        LQ, LT = self._ext_lq, self._ext_lt
+        mat64 = np.asarray(opt.mat, dtype=np.int64)
+        n = len(reqs)
+        dev_idx = [i for i, r in enumerate(reqs)
+                   if len(r[1]) <= LQ and len(r[2]) <= LT]
+        outs = [None] * n
+        for i in set(range(n)) - set(dev_idx):
+            _, qs, rs, w, pen, h0 = reqs[i]
+            outs[i] = oksw.ksw_extend2(qs, rs, mat64, opt.o_del, opt.e_del,
+                                       opt.o_ins, opt.e_ins, w, pen,
+                                       opt.zdrop, h0)
+        if dev_idx:
+            B = _pad_pow2(len(dev_idx))
+            qb = np.full((B, LQ), 4, np.int32)
+            tb = np.full((B, LT), 4, np.int32)
+            qlen = np.zeros(B, np.int32)
+            tlen = np.zeros(B, np.int32)
+            wv = np.ones(B, np.int32)
+            ebv = np.zeros(B, np.int32)
+            h0v = np.zeros(B, np.int32)
+            for bi, i in enumerate(dev_idx):
+                _, qs, rs, w, pen, h0 = reqs[i]
+                qb[bi, :len(qs)] = qs
+                tb[bi, :len(rs)] = rs
+                qlen[bi], tlen[bi] = len(qs), len(rs)
+                wv[bi], ebv[bi], h0v[bi] = w, pen, h0
+            res = ksw_extend2_batched(
+                jnp.asarray(qb), jnp.asarray(tb), jnp.asarray(qlen),
+                jnp.asarray(tlen), self._mat_i32(opt),
+                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                jnp.asarray(wv), jnp.asarray(ebv), opt.zdrop,
+                jnp.asarray(h0v), LQ=LQ, LT=LT)
+            res = [np.asarray(r) for r in res]
+            for bi, i in enumerate(dev_idx):
+                outs[i] = tuple(int(r[bi]) for r in res)
+        return outs
+
+    def _mat_i32(self, opt):
+        key = tuple(opt.mat)
+        if getattr(self, "_mat_key", None) != key:
+            import jax.numpy as jnp
+            self._mat_key = key
+            self._mat_dev = jnp.asarray(np.asarray(opt.mat, np.int32))
+        return self._mat_dev

@@ -43,11 +43,13 @@ class BatchedSeeder:
     SmemIterator would produce — computed by batched device kernels."""
 
     def __init__(self, dfm: DeviceFmIndex, max_len: int = 128,
-                 sa_max_steps: int = 128):
+                 sa_max_steps: int = 128, fm_host=None, m_out: int = 32):
         self.dfm = dfm
         self.L = int(max_len)
         self.M = self.L + 1
+        self.m_out = min(int(m_out), self.M)
         self.sa_max_steps = int(sa_max_steps)
+        self.fm_host = fm_host  # host oracle for overflow fallback
 
     def _dispatch(self, qpad, qlen, x, min_intv, active):
         d = self.dfm
@@ -55,7 +57,7 @@ class BatchedSeeder:
             d.blocks, d.primary, d.L2,
             jnp.asarray(qpad), jnp.asarray(qlen), jnp.asarray(x),
             jnp.asarray(min_intv), jnp.asarray(active),
-            L=self.L, M=self.M)
+            L=self.L, M=self.M, M_OUT=self.m_out)
         return (np.asarray(ret), np.asarray(n_mem), np.asarray(m0),
                 np.asarray(m1), np.asarray(ms), np.asarray(mqb),
                 np.asarray(mqe))
@@ -109,41 +111,60 @@ class BatchedSeeder:
             ori_start = start.copy()
             start = np.where(active, ret, start).astype(np.int32)
 
+            # extract pass-1 matches (with overflow fallback), then the
             # split decision per lane (software/bwamem.c:185-204)
+            lane_matches = {}
             need2 = np.zeros(B, dtype=bool)
             x2 = np.zeros(B, dtype=np.int32)
             mi2 = np.ones(B, dtype=np.int64)
-            max_i = np.zeros(B, dtype=np.int32)
             max_lens = np.zeros(B, dtype=np.int64)
             for i in np.nonzero(active)[0]:
-                k = int(n_mem[i])
-                if k == 0:
+                matches = self._lane_matches(
+                    n_mem, m0, m1, ms, mqb, mqe, i,
+                    queries[i], int(ori_start[i]), int(mi[i]))
+                lane_matches[i] = matches
+                if not matches:
                     continue
-                lens = mqe[i, :k].astype(np.int64) - mqb[i, :k]
-                mx = int(np.argmax(lens))
-                max_i[i] = mx
-                max_lens[i] = lens[mx]
-                if (split_lens[i] > 0 and lens[mx] >= split_lens[i]
-                        and ms[i, mx] <= split_widths[i]):
+                best_len, best = 0, 0
+                for j, p in enumerate(matches):
+                    ln = (p[3] & 0xFFFFFFFF) - (p[3] >> 32)
+                    if best_len < ln:
+                        best_len, best = ln, j
+                max_lens[i] = best_len
+                pm = matches[best]
+                if (split_lens[i] > 0 and best_len >= split_lens[i]
+                        and pm[2] <= split_widths[i]):
                     need2[i] = True
-                    x2[i] = (int(mqb[i, mx]) + int(mqe[i, mx])) >> 1
-                    mi2[i] = int(ms[i, mx]) + 1
+                    x2[i] = ((pm[3] >> 32) + (pm[3] & 0xFFFFFFFF)) >> 1
+                    mi2[i] = pm[2] + 1
             if need2.any():
                 (_r2, n2, s0, s1, ss, sqb, sqe) = self._dispatch(
                     qpad, qlen, x2, mi2, need2)
             for i in np.nonzero(active)[0]:
-                k = int(n_mem[i])
-                matches = [(int(m0[i, j]), int(m1[i, j]), int(ms[i, j]),
-                            (int(mqb[i, j]) << 32) | int(mqe[i, j]))
-                           for j in range(k)]
+                matches = lane_matches[i]
                 if need2[i]:
-                    sub = [(int(s0[i, j]), int(s1[i, j]), int(ss[i, j]),
-                            (int(sqb[i, j]) << 32) | int(sqe[i, j]))
-                           for j in range(int(n2[i]))]
+                    sub = self._lane_matches(
+                        n2, s0, s1, ss, sqb, sqe, i,
+                        queries[i], int(x2[i]), int(mi2[i]))
                     matches = _merge(matches, sub, int(max_lens[i]),
                                      int(ori_start[i]), int(qlen[i]))
                 out[i].extend(matches)
         return out
+
+    def _lane_matches(self, n_mem, m0, m1, ms, mqb, mqe, i,
+                      query, x: int, min_intv: int) -> List[Intv]:
+        """Extract one lane's interval list; lanes whose SMEM count
+        exceeded the truncated output width re-run on the host oracle
+        (the reference's HW-caps/CPU-fallback, software/bwt.c:603-717)."""
+        k = int(n_mem[i])
+        if k > self.m_out:
+            from ..oracle.smem import smem1
+            assert self.fm_host is not None, "overflow without host oracle"
+            _, matches = smem1(self.fm_host, query, x, min_intv)
+            return matches
+        return [(int(m0[i, j]), int(m1[i, j]), int(ms[i, j]),
+                 (int(mqb[i, j]) << 32) | int(mqe[i, j]))
+                for j in range(k)]
 
     def seed_positions(self, fm_host, intervals_per_read, opt
                        ) -> List[List[Tuple[int, int, int]]]:

@@ -48,14 +48,14 @@ def _prev_valid_value(vals: jnp.ndarray, valid: jnp.ndarray, fill
     return prev
 
 
-@partial(jax.jit, static_argnames=("L", "M"))
+@partial(jax.jit, static_argnames=("L", "M", "M_OUT"))
 def smem1_batched(blocks, primary, L2,
                   q: jnp.ndarray,        # int32[B, L] nt4, pad 4
                   qlen: jnp.ndarray,     # int32[B]
                   x: jnp.ndarray,        # int32[B] start position
                   min_intv: jnp.ndarray,  # int64[B]
                   active: jnp.ndarray,   # bool[B]
-                  L: int, M: int):
+                  L: int, M: int, M_OUT: int = 0):
     """Batched smem1: collect SMEMs covering position x per lane.
 
     Returns (ret, n_mem, m0, m1, ms, mqb, mqe):
@@ -214,9 +214,15 @@ def smem1_batched(blocks, primary, L2,
     st = lax.while_loop(bwd_cond, bwd_body, st)
     (_, _, _, _, _, _, m0, m1, ms, mqb, mqe, n_mem, _) = st
 
-    # reverse mem to qb-ascending order (software/bwt.c:833)
-    src = jnp.clip(n_mem[:, None] - 1 - jj, 0, M - 1)
-    valid = jj < n_mem[:, None]
+    # reverse mem to qb-ascending order (software/bwt.c:833); truncate the
+    # returned buffers to M_OUT columns to bound the device->host transfer
+    # (n_mem is returned untruncated so the caller can detect overflow and
+    # route the lane to the host oracle — the HW-caps/CPU-fallback pattern)
+    if M_OUT <= 0 or M_OUT > M:
+        M_OUT = M
+    jo = jj[:, :M_OUT]
+    src = jnp.clip(n_mem[:, None] - 1 - jo, 0, M - 1)
+    valid = jo < n_mem[:, None]
     m0 = jnp.where(valid, jnp.take_along_axis(m0, src, 1), 0)
     m1 = jnp.where(valid, jnp.take_along_axis(m1, src, 1), 0)
     ms = jnp.where(valid, jnp.take_along_axis(ms, src, 1), 0)
