@@ -48,9 +48,34 @@ def infer_bw(l1: int, l2: int, score: int, a: int, q: int, r: int) -> int:
 def gen_cigar(mat, o_del, e_del, o_ins, e_ins, w_, l_pac, pac,
               query: np.ndarray, rb: int, re: int
               ) -> Tuple[Optional[List[int]], str, int, int]:
-    """bwa_gen_cigar2.  query is the nt4 slice being aligned (it is NOT
-    modified; reversal is done on copies).  Returns
-    (cigar, MD, score, NM); cigar None when rejected."""
+    """bwa_gen_cigar2 driven by the host-oracle global SW."""
+    return drive_cigar_gen(gen_cigar_gen(
+        mat, o_del, e_del, o_ins, e_ins, w_, l_pac, pac, query, rb, re),
+        mat, o_del, e_del, o_ins, e_ins)
+
+
+def drive_cigar_gen(gen, mat, o_del, e_del, o_ins, e_ins):
+    """Serve ('global2', q, rseq, w) requests with the scalar oracle;
+    returns the generator's return value."""
+    try:
+        req = next(gen)
+        while True:
+            _tag, q, rseq, w = req
+            out = ksw_global2(q, rseq, np.asarray(mat, dtype=np.int64),
+                              o_del, e_del, o_ins, e_ins, w)
+            req = gen.send(out)
+    except StopIteration as e:
+        return e.value
+
+
+def gen_cigar_gen(mat, o_del, e_del, o_ins, e_ins, w_, l_pac, pac,
+                  query: np.ndarray, rb: int, re: int):
+    """bwa_gen_cigar2 as a generator (software/bwa.c:96-179): the banded
+    global alignment is yielded as ('global2', q, rseq, w) and
+    (score, cigar) sent back, so a batching driver can run one device
+    dispatch per wave.  query is the nt4 slice being aligned (NOT
+    modified; reversal on copies).  Returns (cigar, MD, score, NM);
+    cigar None when rejected."""
     l_query = len(query)
     if l_query <= 0 or rb >= re or (rb < l_pac < re):
         return None, "", 0, -1
@@ -72,8 +97,7 @@ def gen_cigar(mat, o_del, e_del, o_ins, e_ins, w_, l_pac, pac,
         w = min(w, w_)
         min_w = abs((re - rb) - l_query) + 3
         w = max(w, min_w)
-        score, cigar = ksw_global2(q, rseq, np.asarray(mat, dtype=np.int64),
-                                   o_del, e_del, o_ins, e_ins, w)
+        score, cigar = yield ("global2", q, rseq, w)
     # NM and MD
     md = []
     x = y = u = n_mm = n_gap = 0
@@ -107,9 +131,9 @@ def gen_cigar(mat, o_del, e_del, o_ins, e_ins, w_, l_pac, pac,
     return cigar, "".join(md), score, n_mm + n_gap
 
 
-def fix_xref(opt, bns, pac, query: np.ndarray, qb: int, qe: int,
-             rb: int, re: int) -> Tuple[int, int, int, int, int]:
-    """bwa_fix_xref2: returns (status, qb, qe, rb, re)."""
+def fix_xref_gen(opt, bns, pac, query: np.ndarray, qb: int, qe: int,
+                 rb: int, re: int):
+    """bwa_fix_xref2 as a generator: returns (status, qb, qe, rb, re)."""
     if rb < bns.l_pac < re:
         return -1, -1, -1, -1, -1
     fm_pos, is_rev = bns.depos((rb + re) >> 1)
@@ -119,7 +143,7 @@ def fix_xref(opt, bns, pac, query: np.ndarray, qb: int, qe: int,
     if cb > rb or ce < re:
         cb = max(cb, rb)
         ce = min(ce, re)
-        cigar, _md, _sc, _nm = gen_cigar(
+        cigar, _md, _sc, _nm = yield from gen_cigar_gen(
             opt.mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, opt.w,
             bns.l_pac, pac, query[qb:qe], rb, re)
         x, y = rb, qb
@@ -154,7 +178,15 @@ def fix_xref(opt, bns, pac, query: np.ndarray, qb: int, qe: int,
 
 def reg2aln(opt, bns, pac, l_query: int, query_nt4: np.ndarray,
             ar: Optional[AlnReg]) -> MemAln:
-    """mem_reg2aln (software/bwamem.c:1481-1553)."""
+    """mem_reg2aln driven by the host-oracle global SW."""
+    return drive_cigar_gen(
+        reg2aln_gen(opt, bns, pac, l_query, query_nt4, ar),
+        opt.mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins)
+
+
+def reg2aln_gen(opt, bns, pac, l_query: int, query_nt4: np.ndarray,
+                ar: Optional[AlnReg]):
+    """mem_reg2aln (software/bwamem.c:1481-1553) as a generator."""
     a = MemAln()
     if ar is None or ar.rb < 0 or ar.re < 0:
         a.rid = -1
@@ -167,7 +199,8 @@ def reg2aln(opt, bns, pac, l_query: int, query_nt4: np.ndarray,
     a.mapq = approx_mapq_se(opt, ar) if ar.secondary < 0 else 0
     if ar.secondary >= 0:
         a.flag |= 0x100
-    st, qb, qe, rb, re = fix_xref(opt, bns, pac, query, qb, qe, rb, re)
+    st, qb, qe, rb, re = yield from fix_xref_gen(opt, bns, pac, query,
+                                                 qb, qe, rb, re)
     if st < 0:
         raise RuntimeError("mem_reg2aln: unfixable cross-contig alignment")
     tmp = infer_bw(qe - qb, re - rb, ar.truesc, opt.a, opt.o_del, opt.e_del)
@@ -181,7 +214,7 @@ def reg2aln(opt, bns, pac, l_query: int, query_nt4: np.ndarray,
     md = ""
     NM = -1
     while True:
-        cigar, md, score, NM = gen_cigar(
+        cigar, md, score, NM = yield from gen_cigar_gen(
             opt.mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, w2,
             bns.l_pac, pac, query[qb:qe], rb, re)
         if score == last_sc:

@@ -22,7 +22,7 @@ from ..index.bntseq import get_seq
 from ..oracle import ksw
 from ..utils.hashing import hash_64
 from .region import AlnReg, sort_and_dedup, mark_primary, approx_mapq_se
-from .align import reg2aln
+from .align import reg2aln_gen
 from .sam import aln2sam
 
 MIN_RATIO = 0.8
@@ -138,9 +138,11 @@ def pestat(opt, l_pac: int, regs: List[List[AlnReg]],
     return pes
 
 
-def matesw(opt, l_pac: int, pac, pes: List[PeStat], a: AlnReg,
-           mate_seq: np.ndarray, ma: List[AlnReg]) -> int:
-    """mem_matesw: SW the mate within each plausible insert window."""
+def matesw_gen(opt, l_pac: int, pac, pes: List[PeStat], a: AlnReg,
+               mate_seq: np.ndarray, ma: List[AlnReg]):
+    """mem_matesw as a generator: SW the mate within each plausible
+    insert window; local-SW calls yielded as ('align2', seq, ref, xtra)
+    requests."""
     l_ms = len(mate_seq)
     skip = [1 if pes[r].failed else 0 for r in range(4)]
     for reg in ma:
@@ -174,8 +176,7 @@ def matesw(opt, l_pac: int, pac, pes: List[PeStat], a: AlnReg,
             xtra = (ksw.KSW_XSUBO | ksw.KSW_XSTART
                     | (ksw.KSW_XBYTE if l_ms * opt.a < 250 else 0)
                     | (opt.min_seed_len * opt.a))
-            aln = ksw.ksw_align2(seq, ref, mat, opt.o_del, opt.e_del,
-                                 opt.o_ins, opt.e_ins, xtra)
+            aln = yield ("align2", seq, ref, xtra)
             if aln.score >= opt.min_seed_len and aln.qb >= 0:
                 b = AlnReg()
                 b.qb = l_ms - (aln.qe + 1) if is_rev else aln.qb
@@ -269,7 +270,16 @@ def raw_mapq(diff: int, a: int) -> int:
 
 def sam_pe(opt, bns, pac, pes: List[PeStat], pair_id: int, reads, regs,
            rg_id: str) -> int:
-    """mem_sam_pe: finalize one read pair into SAM lines."""
+    """mem_sam_pe driven by the host-oracle SW."""
+    from .swdrive import drive_host
+    return drive_host(sam_pe_gen(opt, bns, pac, pes, pair_id, reads, regs,
+                                 rg_id), opt)
+
+
+def sam_pe_gen(opt, bns, pac, pes: List[PeStat], pair_id: int, reads, regs,
+               rg_id: str):
+    """mem_sam_pe as a generator: finalize one read pair into SAM
+    lines, yielding every SW request for batched wave dispatch."""
     s0, s1 = reads
     a = [regs[0], regs[1]]
     n = 0
@@ -288,8 +298,8 @@ def sam_pe(opt, bns, pac, pes: List[PeStat], pair_id: int, reads, regs,
             for j, reg in enumerate(b[i]):
                 if j >= opt.max_matesw:
                     break
-                n += matesw(opt, bns.l_pac, pac, pes, reg,
-                            reads[1 - i].seq_nt4, a[1 - i])
+                n += yield from matesw_gen(opt, bns.l_pac, pac, pes, reg,
+                                           reads[1 - i].seq_nt4, a[1 - i])
     mark_primary(opt, a[0], (pair_id << 1) | 0)
     mark_primary(opt, a[1], (pair_id << 1) | 1)
     if not (opt.flag & MEM_F_NOPAIRING):
@@ -331,10 +341,12 @@ def sam_pe(opt, bns, pac, pes: List[PeStat], pair_id: int, reads, regs,
                     z = [0, 0]
                     q_se = [approx_mapq_se(opt, a[0][0]),
                             approx_mapq_se(opt, a[1][0])]
-                h0 = reg2aln(opt, bns, pac, s0.l_seq, s0.seq_nt4, a[0][z[0]])
+                h0 = yield from reg2aln_gen(opt, bns, pac, s0.l_seq,
+                                            s0.seq_nt4, a[0][z[0]])
                 h0.mapq = q_se[0]
                 h0.flag |= 0x40 | extra_flag
-                h1 = reg2aln(opt, bns, pac, s1.l_seq, s1.seq_nt4, a[1][z[1]])
+                h1 = yield from reg2aln_gen(opt, bns, pac, s1.l_seq,
+                                            s1.seq_nt4, a[1][z[1]])
                 h1.mapq = q_se[1]
                 h1.flag |= 0x80 | extra_flag
                 out0, out1 = [], []
@@ -349,17 +361,21 @@ def sam_pe(opt, bns, pac, pes: List[PeStat], pair_id: int, reads, regs,
     h = [None, None]
     for i, (s, ai) in enumerate(((s0, a[0]), (s1, a[1]))):
         if ai and ai[0].score >= opt.T:
-            h[i] = reg2aln(opt, bns, pac, s.l_seq, s.seq_nt4, ai[0])
+            h[i] = yield from reg2aln_gen(opt, bns, pac, s.l_seq,
+                                          s.seq_nt4, ai[0])
         else:
-            h[i] = reg2aln(opt, bns, pac, s.l_seq, s.seq_nt4, None)
+            h[i] = yield from reg2aln_gen(opt, bns, pac, s.l_seq,
+                                          s.seq_nt4, None)
     if (not (opt.flag & MEM_F_NOPAIRING) and h[0].rid == h[1].rid
             and h[0].rid >= 0):
         d, dist = infer_dir(bns.l_pac, a[0][0].rb, a[1][0].rb)
         if not pes[d].failed and pes[d].low <= dist <= pes[d].high:
             extra_flag |= 2
-    from .pipeline import reg2sam_se
-    reg2sam_se(opt, bns, pac, s0, a[0], 0x41 | extra_flag, h[1], rg_id)
-    reg2sam_se(opt, bns, pac, s1, a[1], 0x81 | extra_flag, h[0], rg_id)
+    from .pipeline import reg2sam_se_gen
+    yield from reg2sam_se_gen(opt, bns, pac, s0, a[0], 0x41 | extra_flag,
+                              h[1], rg_id)
+    yield from reg2sam_se_gen(opt, bns, pac, s1, a[1], 0x81 | extra_flag,
+                              h[0], rg_id)
     if s0.name != s1.name:
         raise RuntimeError("paired reads have different names")
     return n

@@ -68,7 +68,18 @@ def align1_core_gen(opt: MemOptions, fm, bns, pac, read, chains=None):
 
 def reg2sam_se(opt, bns, pac, read, regs: List[AlnReg], extra_flag: int,
                m, rg_id: str) -> None:
-    """mem_reg2sam_se (software/bwamem.c:1359-1393)."""
+    """mem_reg2sam_se driven by the host-oracle SW."""
+    from .align import drive_cigar_gen
+    drive_cigar_gen(
+        reg2sam_se_gen(opt, bns, pac, read, regs, extra_flag, m, rg_id),
+        opt.mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins)
+
+
+def reg2sam_se_gen(opt, bns, pac, read, regs: List[AlnReg],
+                   extra_flag: int, m, rg_id: str):
+    """mem_reg2sam_se (software/bwamem.c:1359-1393) as a generator
+    yielding the banded-global-SW requests of its reg2aln calls."""
+    from .align import reg2aln_gen
     aa = []
     for k, p in enumerate(regs):
         if p.score < opt.T:
@@ -77,7 +88,8 @@ def reg2sam_se(opt, bns, pac, read, regs: List[AlnReg], extra_flag: int,
             continue
         if p.secondary >= 0 and p.score < regs[p.secondary].score * .5:
             continue
-        q = reg2aln(opt, bns, pac, read.l_seq, read.seq_nt4, p)
+        q = yield from reg2aln_gen(opt, bns, pac, read.l_seq,
+                                   read.seq_nt4, p)
         q.flag |= extra_flag
         if p.secondary >= 0:
             q.sub = -1  # don't output sub-optimal score
@@ -88,7 +100,8 @@ def reg2sam_se(opt, bns, pac, read, regs: List[AlnReg], extra_flag: int,
         aa.append(q)
     out: List[str] = []
     if not aa:  # unaligned record
-        t = reg2aln(opt, bns, pac, read.l_seq, read.seq_nt4, None)
+        t = yield from reg2aln_gen(opt, bns, pac, read.l_seq,
+                                   read.seq_nt4, None)
         t.flag |= extra_flag
         aln2sam(bns, read, 1, [t], 0, m, rg_id, out)
     else:
@@ -119,14 +132,27 @@ def process_seqs(opt: MemOptions, fm, bns, pac, n_processed: int,
             pes = pes0
         else:
             pes = pe.pestat(opt, bns.l_pac, regs, verbose)
-        for i in range(n >> 1):
-            pe.sam_pe(opt, bns, pac, pes, (n_processed >> 1) + i,
-                      (reads[i << 1], reads[i << 1 | 1]),
-                      (regs[i << 1], regs[i << 1 | 1]), rg_id)
+        gens = [pe.sam_pe_gen(opt, bns, pac, pes, (n_processed >> 1) + i,
+                              (reads[i << 1], reads[i << 1 | 1]),
+                              (regs[i << 1], regs[i << 1 | 1]), rg_id)
+                for i in range(n >> 1)]
+        if engine is not None:
+            engine.drive_waves(opt, gens)
+        else:
+            from .swdrive import drive_host
+            for g in gens:
+                drive_host(g, opt)
     else:
         for i in range(n):
             mark_primary(opt, regs[i], n_processed + i)
-            reg2sam_se(opt, bns, pac, reads[i], regs[i], 0, None, rg_id)
+        gens = [reg2sam_se_gen(opt, bns, pac, reads[i], regs[i], 0,
+                               None, rg_id) for i in range(n)]
+        if engine is not None:
+            engine.drive_waves(opt, gens)
+        else:
+            from .swdrive import drive_host
+            for g in gens:
+                drive_host(g, opt)
     if verbose >= 3:
         print("[M::mem_process_seqs] Processed %d reads in %.3f CPU sec, "
               "%.3f real sec" % (n, time.process_time() - ctime,

@@ -37,6 +37,8 @@ class JaxSeedingEngine:
         self.max_len = max_len
         self._ext_lq = ext_lq
         self._ext_lt = ext_lt
+        self._glo_lq = ext_lq
+        self._glo_lt = ext_lq + 32  # target within band of query length
 
     def chain_batch(self, opt, reads) -> List[list]:
         """Batched replacement for per-read mem_chain
@@ -96,7 +98,14 @@ class JaxSeedingEngine:
         chains = self.chain_batch(opt, reads)
         gens = [align1_core_gen(opt, fm, bns, pac, r, chains=chains[i])
                 for i, r in enumerate(reads)]
-        results: List[list] = [None] * len(reads)
+        return self.drive_waves(opt, gens)
+
+    def drive_waves(self, opt, gens) -> List:
+        """Advance all generators in lock-step; every wave serves the
+        live requests grouped by type, one batched device dispatch per
+        type (the reference's batch-dispatch structure applied to every
+        SW call site).  Returns each generator's return value."""
+        results: List = [None] * len(gens)
         live = {}
         for i, g in enumerate(gens):
             try:
@@ -105,7 +114,23 @@ class JaxSeedingEngine:
                 results[i] = e.value
         while live:
             order = list(live.keys())
-            outs = self._extend_wave(opt, [live[i] for i in order])
+            reqs = [live[i] for i in order]
+            outs = [None] * len(reqs)
+            ext = [j for j, r in enumerate(reqs) if r[0] == "extend2"]
+            glo = [j for j, r in enumerate(reqs) if r[0] == "global2"]
+            oth = [j for j, r in enumerate(reqs)
+                   if r[0] not in ("extend2", "global2")]
+            if ext:
+                for j, out in zip(ext, self._extend_wave(
+                        opt, [reqs[j] for j in ext])):
+                    outs[j] = out
+            if glo:
+                for j, out in zip(glo, self._global_wave(
+                        opt, [reqs[j] for j in glo])):
+                    outs[j] = out
+            for j in oth:
+                from ..core.swdrive import serve_host
+                outs[j] = serve_host(reqs[j], opt)
             live = {}
             for i, out in zip(order, outs):
                 try:
@@ -121,19 +146,15 @@ class JaxSeedingEngine:
         split, software/bwt.c:603-717)."""
         import jax.numpy as jnp
         from .ksw import ksw_extend2_batched
-        from ..oracle import ksw as oksw
+        from ..core.swdrive import serve_host
 
         LQ, LT = self._ext_lq, self._ext_lt
-        mat64 = np.asarray(opt.mat, dtype=np.int64)
         n = len(reqs)
         dev_idx = [i for i, r in enumerate(reqs)
                    if len(r[1]) <= LQ and len(r[2]) <= LT]
         outs = [None] * n
         for i in set(range(n)) - set(dev_idx):
-            _, qs, rs, w, pen, h0 = reqs[i]
-            outs[i] = oksw.ksw_extend2(qs, rs, mat64, opt.o_del, opt.e_del,
-                                       opt.o_ins, opt.e_ins, w, pen,
-                                       opt.zdrop, h0)
+            outs[i] = serve_host(reqs[i], opt)
         if dev_idx:
             B = _pad_pow2(len(dev_idx))
             qb = np.full((B, LQ), 4, np.int32)
@@ -158,6 +179,46 @@ class JaxSeedingEngine:
             res = [np.asarray(r) for r in res]
             for bi, i in enumerate(dev_idx):
                 outs[i] = tuple(int(r[bi]) for r in res)
+        return outs
+
+    def _global_wave(self, opt, reqs):
+        """One batched ksw_global2 dispatch (with on-device traceback)
+        over a wave of ("global2", qs, rs, w) requests."""
+        import jax.numpy as jnp
+        from .ksw import ksw_global2_batched, cigar_from_traceback
+        from ..core.swdrive import serve_host
+
+        LQ, LT = self._glo_lq, self._glo_lt
+        n = len(reqs)
+        dev_idx = [i for i, r in enumerate(reqs)
+                   if 0 < len(r[1]) <= LQ and 0 < len(r[2]) <= LT]
+        outs = [None] * n
+        for i in set(range(n)) - set(dev_idx):
+            outs[i] = serve_host(reqs[i], opt)
+        if dev_idx:
+            B = _pad_pow2(len(dev_idx))
+            qb = np.full((B, LQ), 4, np.int32)
+            tb = np.full((B, LT), 4, np.int32)
+            qlen = np.zeros(B, np.int32)
+            tlen = np.zeros(B, np.int32)
+            wv = np.ones(B, np.int32)
+            for bi, i in enumerate(dev_idx):
+                _, qs, rs, w = reqs[i]
+                qb[bi, :len(qs)] = qs
+                tb[bi, :len(rs)] = rs
+                qlen[bi], tlen[bi] = len(qs), len(rs)
+                wv[bi] = w
+            score, ops, n_ops, ri, rk = ksw_global2_batched(
+                jnp.asarray(qb), jnp.asarray(tb), jnp.asarray(qlen),
+                jnp.asarray(tlen), self._mat_i32(opt),
+                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                jnp.asarray(wv), LQ=LQ, LT=LT)
+            score, ops, n_ops, ri, rk = map(
+                np.asarray, (score, ops, n_ops, ri, rk))
+            for bi, i in enumerate(dev_idx):
+                outs[i] = (int(score[bi]),
+                           cigar_from_traceback(ops[bi], int(n_ops[bi]),
+                                                int(ri[bi]), int(rk[bi])))
         return outs
 
     def _mat_i32(self, opt):

@@ -23,6 +23,28 @@ import jax.numpy as jnp
 from jax import lax
 
 NEG = jnp.int32(-0x40000000)
+# out-of-band fill for the prefix scan: strictly below every in-band
+# value, with headroom so the downstream subtractions can't wrap int32
+NEG2 = jnp.int32(-0x60000000)
+
+
+def cigar_from_traceback(ops_row: np.ndarray, n: int, rem_i: int,
+                         rem_k: int) -> list:
+    """Assemble the BAM cigar from a device traceback: append the
+    trailing deletion/insertion runs (ksw.c:580-581), reverse, RLE."""
+    seq = list(ops_row[:n])
+    if rem_i >= 0:
+        seq.extend([2] * (rem_i + 1))
+    if rem_k >= 0:
+        seq.extend([1] * (rem_k + 1))
+    seq.reverse()
+    cigar = []
+    for op in seq:
+        if cigar and (cigar[-1] & 0xF) == op:
+            cigar[-1] += 16
+        else:
+            cigar.append(16 | int(op))
+    return cigar
 
 
 @partial(jax.jit, static_argnames=("LQ", "LT"))
@@ -186,3 +208,142 @@ def ksw_extend2_batched(
     st = lax.while_loop(cond, body, state)
     return (st["best"], st["max_j"] + 1, st["max_i"] + 1,
             st["max_ie"] + 1, st["gscore"], st["max_off"])
+
+
+@partial(jax.jit, static_argnames=("LQ", "LT"))
+def ksw_global2_batched(
+        query: jnp.ndarray,    # int32[B, LQ] nt4 (pad 4)
+        target: jnp.ndarray,   # int32[B, LT] nt4 (pad 4)
+        qlen: jnp.ndarray,     # int32[B]
+        tlen: jnp.ndarray,     # int32[B]
+        mat: jnp.ndarray,      # int32[25]
+        o_del: int, e_del: int, o_ins: int, e_ins: int,
+        w_in: jnp.ndarray,     # int32[B] band width per lane
+        LQ: int, LT: int):
+    """Batched banded global alignment with on-device traceback
+    (software/ksw.c:501-585).  Direction flags are stored at absolute
+    query columns (the reference's banded z-matrix addressing collapses
+    to plain [row, column] when the matrix isn't compacted).
+
+    Returns (score, ops, n_ops, rem_i, rem_k):
+      score int32[B]   — eh_h[qlen]
+      ops  uint8[B, LT+LQ] — traceback ops (0=M 1=I 2=D) in reverse order
+      n_ops int32[B]
+      rem_i/rem_k int32[B] — the loop-exit i/k; the host appends
+      (rem_i+1) deletions / (rem_k+1) insertions then reverses + RLEs.
+    """
+    B = query.shape[0]
+    i32 = jnp.int32
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+    w = w_in.astype(i32)
+
+    mat55 = mat.reshape(5, 5)
+    jv = jnp.arange(LQ + 1, dtype=i32)[None, :]
+    jq = jnp.arange(LQ, dtype=i32)[None, :]
+
+    # init (ksw.c:520-526)
+    eh_h = jnp.where(jv == 0, 0,
+                     jnp.where((jv >= 1) & (jv <= jnp.minimum(qlen, w)[:, None]),
+                               -(o_ins + e_ins * jv), NEG)).astype(i32)
+    eh_e = jnp.full((B, LQ + 1), NEG, i32)
+
+    def row(i, carry):
+        eh_h, eh_e, z = carry
+        run = i < tlen
+        beg = jnp.maximum(i - w, 0)
+        end = jnp.minimum(i + w + 1, qlen)
+        h1 = jnp.where(beg == 0, -(o_del + e_del * (i + 1)), NEG)
+        degen = end <= beg
+        do = run & ~degen
+
+        tch = jnp.take_along_axis(target,
+                                  jnp.full((B, 1), jnp.clip(i, 0, LT - 1),
+                                           i32), 1)[:, 0]
+        qp = mat55[tch[:, None], query]                         # [B, LQ]
+        band = (jq >= beg[:, None]) & (jq < end[:, None])
+
+        hdiag = eh_h[:, :LQ]
+        e = eh_e[:, :LQ]
+        mm = jnp.where(band, hdiag + qp, NEG)
+        a_vec = jnp.where(band, mm + jq * e_ins, NEG2)
+        cm = lax.associative_scan(jnp.maximum, a_vec, axis=1)
+        cm_prev = jnp.concatenate(
+            [jnp.full((B, 1), NEG2, i32), cm[:, :-1]], axis=1)
+        # decayed band-edge init term matters for exact direction flags
+        f = jnp.maximum(cm_prev - oe_ins - (jq - 1) * e_ins,
+                        NEG - (jq - beg[:, None]) * e_ins)
+        f = jnp.where(jq == beg[:, None], NEG, f)
+
+        d = jnp.where(mm >= e, 0, 1).astype(jnp.uint8)
+        h = jnp.maximum(mm, e)
+        d = jnp.where(h >= f, d, jnp.uint8(2))
+        h = jnp.maximum(h, f)
+        e2 = e - e_del
+        t_ = mm - oe_del
+        d = d | jnp.where(e2 > t_, jnp.uint8(1 << 2), jnp.uint8(0))
+        new_e = jnp.maximum(e2, t_)
+        f2 = f - e_ins
+        t2 = mm - oe_ins
+        d = d | jnp.where(f2 > t2, jnp.uint8(2 << 4), jnp.uint8(0))
+
+        z = z.at[:, i, :].set(
+            jnp.where(band & do[:, None], d, z[:, i, :]))
+
+        eh_e_new = jnp.where(band, new_e, e)
+        eh_e_new = jnp.concatenate([eh_e_new, eh_e[:, LQ:]], axis=1)
+        eh_e_new = jnp.where(jv == end[:, None], NEG, eh_e_new)
+        h_shift = jnp.concatenate([jnp.zeros((B, 1), i32), h], axis=1)
+        store = (jv >= beg[:, None] + 1) & (jv <= end[:, None])
+        eh_h_new = jnp.where(store, h_shift, eh_h)
+        eh_h_new = jnp.where(jv == beg[:, None], h1[:, None], eh_h_new)
+
+        # degenerate rows only store eh_h[end]=h1, eh_e[end]=NEG
+        eh_h_deg = jnp.where(jv == end[:, None], h1[:, None], eh_h)
+        eh_e_deg = jnp.where(jv == end[:, None], NEG, eh_e)
+
+        eh_h = jnp.where(do[:, None], eh_h_new,
+                         jnp.where(run[:, None] & degen[:, None],
+                                   eh_h_deg, eh_h))
+        eh_e = jnp.where(do[:, None], eh_e_new,
+                         jnp.where(run[:, None] & degen[:, None],
+                                   eh_e_deg, eh_e))
+        return eh_h, eh_e, z
+
+    z0 = jnp.zeros((B, LT, LQ), jnp.uint8)
+    eh_h, eh_e, z = lax.fori_loop(0, LT, row, (eh_h, eh_e, z0))
+    score = jnp.take_along_axis(eh_h, qlen[:, None], 1)[:, 0]
+
+    # traceback (ksw.c:570-584)
+    MAXOPS = LT + LQ
+    ops0 = jnp.zeros((B, MAXOPS), jnp.uint8)
+
+    def tb_body(st):
+        i, k, which, n, ops, done = st
+        act = ~done
+        zi = jnp.clip(i, 0, LT - 1)
+        zk = jnp.clip(k, 0, LQ - 1)
+        dcode = z[jnp.arange(B), zi, zk].astype(i32)
+        which_new = (dcode >> (which << 1)) & 3
+        op = jnp.where(which_new == 0, 0,
+                       jnp.where(which_new == 1, 2, 1)).astype(jnp.uint8)
+        idx = jnp.where(act, n, MAXOPS)
+        ops = ops.at[jnp.arange(B), idx].set(op, mode="drop")
+        di = jnp.where(which_new != 2, 1, 0)
+        dk = jnp.where(which_new != 1, 1, 0)
+        i = jnp.where(act, i - di, i)
+        k = jnp.where(act, k - dk, k)
+        which = jnp.where(act, which_new, which)
+        n = n + act.astype(i32)
+        done = done | (i < 0) | (k < 0)
+        return i, k, which, n, ops, done
+
+    def tb_cond(st):
+        return jnp.any(~st[-1])
+
+    i0 = tlen - 1
+    k0 = jnp.minimum(i0 + w + 1, qlen) - 1
+    st = (i0, k0, jnp.zeros(B, i32), jnp.zeros(B, i32), ops0,
+          (i0 < 0) | (k0 < 0))
+    i_f, k_f, _, n_ops, ops, _ = lax.while_loop(tb_cond, tb_body, st)
+    return score, ops, n_ops, i_f, k_f
