@@ -235,6 +235,109 @@ def main_mem(argv):
     return 0
 
 
+def main_fa2pac(argv):
+    """fa2pac command (software/bntseq.c:297-314): FASTA -> .pac/.ann/.amb,
+    both-strand pack by default, forward-only with -f."""
+    import getopt as _getopt
+    from .index.bntseq import fasta2bntseq, dump_pac, dump_ann_amb
+    opts, args = _getopt.getopt(argv, "f")
+    for_only = any(c == "-f" for c, _ in opts)
+    if not args:
+        sys.stderr.write("Usage: bwa fa2pac [-f] <in.fasta> [<out.prefix>]\n")
+        return 1
+    prefix = args[1] if len(args) > 1 else args[0]
+    bns, pac = fasta2bntseq(args[0], for_only=for_only)
+    dump_ann_amb(bns, prefix)
+    dump_pac(pac, bns.l_pac, prefix + ".pac")
+    return 0
+
+
+def main_pac2bwt(argv):
+    """pac2bwt command (software/bwtindex.c:62-124): .pac -> raw .bwt
+    (no occ interleaving; bwtupdate required before use).  The -d
+    (libdivsufsort) flag is accepted; our SA-IS builder covers both."""
+    import getopt as _getopt
+    import numpy as np
+    from .index.bntseq import load_pac, unpack_bases
+    from .index.fmindex import FmIndex
+    from .index.suffix_array import suffix_array
+    opts, args = _getopt.getopt(argv, "d")
+    if len(args) < 2:
+        sys.stderr.write("Usage: bwa pac2bwt [-d] <in.pac> <out.bwt>\n")
+        return 1
+    pac, l_pac = load_pac(args[0])
+    bases = unpack_bases(pac, l_pac)
+    fm = FmIndex()
+    fm.seq_len = int(l_pac)
+    counts = np.bincount(bases, minlength=4)
+    fm.L2 = np.zeros(5, dtype=np.int64)
+    fm.L2[1:] = np.cumsum(counts)
+    sa_full = suffix_array(bases)
+    fm.primary = int(np.nonzero(sa_full == 0)[0][0])
+    nz = np.concatenate((sa_full[:fm.primary], sa_full[fm.primary + 1:]))
+    bwt_str = bases[nz - 1]
+    # raw 2-bit pack, 16 bases/word MSB-first (bwtindex.c:99-101)
+    n_words = (l_pac + 15) >> 4
+    padded = np.zeros(n_words << 4, dtype=np.uint32)
+    padded[:l_pac] = bwt_str
+    shifts = (15 - np.arange(16, dtype=np.uint32)) * 2
+    fm.bwt = (padded.reshape(-1, 16) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint32)
+    fm.dump_bwt(args[1])
+    return 0
+
+
+def main_bwtupdate(argv):
+    """bwtupdate command (software/bwtindex.c:128-164): interleave occ
+    checkpoints into a raw .bwt, in place."""
+    import numpy as np
+    from .index.fmindex import FmIndex, interleave_occ
+    if len(argv) < 1:
+        sys.stderr.write("Usage: bwa bwtupdate <the.bwt>\n")
+        return 1
+    fm = FmIndex.restore(argv[0])
+    n_words = (fm.seq_len + 15) >> 4
+    words = fm.bwt[:n_words]
+    shifts = (15 - np.arange(16, dtype=np.uint32)) * 2
+    bwt_str = ((words[:, None] >> shifts[None, :]) & 3).astype(
+        np.uint8).reshape(-1)[:fm.seq_len]
+    fm.bwt = interleave_occ(bwt_str, fm.seq_len)
+    fm.dump_bwt(argv[0])
+    return 0
+
+
+def main_bwt2sa(argv):
+    """bwt2sa command (software/bwtindex.c:166-185): compute the sampled
+    suffix array from an occ-interleaved .bwt by walking inverse Psi
+    (bwt_cal_sa, software/bwt.c:80-102)."""
+    import getopt as _getopt
+    import numpy as np
+    from .index.fmindex import FmIndex
+    opts, args = _getopt.getopt(argv, "i:")
+    sa_intv = 32
+    for c, v in opts:
+        if c == "-i":
+            sa_intv = int(v)
+    if len(args) < 2:
+        sys.stderr.write("Usage: bwa bwt2sa [-i 32] <in.bwt> <out.sa>\n")
+        return 1
+    fm = FmIndex.restore(args[0])
+    n_sa = (fm.seq_len + sa_intv) // sa_intv
+    fm.sa_intv = sa_intv
+    fm.sa = np.zeros(n_sa, dtype=np.int64)
+    isa, sa_val = 0, fm.seq_len
+    for _ in range(fm.seq_len):
+        if isa % sa_intv == 0:
+            fm.sa[isa // sa_intv] = sa_val
+        sa_val -= 1
+        isa = fm.inv_psi(isa)
+    if isa % sa_intv == 0:
+        fm.sa[isa // sa_intv] = sa_val
+    fm.sa[0] = -1
+    fm.dump_sa(args[1])
+    return 0
+
+
 def main_index(argv):
     import getopt as _getopt
     from .index import build_index
@@ -288,6 +391,11 @@ def main(argv=None):
         "index": main_index,
         "mem": main_mem,
         "fastmap": main_fastmap,
+        "fa2pac": main_fa2pac,
+        "pac2bwt": main_pac2bwt,
+        "pac2bwtgen": main_pac2bwt,  # same artifact; our SA-IS covers both
+        "bwtupdate": main_bwtupdate,
+        "bwt2sa": main_bwt2sa,
     }
     if cmd not in dispatch:
         sys.stderr.write(f"[main] unrecognized command '{cmd}'\n")

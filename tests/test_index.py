@@ -69,3 +69,28 @@ def test_occ_consistency(ref_index):
         expect = 0 if k == fm.primary else 1
         assert diff.sum() == expect and (diff >= 0).all(), k
         prev = cur
+
+
+def test_staged_index_subcommands(tmp_path, data_dir):
+    """fa2pac -> pac2bwt -> bwtupdate -> bwt2sa must reproduce the
+    monolithic `index` artifacts byte-for-byte
+    (software/bwtindex.c:62-185, software/bntseq.c:297-314)."""
+    import os
+    import shutil
+    from bwamem_tpu import cli
+    fa = os.path.join(str(tmp_path), "genome.fa")
+    shutil.copy(os.path.join(data_dir, "genome.fa"), fa)
+    pre = os.path.join(str(tmp_path), "staged")
+    assert cli.main(["fa2pac", fa, pre]) == 0
+    assert cli.main(["pac2bwt", pre + ".pac", pre + ".bwt"]) == 0
+    assert cli.main(["bwtupdate", pre + ".bwt"]) == 0
+    assert cli.main(["bwt2sa", "-i", "32", pre + ".bwt", pre + ".sa"]) == 0
+    ref = os.path.join(data_dir, "genome.fa")
+    for ext in (".bwt", ".sa"):
+        with open(pre + ext, "rb") as f1, open(ref + ext, "rb") as f2:
+            assert f1.read() == f2.read(), ext
+    assert cli.main(["fa2pac", "-f", fa, pre + "_fwd"]) == 0
+    for ext in (".pac", ".ann", ".amb"):
+        with open(pre + "_fwd" + ext, "rb") as f1, \
+                open(ref + ext, "rb") as f2:
+            assert f1.read() == f2.read(), ext
