@@ -23,6 +23,7 @@ Usage:   bwa <command> [options]
 Command: index         index sequences in the FASTA format
          mem           BWA-MEM algorithm
          fastmap       identify super-maximal exact matches
+         pemerge       merge overlapping paired ends
 
          fa2pac        convert FASTA to PAC format
          pac2bwt       generate BWT from PAC
@@ -58,7 +59,7 @@ def main_mem(argv):
                          MEM_F_ALL, MEM_F_NO_MULTI, MEM_F_NO_RESCUE,
                          MEM_F_NO_EXACT)
     from .index import load_index
-    from .io.fastq import ChunkReader
+    from .io.native import make_chunk_reader
     from .core.pipeline import process_seqs
     from .core import pair as pe
     from .core.sam import sam_header
@@ -202,7 +203,8 @@ def main_mem(argv):
             sys.stderr.write(f"[W::main_mem] device engine unavailable "
                              f"({ex}); using host oracle\n")
 
-    reader = ChunkReader(args[1], args[2] if len(args) > 2 else None)
+    reader = make_chunk_reader(args[1],
+                               args[2] if len(args) > 2 else None)
     if len(args) > 2 and not (opt.flag & MEM_F_PE):
         opt.flag |= MEM_F_PE
 
@@ -380,6 +382,11 @@ def main_fastmap(argv):
     return 0
 
 
+def main_pemerge(argv):
+    from .core.pemerge import main_pemerge as _pm
+    return _pm(argv)
+
+
 def main(argv=None):
     import time
     argv = list(sys.argv[1:] if argv is None else argv)
@@ -396,6 +403,7 @@ def main(argv=None):
         "pac2bwtgen": main_pac2bwt,  # same artifact; our SA-IS covers both
         "bwtupdate": main_bwtupdate,
         "bwt2sa": main_bwt2sa,
+        "pemerge": main_pemerge,
     }
     if cmd not in dispatch:
         sys.stderr.write(f"[main] unrecognized command '{cmd}'\n")

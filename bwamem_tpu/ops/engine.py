@@ -19,11 +19,9 @@ from .fm import DeviceFmIndex
 from .seeding import BatchedSeeder
 
 
-def _pad_pow2(n: int, minimum: int = 16) -> int:
-    b = minimum
-    while b < n:
-        b <<= 1
-    return b
+# fixed wave width: one compiled shape per kernel (see ops.seeding.LANES)
+import os as _os
+WAVE = int(_os.environ.get("BWAMEM_TPU_LANES", "512"))
 
 
 class JaxSeedingEngine:
@@ -155,8 +153,9 @@ class JaxSeedingEngine:
         outs = [None] * n
         for i in set(range(n)) - set(dev_idx):
             outs[i] = serve_host(reqs[i], opt)
-        if dev_idx:
-            B = _pad_pow2(len(dev_idx))
+        for lo in range(0, len(dev_idx), WAVE):
+            grp = dev_idx[lo:lo + WAVE]
+            B = WAVE
             qb = np.full((B, LQ), 4, np.int32)
             tb = np.full((B, LT), 4, np.int32)
             qlen = np.zeros(B, np.int32)
@@ -164,7 +163,7 @@ class JaxSeedingEngine:
             wv = np.ones(B, np.int32)
             ebv = np.zeros(B, np.int32)
             h0v = np.zeros(B, np.int32)
-            for bi, i in enumerate(dev_idx):
+            for bi, i in enumerate(grp):
                 _, qs, rs, w, pen, h0 = reqs[i]
                 qb[bi, :len(qs)] = qs
                 tb[bi, :len(rs)] = rs
@@ -177,7 +176,7 @@ class JaxSeedingEngine:
                 jnp.asarray(wv), jnp.asarray(ebv), opt.zdrop,
                 jnp.asarray(h0v), LQ=LQ, LT=LT)
             res = [np.asarray(r) for r in res]
-            for bi, i in enumerate(dev_idx):
+            for bi, i in enumerate(grp):
                 outs[i] = tuple(int(r[bi]) for r in res)
         return outs
 
@@ -195,14 +194,15 @@ class JaxSeedingEngine:
         outs = [None] * n
         for i in set(range(n)) - set(dev_idx):
             outs[i] = serve_host(reqs[i], opt)
-        if dev_idx:
-            B = _pad_pow2(len(dev_idx))
+        for lo in range(0, len(dev_idx), WAVE):
+            grp = dev_idx[lo:lo + WAVE]
+            B = WAVE
             qb = np.full((B, LQ), 4, np.int32)
             tb = np.full((B, LT), 4, np.int32)
             qlen = np.zeros(B, np.int32)
             tlen = np.zeros(B, np.int32)
             wv = np.ones(B, np.int32)
-            for bi, i in enumerate(dev_idx):
+            for bi, i in enumerate(grp):
                 _, qs, rs, w = reqs[i]
                 qb[bi, :len(qs)] = qs
                 tb[bi, :len(rs)] = rs
@@ -215,7 +215,7 @@ class JaxSeedingEngine:
                 jnp.asarray(wv), LQ=LQ, LT=LT)
             score, ops, n_ops, ri, rk = map(
                 np.asarray, (score, ops, n_ops, ri, rk))
-            for bi, i in enumerate(dev_idx):
+            for bi, i in enumerate(grp):
                 outs[i] = (int(score[bi]),
                            cigar_from_traceback(ops[bi], int(n_ops[bi]),
                                                 int(ri[bi]), int(rk[bi])))

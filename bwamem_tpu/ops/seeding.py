@@ -30,12 +30,13 @@ from .smem import smem1_batched
 Intv = Tuple[int, int, int, int]  # (x0, x1, s, info=qb<<32|qe)
 
 
-def _pad_batch(n: int, minimum: int = 64) -> int:
-    """Round the lane count up to a power of two to bound recompiles."""
-    b = minimum
-    while b < n:
-        b <<= 1
-    return b
+# Fixed lane counts: every dispatch pads to exactly one shape so the
+# device pays ONE compile per kernel no matter the workload (compiles
+# are ~90 s on the TPU remote-compile path; padded lanes mask out and
+# finish instantly, so the padding is nearly free).
+import os as _os
+LANES = int(_os.environ.get("BWAMEM_TPU_LANES", "512"))
+SA_SLICE = int(_os.environ.get("BWAMEM_TPU_SA_SLICE", "16384"))
 
 
 class BatchedSeeder:
@@ -46,30 +47,44 @@ class BatchedSeeder:
                  sa_max_steps: int = 128, fm_host=None, m_out: int = 32):
         self.dfm = dfm
         self.L = int(max_len)
-        self.M = self.L + 1
+        # interval-buffer width: typical prev/mem lists are short; lanes
+        # that outgrow it fall back to the host oracle (analog of the
+        # FPGA's fixed push_mem BRAM, hardware/afu_core.v:5946-5969)
+        self.M = 48
         self.m_out = min(int(m_out), self.M)
         self.sa_max_steps = int(sa_max_steps)
         self.fm_host = fm_host  # host oracle for overflow fallback
 
     def _dispatch(self, qpad, qlen, x, min_intv, active):
         d = self.dfm
-        ret, n_mem, m0, m1, ms, mqb, mqe = smem1_batched(
+        ret, n_mem, m0, m1, ms, mqb, mqe, over = smem1_batched(
             d.blocks, d.primary, d.L2,
             jnp.asarray(qpad), jnp.asarray(qlen), jnp.asarray(x),
             jnp.asarray(min_intv), jnp.asarray(active),
             L=self.L, M=self.M, M_OUT=self.m_out)
-        return (np.asarray(ret), np.asarray(n_mem), np.asarray(m0),
+        # merge buffer overflow into the per-lane SMEM count so one
+        # check (k > m_out) routes the lane to the host oracle
+        n_mem = np.where(np.asarray(over), self.M + 1, np.asarray(n_mem))
+        return (np.asarray(ret), n_mem, np.asarray(m0),
                 np.asarray(m1), np.asarray(ms), np.asarray(mqb),
                 np.asarray(mqe))
 
     def interval_streams(self, opt, queries: Sequence[np.ndarray]
                          ) -> List[List[Intv]]:
-        """Run the full iterator for every read; returns, per read, the
-        concatenated interval lists of every iterator call, in call
-        order (the exact stream mem_chain consumes,
-        software/bwamem.c:593-615)."""
+        """Run the full iterator for every read (sliced into fixed-width
+        lane groups); returns, per read, the concatenated interval lists
+        of every iterator call, in call order (the exact stream
+        mem_chain consumes, software/bwamem.c:593-615)."""
+        out: List[List[Intv]] = []
+        for lo in range(0, len(queries), LANES):
+            out.extend(self._interval_streams_slice(
+                opt, queries[lo:lo + LANES]))
+        return out
+
+    def _interval_streams_slice(self, opt, queries: Sequence[np.ndarray]
+                                ) -> List[List[Intv]]:
         n = len(queries)
-        B = _pad_batch(n)
+        B = LANES
         L, M = self.L, self.M
         qpad = np.full((B, L), 4, dtype=np.int32)
         qlen = np.zeros(B, dtype=np.int32)
@@ -119,9 +134,11 @@ class BatchedSeeder:
             mi2 = np.ones(B, dtype=np.int64)
             max_lens = np.zeros(B, dtype=np.int64)
             for i in np.nonzero(active)[0]:
-                matches = self._lane_matches(
+                matches, oret = self._lane_matches(
                     n_mem, m0, m1, ms, mqb, mqe, i,
                     queries[i], int(ori_start[i]), int(mi[i]))
+                if oret is not None:  # host fallback recomputed the lane
+                    start[i] = oret
                 lane_matches[i] = matches
                 if not matches:
                     continue
@@ -143,7 +160,7 @@ class BatchedSeeder:
             for i in np.nonzero(active)[0]:
                 matches = lane_matches[i]
                 if need2[i]:
-                    sub = self._lane_matches(
+                    sub, _ = self._lane_matches(
                         n2, s0, s1, ss, sqb, sqe, i,
                         queries[i], int(x2[i]), int(mi2[i]))
                     matches = _merge(matches, sub, int(max_lens[i]),
@@ -160,11 +177,11 @@ class BatchedSeeder:
         if k > self.m_out:
             from ..oracle.smem import smem1
             assert self.fm_host is not None, "overflow without host oracle"
-            _, matches = smem1(self.fm_host, query, x, min_intv)
-            return matches
+            oret, matches = smem1(self.fm_host, query, x, min_intv)
+            return matches, oret
         return [(int(m0[i, j]), int(m1[i, j]), int(ms[i, j]),
                  (int(mqb[i, j]) << 32) | int(mqe[i, j]))
-                for j in range(k)]
+                for j in range(k)], None
 
     def seed_positions(self, fm_host, intervals_per_read, opt
                        ) -> List[List[Tuple[int, int, int]]]:
@@ -186,11 +203,17 @@ class BatchedSeeder:
             return out
         d = self.dfm
         karr = np.asarray(keys, dtype=np.int64)
-        vals, over = sa_lookup_batched(
-            d.blocks, d.primary, d.L2, d.seq_len, d.sa, d.sa_intv,
-            jnp.asarray(karr), max_steps=self.sa_max_steps)
-        vals = np.asarray(vals).copy()
-        over = np.asarray(over)
+        vals = np.empty(len(karr), dtype=np.int64)
+        over = np.empty(len(karr), dtype=bool)
+        for lo in range(0, len(karr), SA_SLICE):
+            sl = karr[lo:lo + SA_SLICE]
+            pad = np.zeros(SA_SLICE, dtype=np.int64)
+            pad[:len(sl)] = sl
+            v, o = sa_lookup_batched(
+                d.blocks, d.primary, d.L2, d.seq_len, d.sa, d.sa_intv,
+                jnp.asarray(pad), max_steps=self.sa_max_steps)
+            vals[lo:lo + len(sl)] = np.asarray(v)[:len(sl)]
+            over[lo:lo + len(sl)] = np.asarray(o)[:len(sl)]
         for idx in np.nonzero(over)[0]:  # host fallback
             vals[idx] = fm_host.sa_lookup(int(karr[idx]))
         for (i, p, slen, qb, n_occ, off) in layout:

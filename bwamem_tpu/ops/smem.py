@@ -56,9 +56,20 @@ def smem1_batched(blocks, primary, L2,
                   min_intv: jnp.ndarray,  # int64[B]
                   active: jnp.ndarray,   # bool[B]
                   L: int, M: int, M_OUT: int = 0):
+    """See _smem1_impl; M is the static interval-buffer width.  Lanes
+    whose interval lists outgrow M are flagged in the returned overflow
+    mask and must re-run on the host oracle (the reference's own
+    fixed-BRAM push_mem cap + CPU fallback, hardware/afu_core.v:5946-5969,
+    software/bwt.c:603-717)."""
+    return _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
+                       L, M, M_OUT)
+
+
+def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
+                L: int, M: int, M_OUT: int):
     """Batched smem1: collect SMEMs covering position x per lane.
 
-    Returns (ret, n_mem, m0, m1, ms, mqb, mqe):
+    Returns (ret, n_mem, m0, m1, ms, mqb, mqe, overflow):
       ret  int32[B]    — next iterator start (curr[0].info low bits)
       n_mem int32[B]   — number of SMEMs (0 for inactive/bad lanes)
       m0/m1/ms int64[B, M], mqb/mqe int32[B, M] — SMEM bi-intervals and
@@ -126,10 +137,11 @@ def smem1_batched(blocks, primary, L2,
           zbufs["cend"], jnp.zeros(B, i32), bad)
     st = lax.while_loop(fwd_cond, fwd_body, st)
     (_, _, _, _, _, c0, c1, cs, cend, n_curr, _) = st
+    overflow = n_curr > M
 
     # ret = info of last pushed interval (curr[0] after reversal,
     # software/bwt.c:803-805); bad lanes return x+1
-    last = jnp.maximum(n_curr - 1, 0)
+    last = jnp.clip(n_curr - 1, 0, M - 1)
     ret = jnp.where(n_curr > 0,
                     cend[jnp.arange(B), last], x + 1)
 
@@ -228,4 +240,4 @@ def smem1_batched(blocks, primary, L2,
     ms = jnp.where(valid, jnp.take_along_axis(ms, src, 1), 0)
     mqb = jnp.where(valid, jnp.take_along_axis(mqb, src, 1), 0)
     mqe = jnp.where(valid, jnp.take_along_axis(mqe, src, 1), 0)
-    return ret, n_mem, m0, m1, ms, mqb, mqe
+    return ret, n_mem, m0, m1, ms, mqb, mqe, overflow

@@ -50,7 +50,7 @@ def sharded_smem1(mesh: Mesh, dfm: DeviceFmIndex, L: int, M: int):
     fn = shard_map(
         step, mesh=mesh,
         in_specs=(rep, rep, rep, shr, shr, shr, shr, shr),
-        out_specs=(shr,) * 7,
+        out_specs=(shr,) * 8,
         check_vma=False)
 
     @jax.jit

@@ -35,3 +35,9 @@ def ref_index(data_dir):
     from bwamem_tpu.index import load_index
     fm, bns = load_index(os.path.join(data_dir, "genome.fa"))
     return fm, bns
+
+# smaller fixed lane count for tests: full-width (512) kernels take
+# minutes of XLA CPU compile on first run; shapes stay fixed so the
+# one-compile-per-kernel property is preserved
+os.environ.setdefault("BWAMEM_TPU_LANES", "64")
+os.environ.setdefault("BWAMEM_TPU_SA_SLICE", "4096")

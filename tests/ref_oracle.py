@@ -116,3 +116,96 @@ def ref_align2(lib, q, t, mat, o_del, e_del, o_ins, e_ins, xtra):
         len(q), bytes(q), len(t), bytes(t), 5, mat.astype('int8').tobytes(),
         o_del, e_del, o_ins, e_ins, xtra, out)
     return KswRC(*out)
+
+
+PEM_SHIM = r"""
+#include <stdint.h>
+#include <string.h>
+#include <stdlib.h>
+#include <ctype.h>
+#include "bwa.h"
+
+/* pemerge.c references these from bwa.c; provide equivalents here so we
+   don't have to compile bwa.c (which drags in the index + HARP glue). */
+unsigned char nst_nt4_table[256];
+__attribute__((constructor)) static void init_nt4(void) {
+    memset(nst_nt4_table, 4, 256);
+    nst_nt4_table['A'] = nst_nt4_table['a'] = 0;
+    nst_nt4_table['C'] = nst_nt4_table['c'] = 1;
+    nst_nt4_table['G'] = nst_nt4_table['g'] = 2;
+    nst_nt4_table['T'] = nst_nt4_table['t'] = 3;
+    nst_nt4_table['0'] = 0; nst_nt4_table['1'] = 1;
+    nst_nt4_table['2'] = 2; nst_nt4_table['3'] = 3;
+}
+/* stubs for main_pemerge's IO deps (never called through the shim) */
+bseq1_t *bseq_read(int chunk_size, int *n_, void *ks1_, void *ks2_) {
+    (void)chunk_size; (void)ks1_; (void)ks2_; *n_ = 0; return 0;
+}
+void bwa_fill_scmat(int a, int b, int8_t mat[25]) {
+    int i, j, k;
+    for (i = k = 0; i < 4; ++i) {
+        for (j = 0; j < 4; ++j) mat[k++] = i == j ? a : -b;
+        mat[k++] = -1;
+    }
+    for (j = 0; j < 5; ++j) mat[k++] = -1;
+}
+
+typedef struct { /* mirror of pem_opt_t (pemerge.c) */
+    int a, b, q, r, w;
+    int q_def, q_thres;
+    int T;
+    int chunk_size, n_threads, flag;
+    int8_t mat[25];
+} pem_opt_shim_t;
+extern void *pem_opt_init();
+extern int bwa_pemerge(const void *opt, bseq1_t x[2]);
+
+/* run one pair; returns the C error code; on success writes the merged
+   seq/qual (NUL-terminated) into out_seq/out_qual (caller buffers). */
+int shim_pemerge(int min_ovlp, const char *s1, const char *q1,
+                 const char *s2, const char *q2,
+                 char *out_seq, char *out_qual, int cap)
+{
+    pem_opt_shim_t *opt = (pem_opt_shim_t *)pem_opt_init();
+    bseq1_t x[2];
+    int ret;
+    opt->T = opt->a * min_ovlp;
+    memset(x, 0, sizeof(x));
+    x[0].name = strdup("r"); x[1].name = strdup("r");
+    x[0].seq = strdup(s1); x[0].l_seq = strlen(s1);
+    x[1].seq = strdup(s2); x[1].l_seq = strlen(s2);
+    x[0].qual = q1 && q1[0] ? strdup(q1) : 0;
+    x[1].qual = q2 && q2[0] ? strdup(q2) : 0;
+    ret = bwa_pemerge(opt, x);
+    out_seq[0] = out_qual[0] = 0;
+    if (ret == 0 && x[0].l_seq < cap) {
+        strcpy(out_seq, x[0].seq);
+        if (x[0].qual) strcpy(out_qual, x[0].qual);
+    }
+    free(opt);
+    return ret;
+}
+"""
+
+
+def build_pemerge():
+    if "pem" in _cache:
+        return _cache["pem"]
+    d = tempfile.mkdtemp(prefix="refpem")
+    lib = os.path.join(d, "libpem.so")
+    shim = os.path.join(d, "shim.c")
+    with open(shim, "w") as f:
+        f.write(PEM_SHIM)
+    srcs = [os.path.join(REF, f) for f in
+            ("pemerge.c", "ksw.c", "utils.c", "kstring.c",
+             "malloc_wrap.c")] + [shim]
+    subprocess.run(
+        ["gcc", "-shared", "-fPIC", "-O2", "-DUSE_MALLOC_WRAPPERS",
+         "-I", REF, "-o", lib] + srcs + ["-lz", "-lm", "-lpthread"],
+        check=True, capture_output=True)
+    L = ctypes.CDLL(lib)
+    L.shim_pemerge.restype = ctypes.c_int
+    L.shim_pemerge.argtypes = [ctypes.c_int] + [ctypes.c_char_p] * 4 + \
+        [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    _cache["pem"] = L
+    return L

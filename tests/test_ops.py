@@ -99,8 +99,9 @@ def test_smem1_batched_parity(ref_index, dfm, queries, which):
           "x50_mi5": np.minimum(qlen - 1, 50),
           "xlast": qlen - 1}[which]
     mi = np.full(len(qs), 5 if which == "x50_mi5" else 1)
-    ret, n_mem, m0, m1, ms, mqb, mqe = _run_smem_batch(
+    ret, n_mem, m0, m1, ms, mqb, mqe, over = _run_smem_batch(
         dfm, qs, xs, mi)
+    assert not over.any()
     for b, q in enumerate(qs):
         want_ret, want = smem1(fm, q, int(xs[b]), int(mi[b]))
         assert int(ret[b]) == want_ret
