@@ -1,9 +1,9 @@
 """Command-line interface: the bwa command mux (reference:
 software/top.c:63-118) rebuilt for the TPU-native engine.
 
-Implemented commands: index, mem, fastmap, fa2pac, pac2bwt, bwtupdate,
-bwt2sa.  The legacy 2008-era algorithms (aln/samse/sampe, bwasw,
-pemerge) are tracked in docs/PARITY.md and not yet implemented.
+Implemented commands: index, mem, fastmap, aln, samse, sampe, pemerge,
+fa2pac, pac2bwt, pac2bwtgen, bwtupdate, bwt2sa.  Remaining legacy
+commands (bwasw/bwtsw2) are tracked in docs/PARITY.md.
 """
 
 import math
@@ -24,6 +24,9 @@ Command: index         index sequences in the FASTA format
          mem           BWA-MEM algorithm
          fastmap       identify super-maximal exact matches
          pemerge       merge overlapping paired ends
+         aln           gapped/ungapped alignment
+         samse         generate alignment (single ended)
+         sampe         generate alignment (paired ended)
 
          fa2pac        convert FASTA to PAC format
          pac2bwt       generate BWT from PAC
@@ -387,6 +390,21 @@ def main_pemerge(argv):
     return _pm(argv)
 
 
+def main_aln(argv):
+    from .legacy.aln_cli import main_aln as _aln
+    return _aln(argv)
+
+
+def main_samse(argv):
+    from .legacy.samse import main_samse as _se
+    return _se(argv)
+
+
+def main_sampe(argv):
+    from .legacy.sampe import main_sampe as _pe
+    return _pe(argv)
+
+
 def main(argv=None):
     import time
     argv = list(sys.argv[1:] if argv is None else argv)
@@ -404,6 +422,9 @@ def main(argv=None):
         "bwtupdate": main_bwtupdate,
         "bwt2sa": main_bwt2sa,
         "pemerge": main_pemerge,
+        "aln": main_aln,
+        "samse": main_samse,
+        "sampe": main_sampe,
     }
     if cmd not in dispatch:
         sys.stderr.write(f"[main] unrecognized command '{cmd}'\n")

@@ -148,11 +148,12 @@ def _copy(a: MemAln) -> MemAln:
     return b
 
 
-def sam_header(bns, rg_line: Optional[str], pg_line: str) -> str:
+def sam_header(bns, rg_line: Optional[str], pg_line: Optional[str]) -> str:
     lines = []
     for ann in bns.anns:
         lines.append(f"@SQ\tSN:{ann.name}\tLN:{ann.length}\n")
     if rg_line:
         lines.append(rg_line + "\n")
-    lines.append(pg_line + "\n")
+    if pg_line:
+        lines.append(pg_line + "\n")
     return "".join(lines)

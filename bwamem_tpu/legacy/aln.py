@@ -401,17 +401,18 @@ def cal_sa_reg_gap(fm, reads, opt: GapOpt) -> List[List[Aln1]]:
                              local.max_gape + 1)
     out = []
     for p in reads:
-        w = cal_width(fm, p.len, p.seq)
+        rev = p.seq_rev
+        w = cal_width(fm, p.len, rev)
         if opt.fnr > 0.0:
             local.max_diff = cal_maxdiff(p.len, BWA_AVG_ERR, opt.fnr)
         local.seed_len = opt.seed_len if opt.seed_len < p.len else 0x7FFFFFFF
         seed_w = None
         if p.len > opt.seed_len:
             seed_w = cal_width(fm, opt.seed_len,
-                               p.seq[p.len - opt.seed_len:])
-        # complement in place: the search string is the read's reverse
-        # complement (software/bwtaln.c:117-118)
-        rc = np.where(p.seq > 3, 4, 3 - p.seq).astype(np.uint8)
+                               rev[p.len - opt.seed_len:])
+        # the search string is the complement of the reversed read,
+        # i.e. the reverse complement (software/bwtaln.c:117-118)
+        rc = np.where(rev > 3, 4, 3 - rev).astype(np.uint8)
         out.append(match_gap(fm, p.len, rc, w, seed_w, local,
                              stack_scores))
     return out

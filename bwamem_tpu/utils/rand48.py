@@ -19,3 +19,9 @@ class Rand48:
     def lrand48(self) -> int:
         self._x = (_A * self._x + _C) & _M48
         return self._x >> 17  # non-negative 31-bit result
+
+    def drand48(self) -> float:
+        """glibc drand48: the full 48-bit state scaled to [0, 1)
+        (bwa-aln samples hits with it, software/bwase.c:36-40)."""
+        self._x = (_A * self._x + _C) & _M48
+        return self._x / float(1 << 48)
