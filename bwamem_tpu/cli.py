@@ -1,9 +1,10 @@
 """Command-line interface: the bwa command mux (reference:
 software/top.c:63-118) rebuilt for the TPU-native engine.
 
-Implemented commands: index, mem, fastmap, aln, samse, sampe, pemerge,
-fa2pac, pac2bwt, pac2bwtgen, bwtupdate, bwt2sa.  Remaining legacy
-commands (bwasw/bwtsw2) are tracked in docs/PARITY.md.
+Implemented commands: index, mem, fastmap, aln, samse, sampe, bwasw
+(+ bwtsw2/dbwtsw aliases), pemerge, fa2pac, pac2bwt, pac2bwtgen,
+bwtupdate, bwt2sa — the reference's complete command set
+(software/top.c:88-106); see docs/PARITY.md.
 """
 
 import math
@@ -27,6 +28,7 @@ Command: index         index sequences in the FASTA format
          aln           gapped/ungapped alignment
          samse         generate alignment (single ended)
          sampe         generate alignment (paired ended)
+         bwasw         BWA-SW for long queries
 
          fa2pac        convert FASTA to PAC format
          pac2bwt       generate BWT from PAC
@@ -405,6 +407,11 @@ def main_sampe(argv):
     return _pe(argv)
 
 
+def main_bwasw(argv):
+    from .legacy.bwasw import main_bwasw as _sw
+    return _sw(argv)
+
+
 def main(argv=None):
     import time
     argv = list(sys.argv[1:] if argv is None else argv)
@@ -425,6 +432,9 @@ def main(argv=None):
         "aln": main_aln,
         "samse": main_samse,
         "sampe": main_sampe,
+        "bwasw": main_bwasw,
+        "bwtsw2": main_bwasw,
+        "dbwtsw": main_bwasw,
     }
     if cmd not in dispatch:
         sys.stderr.write(f"[main] unrecognized command '{cmd}'\n")

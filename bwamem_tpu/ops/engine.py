@@ -169,13 +169,13 @@ class JaxSeedingEngine:
                 tb[bi, :len(rs)] = rs
                 qlen[bi], tlen[bi] = len(qs), len(rs)
                 wv[bi], ebv[bi], h0v[bi] = w, pen, h0
-            res = ksw_extend2_batched(
+            import jax
+            res = jax.device_get(ksw_extend2_batched(
                 jnp.asarray(qb), jnp.asarray(tb), jnp.asarray(qlen),
                 jnp.asarray(tlen), self._mat_i32(opt),
                 opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
                 jnp.asarray(wv), jnp.asarray(ebv), opt.zdrop,
-                jnp.asarray(h0v), LQ=LQ, LT=LT)
-            res = [np.asarray(r) for r in res]
+                jnp.asarray(h0v), LQ=LQ, LT=LT))
             for bi, i in enumerate(grp):
                 outs[i] = tuple(int(r[bi]) for r in res)
         return outs
@@ -208,13 +208,13 @@ class JaxSeedingEngine:
                 tb[bi, :len(rs)] = rs
                 qlen[bi], tlen[bi] = len(qs), len(rs)
                 wv[bi] = w
-            score, ops, n_ops, ri, rk = ksw_global2_batched(
-                jnp.asarray(qb), jnp.asarray(tb), jnp.asarray(qlen),
-                jnp.asarray(tlen), self._mat_i32(opt),
-                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-                jnp.asarray(wv), LQ=LQ, LT=LT)
-            score, ops, n_ops, ri, rk = map(
-                np.asarray, (score, ops, n_ops, ri, rk))
+            import jax
+            score, ops, n_ops, ri, rk = jax.device_get(
+                ksw_global2_batched(
+                    jnp.asarray(qb), jnp.asarray(tb), jnp.asarray(qlen),
+                    jnp.asarray(tlen), self._mat_i32(opt),
+                    opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                    jnp.asarray(wv), LQ=LQ, LT=LT))
             for bi, i in enumerate(grp):
                 outs[i] = (int(score[bi]),
                            cigar_from_traceback(ops[bi], int(n_ops[bi]),

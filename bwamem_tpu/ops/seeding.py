@@ -57,17 +57,18 @@ class BatchedSeeder:
 
     def _dispatch(self, qpad, qlen, x, min_intv, active):
         d = self.dfm
-        ret, n_mem, m0, m1, ms, mqb, mqe, over = smem1_batched(
+        import jax
+        out = smem1_batched(
             d.blocks, d.primary, d.L2,
             jnp.asarray(qpad), jnp.asarray(qlen), jnp.asarray(x),
             jnp.asarray(min_intv), jnp.asarray(active),
             L=self.L, M=self.M, M_OUT=self.m_out)
+        # one synchronizing transfer for the whole tuple
+        ret, n_mem, m0, m1, ms, mqb, mqe, over = jax.device_get(out)
         # merge buffer overflow into the per-lane SMEM count so one
         # check (k > m_out) routes the lane to the host oracle
-        n_mem = np.where(np.asarray(over), self.M + 1, np.asarray(n_mem))
-        return (np.asarray(ret), n_mem, np.asarray(m0),
-                np.asarray(m1), np.asarray(ms), np.asarray(mqb),
-                np.asarray(mqe))
+        n_mem = np.where(over, self.M + 1, n_mem)
+        return ret, n_mem, m0, m1, ms, mqb, mqe
 
     def interval_streams(self, opt, queries: Sequence[np.ndarray]
                          ) -> List[List[Intv]]:
@@ -94,8 +95,8 @@ class BatchedSeeder:
 
         from ..config import MEM_F_NO_EXACT
         start_width = 2 if (opt.flag & MEM_F_NO_EXACT) else 1
-        split_widths = np.zeros(n, dtype=np.int64)
-        split_lens = np.zeros(n, dtype=np.int32)
+        split_widths = np.zeros(B, dtype=np.int64)
+        split_lens = np.zeros(B, dtype=np.int64)
         for i, q in enumerate(queries):
             sl = int(opt.min_seed_len * opt.split_factor + .499)
             split_lens[i] = min(sl, len(q))
@@ -106,6 +107,9 @@ class BatchedSeeder:
         exhausted[n:] = True
         out: List[List[Intv]] = [[] for _ in range(n)]
 
+        import jax
+        from .smem import smem_iter_step
+        d = self.dfm
         while not exhausted.all():
             # skip ambiguous bases (software/bwamem.c:258-259)
             for i in np.nonzero(~exhausted)[0]:
@@ -121,52 +125,76 @@ class BatchedSeeder:
                 break
             x = np.where(active, start, 0).astype(np.int32)
             mi = np.full(B, start_width, dtype=np.int64)
-            ret, n_mem, m0, m1, ms, mqb, mqe = self._dispatch(
-                qpad, qlen, x, mi, active)
+            res = jax.device_get(smem_iter_step(
+                d.blocks, d.primary, d.L2,
+                jnp.asarray(qpad), jnp.asarray(qlen), jnp.asarray(x),
+                jnp.asarray(mi), jnp.asarray(active),
+                jnp.asarray(split_lens), jnp.asarray(split_widths),
+                L=self.L, M=self.M, M_OUT=self.m_out))
+            (ret, n_mem, m0, m1, ms, mqb, mqe, over1, need2,
+             _r2, n2, s0, s1, ss, sqb, sqe, over2) = res
+            n_mem = np.where(over1, self.M + 1, n_mem)
+            n2 = np.where(over2, self.M + 1, n2)
             ori_start = start.copy()
             start = np.where(active, ret, start).astype(np.int32)
 
-            # extract pass-1 matches (with overflow fallback), then the
-            # split decision per lane (software/bwamem.c:185-204)
-            lane_matches = {}
-            need2 = np.zeros(B, dtype=bool)
-            x2 = np.zeros(B, dtype=np.int32)
-            mi2 = np.ones(B, dtype=np.int64)
-            max_lens = np.zeros(B, dtype=np.int64)
             for i in np.nonzero(active)[0]:
-                matches, oret = self._lane_matches(
-                    n_mem, m0, m1, ms, mqb, mqe, i,
-                    queries[i], int(ori_start[i]), int(mi[i]))
-                if oret is not None:  # host fallback recomputed the lane
+                if int(n_mem[i]) > self.m_out:
+                    # host fallback: the whole iterator step via oracle
+                    oret, matches = self._oracle_step(
+                        opt, queries[i], int(ori_start[i]), start_width,
+                        int(split_lens[i]), int(split_widths[i]))
                     start[i] = oret
-                lane_matches[i] = matches
-                if not matches:
+                    out[i].extend(matches)
                     continue
-                best_len, best = 0, 0
-                for j, p in enumerate(matches):
-                    ln = (p[3] & 0xFFFFFFFF) - (p[3] >> 32)
-                    if best_len < ln:
-                        best_len, best = ln, j
-                max_lens[i] = best_len
-                pm = matches[best]
-                if (split_lens[i] > 0 and best_len >= split_lens[i]
-                        and pm[2] <= split_widths[i]):
-                    need2[i] = True
-                    x2[i] = ((pm[3] >> 32) + (pm[3] & 0xFFFFFFFF)) >> 1
-                    mi2[i] = pm[2] + 1
-            if need2.any():
-                (_r2, n2, s0, s1, ss, sqb, sqe) = self._dispatch(
-                    qpad, qlen, x2, mi2, need2)
-            for i in np.nonzero(active)[0]:
-                matches = lane_matches[i]
-                if need2[i]:
-                    sub, _ = self._lane_matches(
-                        n2, s0, s1, ss, sqb, sqe, i,
-                        queries[i], int(x2[i]), int(mi2[i]))
-                    matches = _merge(matches, sub, int(max_lens[i]),
+                matches = [(int(m0[i, j]), int(m1[i, j]), int(ms[i, j]),
+                            (int(mqb[i, j]) << 32) | int(mqe[i, j]))
+                           for j in range(int(n_mem[i]))]
+                if need2[i] and matches:
+                    best_len, best = 0, 0
+                    for j, p in enumerate(matches):
+                        ln = (p[3] & 0xFFFFFFFF) - (p[3] >> 32)
+                        if best_len < ln:
+                            best_len, best = ln, j
+                    pm = matches[best]
+                    if int(n2[i]) > self.m_out:  # pass-2 overflow
+                        from ..oracle.smem import smem1
+                        _, sub = smem1(
+                            self.fm_host, queries[i],
+                            ((pm[3] >> 32) + (pm[3] & 0xFFFFFFFF)) >> 1,
+                            pm[2] + 1)
+                    else:
+                        sub = [(int(s0[i, j]), int(s1[i, j]),
+                                int(ss[i, j]),
+                                (int(sqb[i, j]) << 32) | int(sqe[i, j]))
+                               for j in range(int(n2[i]))]
+                    matches = _merge(matches, sub, best_len,
                                      int(ori_start[i]), int(qlen[i]))
                 out[i].extend(matches)
         return out
+
+    def _oracle_step(self, opt, query, x: int, start_width: int,
+                     split_len: int, split_width: int):
+        """One full iterator step on the host oracle (pass1 + split +
+        pass2 + merge) for lanes that overflowed the device buffers."""
+        from ..oracle.smem import smem1
+        assert self.fm_host is not None, "overflow without host oracle"
+        oret, matches = smem1(self.fm_host, query, x, start_width)
+        if not matches:
+            return oret, matches
+        best_len, best = 0, 0
+        for j, p in enumerate(matches):
+            ln = (p[3] & 0xFFFFFFFF) - (p[3] >> 32)
+            if best_len < ln:
+                best_len, best = ln, j
+        pm = matches[best]
+        if (split_len > 0 and best_len >= split_len
+                and pm[2] <= split_width):
+            _, sub = smem1(self.fm_host, query,
+                           ((pm[3] >> 32) + (pm[3] & 0xFFFFFFFF)) >> 1,
+                           pm[2] + 1)
+            matches = _merge(matches, sub, best_len, x, len(query))
+        return oret, matches
 
     def _lane_matches(self, n_mem, m0, m1, ms, mqb, mqe, i,
                       query, x: int, min_intv: int) -> List[Intv]:
@@ -209,11 +237,12 @@ class BatchedSeeder:
             sl = karr[lo:lo + SA_SLICE]
             pad = np.zeros(SA_SLICE, dtype=np.int64)
             pad[:len(sl)] = sl
-            v, o = sa_lookup_batched(
+            import jax
+            v, o = jax.device_get(sa_lookup_batched(
                 d.blocks, d.primary, d.L2, d.seq_len, d.sa, d.sa_intv,
-                jnp.asarray(pad), max_steps=self.sa_max_steps)
-            vals[lo:lo + len(sl)] = np.asarray(v)[:len(sl)]
-            over[lo:lo + len(sl)] = np.asarray(o)[:len(sl)]
+                jnp.asarray(pad), max_steps=self.sa_max_steps))
+            vals[lo:lo + len(sl)] = v[:len(sl)]
+            over[lo:lo + len(sl)] = o[:len(sl)]
         for idx in np.nonzero(over)[0]:  # host fallback
             vals[idx] = fm_host.sa_lookup(int(karr[idx]))
         for (i, p, slen, qb, n_occ, off) in layout:

@@ -49,6 +49,51 @@ def _prev_valid_value(vals: jnp.ndarray, valid: jnp.ndarray, fill
 
 
 @partial(jax.jit, static_argnames=("L", "M", "M_OUT"))
+def smem_iter_step(blocks, primary, L2,
+                   q, qlen, x, min_intv, active,
+                   split_len, split_width,
+                   L: int, M: int, M_OUT: int):
+    """One fused iterator step: the main smem1 pass plus, for lanes
+    whose longest SMEM trips the re-seeding test
+    (software/bwamem.c:185-204), the second smem1 pass from the middle
+    of that SMEM with min_intv = occ+1 — one device dispatch instead of
+    two (the reference pays one FPGA round trip per pass; the TPU pays
+    per dispatch, so fusing halves the seeding round trips).
+
+    Returns (pass1 outputs..., need2, pass2 outputs...)."""
+    r1 = _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
+                     L, M, 0)
+    ret, n_mem, m0, m1, ms, mqb, mqe, over = r1
+    lens = (mqe - mqb).astype(jnp.int64)
+    jj = jnp.arange(M, dtype=jnp.int32)[None, :]
+    validm = jj < n_mem[:, None]
+    lens = jnp.where(validm, lens, -1)
+    best = jnp.argmax(lens, axis=1)
+    bar = jnp.arange(q.shape[0])
+    best_len = lens[bar, best]
+    bs = ms[bar, best]
+    bqb = mqb[bar, best]
+    bqe = mqe[bar, best]
+    need2 = (active & (n_mem > 0) & (split_len > 0)
+             & (best_len >= split_len) & (bs <= split_width) & ~over)
+    x2 = ((bqb + bqe) >> 1).astype(jnp.int32)
+    mi2 = bs + 1
+    r2 = _smem1_impl(blocks, primary, L2, q, qlen,
+                     jnp.where(need2, x2, 0),
+                     jnp.where(need2, mi2, 1), need2, L, M, M_OUT)
+    return (_truncate(r1, M, M_OUT) + (need2,) + r2)
+
+
+def _truncate(r, M: int, M_OUT: int):
+    """Apply the M_OUT column truncation to a full-width result."""
+    ret, n_mem, m0, m1, ms, mqb, mqe, over = r
+    if M_OUT <= 0 or M_OUT >= M:
+        return r
+    return (ret, n_mem, m0[:, :M_OUT], m1[:, :M_OUT], ms[:, :M_OUT],
+            mqb[:, :M_OUT], mqe[:, :M_OUT], over)
+
+
+@partial(jax.jit, static_argnames=("L", "M", "M_OUT"))
 def smem1_batched(blocks, primary, L2,
                   q: jnp.ndarray,        # int32[B, L] nt4, pad 4
                   qlen: jnp.ndarray,     # int32[B]
