@@ -166,3 +166,23 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_pallas_occ4_interpret_parity(ref_index, dfm):
+    """The Pallas occ-gather kernel (interpret mode on CPU) must match
+    the XLA occ4 path exactly."""
+    import bwamem_tpu.ops.pallas_occ as po
+    fm, _ = ref_index
+    wide = po.wide_blocks(dfm.blocks)
+    rng = np.random.default_rng(7)
+    ks = jnp.asarray(np.concatenate(
+        [[-1, 0, fm.seq_len - 1], rng.integers(0, fm.seq_len, 61)]
+    ).astype(np.int64))
+    a = dfm_mod.occ4(dfm.blocks, dfm.primary, ks)
+    orig = po.gather_rows_pallas
+    po.gather_rows_pallas = lambda b, blk: orig(b, blk, interpret=True)
+    try:
+        b = po.occ4_via_pallas(wide, dfm.primary, ks)
+    finally:
+        po.gather_rows_pallas = orig
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
