@@ -13,6 +13,10 @@ import os
 import sys
 import time
 
+# one wide dispatch slice: the whole bench workload fits one lane group,
+# minimizing device round trips (shapes stay fixed -> one compile each)
+os.environ.setdefault("BWAMEM_TPU_LANES", "2048")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_READS_PER_S = 1199.0  # 512 reads / 0.427 s, 4 CPU threads

@@ -239,6 +239,12 @@ def main_mem(argv):
         n_processed += len(reads)
         for r in reads:
             out.write(r.sam)
+    if engine is not None and verbose >= 3:
+        # the reference manager's shutdown line
+        # ("total kernel time", software/fastmap.c:427)
+        sys.stderr.write("[M::main_mem] total device kernel time %fs over"
+                         " %d dispatches\n" % (engine.kernel_time,
+                                               engine.n_dispatches))
     return 0
 
 

@@ -26,9 +26,19 @@ class Read:
 
 
 def _open(path: str):
+    """xzopen/kopen semantics (software/kopen.c): '-' is stdin,
+    http:// and ftp:// URLs stream over the network, .gz is transparent."""
     if path == "-":
         import sys
         return sys.stdin
+    if path.startswith(("http://", "ftp://")):
+        import io as _io
+        import urllib.request
+        raw = urllib.request.urlopen(path)
+        buf = _io.BufferedReader(raw)
+        if buf.peek(2)[:2] == b"\x1f\x8b":
+            return _io.TextIOWrapper(gzip.GzipFile(fileobj=buf))
+        return _io.TextIOWrapper(buf)
     if path.endswith(".gz"):
         return gzip.open(path, "rt")
     return open(path, "rt")

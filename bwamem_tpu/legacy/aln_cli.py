@@ -7,8 +7,10 @@ import time
 
 from .aln import (GapOpt, cal_maxdiff, cal_sa_reg_gap, BWA_AVG_ERR,
                   BWA_MODE_GAPE, BWA_MODE_LOGGAP, BWA_MODE_NONSTOP,
-                  BWA_MODE_CFY, BWA_MODE_IL13, SAI_MAGIC, BWA_MIN_RDLEN)
-from .seqio import read_seqs
+                  BWA_MODE_CFY, BWA_MODE_IL13, BWA_MODE_BAM,
+                  BWA_MODE_BAM_SE, BWA_MODE_BAM_READ1, BWA_MODE_BAM_READ2,
+                  SAI_MAGIC, BWA_MIN_RDLEN)
+from .seqio import open_reads
 
 
 def main_aln(argv) -> int:
@@ -69,10 +71,14 @@ def main_aln(argv) -> int:
             opt.mode |= BWA_MODE_CFY
         elif c == "B":
             opt.mode |= int(v) << 24
-        elif c in ("b", "0", "1", "2"):
-            sys.stderr.write("[bwa_aln] BAM input is not supported by this"
-                             " implementation\n")
-            return 1
+        elif c == "b":
+            opt.mode |= BWA_MODE_BAM
+        elif c == "0":
+            opt.mode |= BWA_MODE_BAM_SE
+        elif c == "1":
+            opt.mode |= BWA_MODE_BAM_READ1
+        elif c == "2":
+            opt.mode |= BWA_MODE_BAM_READ2
     if opte > 0:
         opt.max_gape = opte
         opt.mode &= ~BWA_MODE_GAPE
@@ -90,16 +96,15 @@ def main_aln(argv) -> int:
             k = l
 
     from ..index.fmindex import FmIndex
-    from ..io.fastq import parse_fastx
     fm = FmIndex.restore(args[0] + ".bwt")
 
     out = open(out_path, "wb") if out_path else sys.stdout.buffer
     out.write(SAI_MAGIC)
     out.write(opt.pack())
-    it = parse_fastx(args[1])
+    reader = open_reads(args[1], opt.mode)
     tot = 0
     while True:
-        reads = read_seqs(it, 0x40000, opt.mode, opt.trim_qual)
+        reads = reader(0x40000, opt.trim_qual)
         if not reads:
             break
         tot += len(reads)

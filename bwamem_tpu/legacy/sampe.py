@@ -513,7 +513,6 @@ def cal_pac_pos_pe(bns, fm, reads, states, fps, ii_out: IsizeInfo,
 
 def main_sampe(argv) -> int:
     import getopt as _getopt
-    from ..io.fastq import parse_fastx
     from ..index.bntseq import bns_restore
     from ..index.fmindex import FmIndex
     from ..core.sam import sam_header
@@ -562,14 +561,16 @@ def main_sampe(argv) -> int:
     opt1 = read_sai_header(fps[1])
     out = open(out_path, "w") if out_path else sys.stdout
     out.write(sam_header(bns, rg_line, None))
-    its = [parse_fastx(args[3]), parse_fastx(args[4])]
+    from .seqio import open_reads
+    readers = [open_reads(args[3], opt0.mode),
+               open_reads(args[4], opt1.mode)]
     last_ii = IsizeInfo()
     tot = 0
     while True:
-        reads0 = read_seqs(its[0], 0x40000, opt0.mode, opt0.trim_qual)
+        reads0 = readers[0](0x40000, opt0.trim_qual)
         if not reads0:
             break
-        reads1 = read_seqs(its[1], 0x40000, opt1.mode, opt1.trim_qual)
+        reads1 = readers[1](0x40000, opt1.trim_qual)
         tot += len(reads0)
         reads = [reads0, reads1]
         states = [[AlnState() for _ in reads0],

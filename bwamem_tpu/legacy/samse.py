@@ -487,7 +487,6 @@ def read_sai_records(fp) -> List[Aln1]:
 
 def main_samse(argv) -> int:
     import getopt as _getopt
-    from ..io.fastq import parse_fastx
     from ..index.bntseq import bns_restore
     from ..index.fmindex import FmIndex
     from ..core.sam import sam_header
@@ -521,10 +520,11 @@ def main_samse(argv) -> int:
     fp_sa = open(fn_sa, "rb")
     opt = read_sai_header(fp_sa)
     out.write(sam_header(bns, rg_line, None))
-    it = parse_fastx(fn_fa)
+    from .seqio import open_reads
+    reader = open_reads(fn_fa, opt.mode)
     tot = 0
     while True:
-        reads = read_seqs(it, 0x40000, opt.mode, opt.trim_qual)
+        reads = reader(0x40000, opt.trim_qual)
         if not reads:
             break
         tot += len(reads)

@@ -14,7 +14,8 @@ from typing import List, Optional
 import numpy as np
 
 from ..index.bntseq import NT4_TABLE
-from .aln import BWA_MODE_CFY, BWA_MODE_IL13, BWA_MIN_RDLEN
+from .aln import (BWA_MODE_CFY, BWA_MODE_IL13, BWA_MIN_RDLEN, BWA_MODE_BAM,
+                  BWA_MODE_BAM_SE, BWA_MODE_BAM_READ1, BWA_MODE_BAM_READ2)
 
 BARCODE_LOW_QUAL = 13
 
@@ -104,3 +105,24 @@ def read_seqs(parser_iter, n_needed: int, mode: int, trim_qual: int
         if len(out) == n_needed:
             break
     return out
+
+
+def open_reads(path: str, mode: int):
+    """bwa_open_reads (software/bwtaln.c:152-161): returns a chunked
+    reader callable(n_needed, trim_qual) honoring the BAM mode bits."""
+    if mode & BWA_MODE_BAM:
+        from .bamlite import read_bam_records, read_bam_seqs
+        which = 0
+        if mode & BWA_MODE_BAM_SE:
+            which |= 4
+        if mode & BWA_MODE_BAM_READ1:
+            which |= 1
+        if mode & BWA_MODE_BAM_READ2:
+            which |= 2
+        if which == 0:
+            which = 7
+        it = read_bam_records(path)
+        return lambda n, tq: read_bam_seqs(it, n, which, tq)
+    from ..io.fastq import parse_fastx
+    it = parse_fastx(path)
+    return lambda n, tq: read_seqs(it, n, mode, tq)

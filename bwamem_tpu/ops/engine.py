@@ -31,12 +31,16 @@ class JaxSeedingEngine:
         self.dfm = DeviceFmIndex.from_host(fm_host)
         self.seeder = BatchedSeeder(self.dfm, max_len=max_len,
                                     sa_max_steps=sa_max_steps,
-                                    fm_host=fm_host)
+                                    fm_host=fm_host, timer=self)
         self.max_len = max_len
         self._ext_lq = ext_lq
         self._ext_lt = ext_lt
         self._glo_lq = ext_lq
         self._glo_lt = ext_lq + 32  # target within band of query length
+        # device-time accounting: the analog of the reference manager's
+        # afu_time counter (software/fastmap.c:322,388,427)
+        self.kernel_time = 0.0
+        self.n_dispatches = 0
 
     def chain_batch(self, opt, reads) -> List[list]:
         """Batched replacement for per-read mem_chain
@@ -137,6 +141,14 @@ class JaxSeedingEngine:
                     results[i] = e.value
         return results
 
+    def _timed(self, fn, *args, **kw):
+        import time
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        self.kernel_time += time.perf_counter() - t0
+        self.n_dispatches += 1
+        return out
+
     def _extend_wave(self, opt, reqs):
         """One batched ksw_extend2 dispatch over a wave of requests
         ("extend2", qs, rs, w, end_bonus, h0).  Oversized lanes fall
@@ -170,12 +182,12 @@ class JaxSeedingEngine:
                 qlen[bi], tlen[bi] = len(qs), len(rs)
                 wv[bi], ebv[bi], h0v[bi] = w, pen, h0
             import jax
-            res = jax.device_get(ksw_extend2_batched(
+            res = self._timed(lambda: jax.device_get(ksw_extend2_batched(
                 jnp.asarray(qb), jnp.asarray(tb), jnp.asarray(qlen),
                 jnp.asarray(tlen), self._mat_i32(opt),
                 opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
                 jnp.asarray(wv), jnp.asarray(ebv), opt.zdrop,
-                jnp.asarray(h0v), LQ=LQ, LT=LT))
+                jnp.asarray(h0v), LQ=LQ, LT=LT)))
             for bi, i in enumerate(grp):
                 outs[i] = tuple(int(r[bi]) for r in res)
         return outs
@@ -209,12 +221,12 @@ class JaxSeedingEngine:
                 qlen[bi], tlen[bi] = len(qs), len(rs)
                 wv[bi] = w
             import jax
-            score, ops, n_ops, ri, rk = jax.device_get(
-                ksw_global2_batched(
+            score, ops, n_ops, ri, rk = self._timed(
+                lambda: jax.device_get(ksw_global2_batched(
                     jnp.asarray(qb), jnp.asarray(tb), jnp.asarray(qlen),
                     jnp.asarray(tlen), self._mat_i32(opt),
                     opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-                    jnp.asarray(wv), LQ=LQ, LT=LT))
+                    jnp.asarray(wv), LQ=LQ, LT=LT)))
             for bi, i in enumerate(grp):
                 outs[i] = (int(score[bi]),
                            cigar_from_traceback(ops[bi], int(n_ops[bi]),

@@ -44,7 +44,8 @@ class BatchedSeeder:
     SmemIterator would produce — computed by batched device kernels."""
 
     def __init__(self, dfm: DeviceFmIndex, max_len: int = 128,
-                 sa_max_steps: int = 128, fm_host=None, m_out: int = 32):
+                 sa_max_steps: int = 128, fm_host=None, m_out: int = 32,
+                 timer=None):
         self.dfm = dfm
         self.L = int(max_len)
         # interval-buffer width: typical prev/mem lists are short; lanes
@@ -54,6 +55,7 @@ class BatchedSeeder:
         self.m_out = min(int(m_out), self.M)
         self.sa_max_steps = int(sa_max_steps)
         self.fm_host = fm_host  # host oracle for overflow fallback
+        self.timer = timer      # engine's kernel-time accounting
 
     def _dispatch(self, qpad, qlen, x, min_intv, active):
         d = self.dfm
@@ -125,12 +127,13 @@ class BatchedSeeder:
                 break
             x = np.where(active, start, 0).astype(np.int32)
             mi = np.full(B, start_width, dtype=np.int64)
-            res = jax.device_get(smem_iter_step(
+            step = lambda: jax.device_get(smem_iter_step(
                 d.blocks, d.primary, d.L2,
                 jnp.asarray(qpad), jnp.asarray(qlen), jnp.asarray(x),
                 jnp.asarray(mi), jnp.asarray(active),
                 jnp.asarray(split_lens), jnp.asarray(split_widths),
                 L=self.L, M=self.M, M_OUT=self.m_out))
+            res = self.timer._timed(step) if self.timer else step()
             (ret, n_mem, m0, m1, ms, mqb, mqe, over1, need2,
              _r2, n2, s0, s1, ss, sqb, sqe, over2) = res
             n_mem = np.where(over1, self.M + 1, n_mem)
@@ -238,9 +241,10 @@ class BatchedSeeder:
             pad = np.zeros(SA_SLICE, dtype=np.int64)
             pad[:len(sl)] = sl
             import jax
-            v, o = jax.device_get(sa_lookup_batched(
+            fn = lambda: jax.device_get(sa_lookup_batched(
                 d.blocks, d.primary, d.L2, d.seq_len, d.sa, d.sa_intv,
                 jnp.asarray(pad), max_steps=self.sa_max_steps))
+            v, o = self.timer._timed(fn) if self.timer else fn()
             vals[lo:lo + len(sl)] = v[:len(sl)]
             over[lo:lo + len(sl)] = o[:len(sl)]
         for idx in np.nonzero(over)[0]:  # host fallback
