@@ -21,7 +21,7 @@ from .seeding import BatchedSeeder
 
 # fixed wave width: one compiled shape per kernel (see ops.seeding.LANES)
 import os as _os
-WAVE = int(_os.environ.get("BWAMEM_TPU_LANES", "512"))
+WAVE = int(_os.environ.get("BWAMEM_TPU_WAVE", "512"))
 
 
 class JaxSeedingEngine:

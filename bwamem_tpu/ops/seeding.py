@@ -25,7 +25,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from .fm import DeviceFmIndex, sa_lookup_batched
-from .smem import smem1_batched
 
 Intv = Tuple[int, int, int, int]  # (x0, x1, s, info=qb<<32|qe)
 
@@ -44,7 +43,7 @@ class BatchedSeeder:
     SmemIterator would produce — computed by batched device kernels."""
 
     def __init__(self, dfm: DeviceFmIndex, max_len: int = 128,
-                 sa_max_steps: int = 128, fm_host=None, m_out: int = 32,
+                 sa_max_steps: int = 128, fm_host=None, m_out: int = 16,
                  timer=None):
         self.dfm = dfm
         self.L = int(max_len)
@@ -56,21 +55,6 @@ class BatchedSeeder:
         self.sa_max_steps = int(sa_max_steps)
         self.fm_host = fm_host  # host oracle for overflow fallback
         self.timer = timer      # engine's kernel-time accounting
-
-    def _dispatch(self, qpad, qlen, x, min_intv, active):
-        d = self.dfm
-        import jax
-        out = smem1_batched(
-            d.blocks, d.primary, d.L2,
-            jnp.asarray(qpad), jnp.asarray(qlen), jnp.asarray(x),
-            jnp.asarray(min_intv), jnp.asarray(active),
-            L=self.L, M=self.M, M_OUT=self.m_out)
-        # one synchronizing transfer for the whole tuple
-        ret, n_mem, m0, m1, ms, mqb, mqe, over = jax.device_get(out)
-        # merge buffer overflow into the per-lane SMEM count so one
-        # check (k > m_out) routes the lane to the host oracle
-        n_mem = np.where(over, self.M + 1, n_mem)
-        return ret, n_mem, m0, m1, ms, mqb, mqe
 
     def interval_streams(self, opt, queries: Sequence[np.ndarray]
                          ) -> List[List[Intv]]:
@@ -112,6 +96,13 @@ class BatchedSeeder:
         import jax
         from .smem import smem_iter_step
         d = self.dfm
+        # upload loop-invariant arrays once (the query buffer alone is
+        # ~1 MB per slice; re-uploading it every iterator step doubles
+        # the per-dispatch transfer volume)
+        qpad_d = jnp.asarray(qpad)
+        qlen_d = jnp.asarray(qlen)
+        slens_d = jnp.asarray(split_lens)
+        swid_d = jnp.asarray(split_widths)
         while not exhausted.all():
             # skip ambiguous bases (software/bwamem.c:258-259)
             for i in np.nonzero(~exhausted)[0]:
@@ -129,9 +120,9 @@ class BatchedSeeder:
             mi = np.full(B, start_width, dtype=np.int64)
             step = lambda: jax.device_get(smem_iter_step(
                 d.blocks, d.primary, d.L2,
-                jnp.asarray(qpad), jnp.asarray(qlen), jnp.asarray(x),
+                qpad_d, qlen_d, jnp.asarray(x),
                 jnp.asarray(mi), jnp.asarray(active),
-                jnp.asarray(split_lens), jnp.asarray(split_widths),
+                slens_d, swid_d,
                 L=self.L, M=self.M, M_OUT=self.m_out))
             res = self.timer._timed(step) if self.timer else step()
             (ret, n_mem, m0, m1, ms, mqb, mqe, over1, need2,
@@ -198,21 +189,6 @@ class BatchedSeeder:
                            pm[2] + 1)
             matches = _merge(matches, sub, best_len, x, len(query))
         return oret, matches
-
-    def _lane_matches(self, n_mem, m0, m1, ms, mqb, mqe, i,
-                      query, x: int, min_intv: int) -> List[Intv]:
-        """Extract one lane's interval list; lanes whose SMEM count
-        exceeded the truncated output width re-run on the host oracle
-        (the reference's HW-caps/CPU-fallback, software/bwt.c:603-717)."""
-        k = int(n_mem[i])
-        if k > self.m_out:
-            from ..oracle.smem import smem1
-            assert self.fm_host is not None, "overflow without host oracle"
-            oret, matches = smem1(self.fm_host, query, x, min_intv)
-            return matches, oret
-        return [(int(m0[i, j]), int(m1[i, j]), int(ms[i, j]),
-                 (int(mqb[i, j]) << 32) | int(mqe[i, j]))
-                for j in range(k)], None
 
     def seed_positions(self, fm_host, intervals_per_read, opt
                        ) -> List[List[Tuple[int, int, int]]]:

@@ -40,4 +40,5 @@ def ref_index(data_dir):
 # minutes of XLA CPU compile on first run; shapes stay fixed so the
 # one-compile-per-kernel property is preserved
 os.environ.setdefault("BWAMEM_TPU_LANES", "64")
+os.environ.setdefault("BWAMEM_TPU_WAVE", "64")
 os.environ.setdefault("BWAMEM_TPU_SA_SLICE", "4096")
