@@ -209,3 +209,42 @@ def build_pemerge():
         [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
     _cache["pem"] = L
     return L
+
+
+def build_bwa_binary():
+    """Compile the full reference tree (USE_SW mode, HARP globals
+    stubbed) into a runnable bwa binary for on-the-fly golden
+    generation.  Cached per test session."""
+    if "bwa" in _cache:
+        return _cache["bwa"]
+    d = tempfile.mkdtemp(prefix="refbwa")
+    main_stub = os.path.join(d, "main_stub.c")
+    with open(main_stub, "w") as f:
+        f.write("extern int top_main(int argc, char *argv[]);\n"
+                "int main(int argc, char *argv[])"
+                "{ return top_main(argc, argv); }\n")
+    harp_stub = os.path.join(d, "harp_stub.c")
+    with open(harp_stub, "w") as f:
+        f.write(
+            "#include <stdint.h>\n"
+            "static unsigned int hs, rs;\n"
+            "uint64_t *SPL_BWT_ref = 0, *SPL_CNT_table = 0;\n"
+            "volatile unsigned int *handshake = &hs;\n"
+            "volatile unsigned int *read_size = &rs;\n"
+            "uint64_t *SPL_BWT_input = 0, *SPL_BWT_output = 0;\n")
+    srcs = [os.path.join(REF, f) for f in (
+        "utils.c", "kthread.c", "kthread_batch.c", "kstring.c", "ksw.c",
+        "bwt.c", "bntseq.c", "bwa.c", "bwamem.c", "bwamem_pair.c",
+        "malloc_wrap.c", "QSufSort.c", "bwt_gen.c", "bwase.c",
+        "bwaseqio.c", "bwtgap.c", "bwtaln.c", "bamlite.c", "is.c",
+        "bwtindex.c", "bwape.c", "kopen.c", "pemerge.c", "bwtsw2_core.c",
+        "bwtsw2_main.c", "bwtsw2_aux.c", "bwt_lite.c", "bwtsw2_chain.c",
+        "fastmap.c", "bwtsw2_pair.c", "top.c")]
+    exe = os.path.join(d, "bwa_ref")
+    subprocess.run(
+        ["gcc", "-O2", "-DUSE_SW", "-DUSE_MALLOC_WRAPPERS", "-I", REF,
+         "-o", exe, main_stub, harp_stub] + srcs
+        + ["-lm", "-lz", "-lpthread", "-Wl,--allow-multiple-definition"],
+        check=True, capture_output=True)
+    _cache["bwa"] = exe
+    return exe

@@ -1,0 +1,63 @@
+"""Flag-matrix golden tests: run `mem` under varied flag combinations
+and byte-compare against the reference binary compiled on the fly from
+the read-only checkout (USE_SW mode)."""
+import io
+import os
+import subprocess
+import sys
+
+import pytest
+
+from bwamem_tpu import cli
+from . import ref_oracle as RO
+
+FLAG_SETS = [
+    ["-T", "25", "-k", "17"],
+    ["-a"],
+    ["-B", "2", "-O", "3", "-E", "2"],
+    ["-L", "3,8", "-U", "9"],
+    ["-A", "2"],          # exercises the -A rescale rule
+    ["-S", "-P"],         # no rescue, no pairing (PE modifiers)
+    ["-c", "50", "-r", "1.2", "-s", "5"],
+]
+
+
+def _run_ours(args):
+    out = io.StringIO()
+    old = sys.stdout
+    sys.stdout = out
+    try:
+        ret = cli.main(["mem"] + args)
+    finally:
+        sys.stdout = old
+    assert ret == 0
+    return [l for l in out.getvalue().split("\n")
+            if not l.startswith("@PG")]
+
+
+def _run_ref(exe, args):
+    r = subprocess.run([exe, "mem"] + args, capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-500:]
+    return [l for l in r.stdout.split("\n") if not l.startswith("@PG")]
+
+
+@pytest.mark.skipif(not RO.have_reference(), reason="no reference checkout")
+@pytest.mark.parametrize("flags", FLAG_SETS,
+                         ids=[" ".join(f) for f in FLAG_SETS])
+def test_mem_flag_matrix_se(data_dir, flags):
+    exe = RO.build_bwa_binary()
+    files = [os.path.join(data_dir, "genome.fa"),
+             os.path.join(data_dir, "reads_se.fq")]
+    assert _run_ours(flags + files) == _run_ref(exe, flags + files)
+
+
+@pytest.mark.skipif(not RO.have_reference(), reason="no reference checkout")
+@pytest.mark.parametrize("flags", [["-T", "25"], ["-a", "-M"], ["-S"]],
+                         ids=["T25", "aM", "S"])
+def test_mem_flag_matrix_pe(data_dir, flags):
+    exe = RO.build_bwa_binary()
+    files = [os.path.join(data_dir, "genome.fa"),
+             os.path.join(data_dir, "reads_1.fq"),
+             os.path.join(data_dir, "reads_2.fq")]
+    assert _run_ours(flags + files) == _run_ref(exe, flags + files)
