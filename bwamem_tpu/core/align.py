@@ -88,7 +88,9 @@ def gen_cigar_gen(mat, o_del, e_del, o_ins, e_ins, w_, l_pac, pac,
         rseq = rseq[::-1].copy()
     if l_query == re - rb and w_ == 0:
         cigar = [l_query << 4 | 0]
-        score = int(sum(int(mat[rseq[i] * 5 + q[i]]) for i in range(l_query)))
+        mat_a = np.asarray(mat, dtype=np.int64)
+        score = int(mat_a[rseq.astype(np.int64) * 5
+                          + q.astype(np.int64)].sum())
     else:
         max_ins = int(float(((l_query + 1) >> 1) * mat[0] - o_ins) / e_ins + 1.0)
         max_del = int(float(((l_query + 1) >> 1) * mat[0] - o_del) / e_del + 1.0)

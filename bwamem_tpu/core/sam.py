@@ -12,6 +12,10 @@ from .align import MemAln, get_rlen
 CIGAR_CHARS = "MIDSH"
 SEQ_F = "ACGTN"
 SEQ_R = "TGCAN"
+_SEQ_F_TBL = bytes(ord(SEQ_F[i]) if i < len(SEQ_F) else 0
+                   for i in range(256))
+_SEQ_R_TBL = bytes(ord(SEQ_R[i]) if i < len(SEQ_R) else 0
+                   for i in range(256))
 
 
 def aln2sam(bns, read, n: int, alns: List[MemAln], which: int,
@@ -83,7 +87,8 @@ def aln2sam(bns, read, n: int, alns: List[MemAln], which: int,
                 qb += p.cigar[0] >> 4
             if (p.cigar[-1] & 0xF) in (3, 4):
                 qe -= p.cigar[-1] >> 4
-        buf.append("".join(SEQ_F[b] for b in seq[qb:qe]))
+        buf.append(seq[qb:qe].astype("u1").tobytes()
+                   .translate(_SEQ_F_TBL).decode("latin1"))
         buf.append("\t")
         buf.append(read.qual[qb:qe] if read.qual else "*")
     else:
@@ -93,7 +98,8 @@ def aln2sam(bns, read, n: int, alns: List[MemAln], which: int,
                 qe -= p.cigar[0] >> 4
             if (p.cigar[-1] & 0xF) in (3, 4):
                 qb += p.cigar[-1] >> 4
-        buf.append("".join(SEQ_R[b] for b in seq[qb:qe][::-1]))
+        buf.append(seq[qb:qe][::-1].astype("u1").tobytes()
+                   .translate(_SEQ_R_TBL).decode("latin1"))
         buf.append("\t")
         buf.append(read.qual[qb:qe][::-1] if read.qual else "*")
 
