@@ -75,10 +75,11 @@ def main_mem(argv):
     pes0 = None
     verbose = 3
     engine_kind = "auto"
+    profile_dir = None
     try:
         opts, args = _getopt.getopt(
             argv, "epaMCSPHk:c:v:s:r:t:b:R:A:B:O:E:U:w:L:d:T:Q:D:m:I:",
-            ["engine="])
+            ["engine=", "profile="])
     except _getopt.GetoptError as e:
         sys.stderr.write(str(e) + "\n")
         return 1
@@ -178,6 +179,8 @@ def main_mem(argv):
                     "max: %d, min: %d\n" % (p1.avg, p1.std, p1.high, p1.low))
         elif c == "engine":
             engine_kind = val
+        elif c == "profile":
+            profile_dir = val
         elif c == "H":
             pass
         else:
@@ -219,6 +222,11 @@ def main_mem(argv):
                              PACKAGE_VERSION, " ".join(["bwa", "mem"] + argv))))
     n_processed = 0
     import bwamem_tpu.core.pipeline as pl
+    prof = None
+    if profile_dir:  # jax.profiler trace (SURVEY.md §5 tracing analog)
+        import jax.profiler
+        prof = jax.profiler.trace(profile_dir)
+        prof.__enter__()
     while True:
         reads = reader.read_chunk(opt.chunk_size * opt.n_threads)
         if not reads:
@@ -239,6 +247,8 @@ def main_mem(argv):
         n_processed += len(reads)
         for r in reads:
             out.write(r.sam)
+    if prof is not None:
+        prof.__exit__(None, None, None)
     if engine is not None and verbose >= 3:
         # the reference manager's shutdown line
         # ("total kernel time", software/fastmap.c:427)

@@ -22,6 +22,9 @@ from .seeding import BatchedSeeder
 # fixed wave width: one compiled shape per kernel (see ops.seeding.LANES)
 import os as _os
 WAVE = int(_os.environ.get("BWAMEM_TPU_WAVE", "512"))
+# below this many live requests a dispatch round trip costs more than
+# the scalar oracle; the tail of the lock-step waves runs on the host
+MIN_WAVE = int(_os.environ.get("BWAMEM_TPU_MIN_WAVE", "8"))
 
 
 class JaxSeedingEngine:
@@ -118,10 +121,22 @@ class JaxSeedingEngine:
             order = list(live.keys())
             reqs = [live[i] for i in order]
             outs = [None] * len(reqs)
+            if len(reqs) < MIN_WAVE:  # tail: host oracle is cheaper
+                from ..core.swdrive import serve_host
+                for j, r in enumerate(reqs):
+                    outs[j] = serve_host(r, opt)
+                live = {}
+                for i, out in zip(order, outs):
+                    try:
+                        live[i] = gens[i].send(out)
+                    except StopIteration as e:
+                        results[i] = e.value
+                continue
             ext = [j for j, r in enumerate(reqs) if r[0] == "extend2"]
             glo = [j for j, r in enumerate(reqs) if r[0] == "global2"]
+            al2 = [j for j, r in enumerate(reqs) if r[0] == "align2"]
             oth = [j for j, r in enumerate(reqs)
-                   if r[0] not in ("extend2", "global2")]
+                   if r[0] not in ("extend2", "global2", "align2")]
             if ext:
                 for j, out in zip(ext, self._extend_wave(
                         opt, [reqs[j] for j in ext])):
@@ -129,6 +144,12 @@ class JaxSeedingEngine:
             if glo:
                 for j, out in zip(glo, self._global_wave(
                         opt, [reqs[j] for j in glo])):
+                    outs[j] = out
+            if al2:
+                from .ksw_align import align2_wave
+                for j, out in zip(al2, align2_wave(
+                        opt, [reqs[j] for j in al2], WAVE,
+                        timed=self._timed)):
                     outs[j] = out
             for j in oth:
                 from ..core.swdrive import serve_host

@@ -103,6 +103,7 @@ class BatchedSeeder:
         qlen_d = jnp.asarray(qlen)
         slens_d = jnp.asarray(split_lens)
         swid_d = jnp.asarray(split_widths)
+        from .engine import MIN_WAVE
         while not exhausted.all():
             # skip ambiguous bases (software/bwamem.c:258-259)
             for i in np.nonzero(~exhausted)[0]:
@@ -115,6 +116,24 @@ class BatchedSeeder:
                     exhausted[i] = True
             active = ~exhausted
             if not active.any():
+                break
+            if int(active.sum()) < MIN_WAVE and self.fm_host is not None:
+                # straggler tail: finish the few live reads on the host
+                # oracle (identical results) instead of paying full-width
+                # dispatch round trips
+                for i in np.nonzero(active)[0]:
+                    while start[i] < qlen[i]:
+                        q = queries[i]
+                        while start[i] < qlen[i] and q[start[i]] > 3:
+                            start[i] += 1
+                        if start[i] >= qlen[i]:
+                            break
+                        oret, matches = self._oracle_step(
+                            opt, q, int(start[i]), start_width,
+                            int(split_lens[i]), int(split_widths[i]))
+                        start[i] = oret
+                        out[i].extend(matches)
+                    exhausted[i] = True
                 break
             x = np.where(active, start, 0).astype(np.int32)
             mi = np.full(B, start_width, dtype=np.int64)

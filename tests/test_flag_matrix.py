@@ -53,11 +53,50 @@ def test_mem_flag_matrix_se(data_dir, flags):
 
 
 @pytest.mark.skipif(not RO.have_reference(), reason="no reference checkout")
-@pytest.mark.parametrize("flags", [["-T", "25"], ["-a", "-M"], ["-S"]],
-                         ids=["T25", "aM", "S"])
+@pytest.mark.parametrize("flags", [["-T", "25"], ["-a", "-M"], ["-S"],
+                                   ["-I", "200,20"], ["-P"]],
+                         ids=["T25", "aM", "S", "I200", "P"])
 def test_mem_flag_matrix_pe(data_dir, flags):
     exe = RO.build_bwa_binary()
     files = [os.path.join(data_dir, "genome.fa"),
              os.path.join(data_dir, "reads_1.fq"),
              os.path.join(data_dir, "reads_2.fq")]
     assert _run_ours(flags + files) == _run_ref(exe, flags + files)
+
+
+@pytest.mark.skipif(not RO.have_reference(), reason="no reference checkout")
+def test_mem_interleaved_smart_pairing(data_dir, tmp_path):
+    """-p: single interleaved file treated as paired."""
+    exe = RO.build_bwa_binary()
+    inter = os.path.join(str(tmp_path), "inter.fq")
+    with open(os.path.join(data_dir, "reads_1.fq")) as f1, \
+            open(os.path.join(data_dir, "reads_2.fq")) as f2:
+        l1, l2 = f1.read().split("\n"), f2.read().split("\n")
+    with open(inter, "w") as out:
+        for i in range(0, min(len(l1), len(l2)) - 3, 4):
+            out.write("\n".join(l1[i:i + 4]) + "\n")
+            out.write("\n".join(l2[i:i + 4]) + "\n")
+    args = ["-p", os.path.join(data_dir, "genome.fa"), inter]
+    assert _run_ours(args) == _run_ref(exe, args)
+
+
+@pytest.mark.skipif(not RO.have_reference(), reason="no reference checkout")
+@pytest.mark.parametrize("flags", [[], ["-l", "25"], ["-w", "3"],
+                                   ["-l", "10", "-s", "3"]],
+                         ids=["default", "l25", "w3", "l10s3"])
+def test_fastmap_flag_matrix(data_dir, flags):
+    exe = RO.build_bwa_binary()
+    files = [os.path.join(data_dir, "genome.fa"),
+             os.path.join(data_dir, "reads_se.fq")]
+    out = io.StringIO()
+    old = sys.stdout
+    sys.stdout = out
+    try:
+        ret = cli.main(["fastmap"] + flags + files)
+    finally:
+        sys.stdout = old
+    assert ret == 0
+    r = subprocess.run([exe, "fastmap"] + flags + files,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0
+    assert out.getvalue() == r.stdout

@@ -98,3 +98,36 @@ def test_global2_batched_parity(opt):
         assert int(score[i]) == want_sc, i
         assert cigar_from_traceback(ops[i], int(n_ops[i]), int(ri[i]),
                                     int(rk[i])) == want_cig, i
+
+
+def test_align2_wave_parity(opt):
+    """Batched local-SW wave (ksw_align2 equivalent) vs the striped
+    oracle, including second-best bookkeeping and start positions."""
+    from bwamem_tpu.oracle import ksw as oksw
+    from bwamem_tpu.ops.ksw_align import align2_wave
+    rng = np.random.default_rng(9)
+    mat = np.asarray(opt.mat, dtype=np.int64)
+    reqs = []
+    for t in range(40):
+        ql = int(rng.integers(10, 101))
+        tl = int(rng.integers(20, 400))
+        q = rng.integers(0, 4, ql).astype(np.uint8)
+        tgt = rng.integers(0, 4, tl).astype(np.uint8)
+        if t % 2 == 0 and tl > ql:
+            off = int(rng.integers(0, tl - ql))
+            tgt[off:off + ql] = q
+            nm = rng.integers(0, 5)
+            tgt[rng.integers(0, tl, nm)] = rng.integers(0, 4, nm)
+        xtra = (oksw.KSW_XSUBO | oksw.KSW_XSTART
+                | (oksw.KSW_XBYTE if t % 3 else 0)
+                | (opt.min_seed_len * opt.a))
+        reqs.append(("align2", q, tgt, xtra))
+    outs = align2_wave(opt, reqs, 64)
+    for i, (_, q, tgt, xtra) in enumerate(reqs):
+        want = oksw.ksw_align2(q, tgt, mat, opt.o_del, opt.e_del,
+                               opt.o_ins, opt.e_ins, xtra)
+        got = outs[i]
+        assert (got.score, got.te, got.qe, got.score2, got.te2,
+                got.tb, got.qb) == (want.score, want.te, want.qe,
+                                    want.score2, want.te2, want.tb,
+                                    want.qb), i

@@ -119,7 +119,7 @@ def test_interval_streams_match_host_iterator(ref_index, dfm, queries):
     from bwamem_tpu.oracle.smem import SmemIterator
     fm, _ = ref_index
     opt = MemOptions()
-    seeder = BatchedSeeder(dfm)
+    seeder = BatchedSeeder(dfm, fm_host=fm)
     streams = seeder.interval_streams(opt, queries)
     for q, got in zip(queries, streams):
         itr = SmemIterator(fm, q)
