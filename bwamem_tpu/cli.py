@@ -196,6 +196,13 @@ def main_mem(argv):
     fm, bns = load_index(args[0])
     pac = bns.pac
 
+    # fork the -t worker pool before the device client exists (children
+    # share the index copy-on-write and never touch jax; core/mt.py)
+    pool = None
+    if opt.n_threads > 1:
+        from .core.mt import WorkerPool
+        pool = WorkerPool(fm, bns, pac, opt.n_threads)
+
     engine = None
     if engine_kind not in ("auto", "tpu", "jax", "host"):
         sys.stderr.write(f"[E::main_mem] unknown --engine '{engine_kind}' "
@@ -243,10 +250,12 @@ def main_mem(argv):
             sys.stderr.write("[M::main_mem] read %d sequences (%d bp)...\n"
                              % (len(reads), sum(r.l_seq for r in reads)))
         pl.process_seqs(opt, fm, bns, pac, n_processed, reads, pes0,
-                        rg_id or "", engine, verbose)
+                        rg_id or "", engine, verbose, pool=pool)
         n_processed += len(reads)
         for r in reads:
             out.write(r.sam)
+    if pool is not None:
+        pool.close()
     if prof is not None:
         prof.__exit__(None, None, None)
     if engine is not None and verbose >= 3:

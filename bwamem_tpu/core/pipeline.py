@@ -112,9 +112,14 @@ def reg2sam_se_gen(opt, bns, pac, read, regs: List[AlnReg],
 
 def process_seqs(opt: MemOptions, fm, bns, pac, n_processed: int,
                  reads: List, pes0=None, rg_id: str = "",
-                 engine=None, verbose: int = 3) -> None:
+                 engine=None, verbose: int = 3, pool=None) -> None:
     """mem_process_seqs: seed+extend every read, then finalize
-    (single-end or paired) writing read.sam."""
+    (single-end or paired) writing read.sam.
+
+    `pool` (core.mt.WorkerPool) parallelizes the host-side per-read
+    stages across -t worker processes, matching the reference's kt_for
+    thread split within one chunk (software/bwamem.c:1569-1639) —
+    output is byte-identical for every -t."""
     import time
     ctime = time.process_time()
     rtime = time.perf_counter()
@@ -124,6 +129,8 @@ def process_seqs(opt: MemOptions, fm, bns, pac, n_processed: int,
 
     if engine is not None:
         regs = engine.align_batch(opt, fm, bns, pac, reads)
+    elif pool is not None:
+        regs = pool.align_regs(opt, reads)
     else:
         regs = [align1_core(opt, fm, bns, pac, r) for r in reads]
 
@@ -132,27 +139,35 @@ def process_seqs(opt: MemOptions, fm, bns, pac, n_processed: int,
             pes = pes0
         else:
             pes = pe.pestat(opt, bns.l_pac, regs, verbose)
-        gens = [pe.sam_pe_gen(opt, bns, pac, pes, (n_processed >> 1) + i,
-                              (reads[i << 1], reads[i << 1 | 1]),
-                              (regs[i << 1], regs[i << 1 | 1]), rg_id)
-                for i in range(n >> 1)]
-        if engine is not None:
-            engine.drive_waves(opt, gens)
+        if pool is not None:
+            pool.finalize_pe(opt, pes, reads, regs, n_processed, rg_id)
         else:
-            from .swdrive import drive_host
-            for g in gens:
-                drive_host(g, opt)
+            gens = [pe.sam_pe_gen(opt, bns, pac, pes,
+                                  (n_processed >> 1) + i,
+                                  (reads[i << 1], reads[i << 1 | 1]),
+                                  (regs[i << 1], regs[i << 1 | 1]), rg_id)
+                    for i in range(n >> 1)]
+            if engine is not None:
+                engine.drive_waves(opt, gens)
+            else:
+                from .swdrive import drive_host
+                for g in gens:
+                    drive_host(g, opt)
     else:
-        for i in range(n):
-            mark_primary(opt, regs[i], n_processed + i)
-        gens = [reg2sam_se_gen(opt, bns, pac, reads[i], regs[i], 0,
-                               None, rg_id) for i in range(n)]
-        if engine is not None:
-            engine.drive_waves(opt, gens)
+        if pool is not None:
+            pool.finalize_se(opt, reads, regs,
+                             [n_processed + i for i in range(n)], rg_id)
         else:
-            from .swdrive import drive_host
-            for g in gens:
-                drive_host(g, opt)
+            for i in range(n):
+                mark_primary(opt, regs[i], n_processed + i)
+            gens = [reg2sam_se_gen(opt, bns, pac, reads[i], regs[i], 0,
+                                   None, rg_id) for i in range(n)]
+            if engine is not None:
+                engine.drive_waves(opt, gens)
+            else:
+                from .swdrive import drive_host
+                for g in gens:
+                    drive_host(g, opt)
     if verbose >= 3:
         print("[M::mem_process_seqs] Processed %d reads in %.3f CPU sec, "
               "%.3f real sec" % (n, time.process_time() - ctime,

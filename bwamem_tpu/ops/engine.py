@@ -186,11 +186,16 @@ class JaxSeedingEngine:
         outs = [None] * n
         for i in set(range(n)) - set(dev_idx):
             outs[i] = serve_host(reqs[i], opt)
+        import jax
+        # dispatch every group before collecting any: jax dispatch is
+        # async, so group k+1's upload/compute overlaps group k's result
+        # round trip (this matters over the remote-device tunnel)
+        pend = []
         for lo in range(0, len(dev_idx), WAVE):
             grp = dev_idx[lo:lo + WAVE]
             B = WAVE
-            qb = np.full((B, LQ), 4, np.int32)
-            tb = np.full((B, LT), 4, np.int32)
+            qb = np.full((B, LQ), 4, np.int8)
+            tb = np.full((B, LT), 4, np.int8)
             qlen = np.zeros(B, np.int32)
             tlen = np.zeros(B, np.int32)
             wv = np.ones(B, np.int32)
@@ -202,13 +207,15 @@ class JaxSeedingEngine:
                 tb[bi, :len(rs)] = rs
                 qlen[bi], tlen[bi] = len(qs), len(rs)
                 wv[bi], ebv[bi], h0v[bi] = w, pen, h0
-            import jax
-            res = self._timed(lambda: jax.device_get(ksw_extend2_batched(
+            dev = ksw_extend2_batched(
                 jnp.asarray(qb), jnp.asarray(tb), jnp.asarray(qlen),
                 jnp.asarray(tlen), self._mat_i32(opt),
                 opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
                 jnp.asarray(wv), jnp.asarray(ebv), opt.zdrop,
-                jnp.asarray(h0v), LQ=LQ, LT=LT)))
+                jnp.asarray(h0v), LQ=LQ, LT=LT)
+            pend.append((grp, dev))
+        for grp, dev in pend:
+            res = self._timed(lambda dev=dev: jax.device_get(dev))
             for bi, i in enumerate(grp):
                 outs[i] = tuple(int(r[bi]) for r in res)
         return outs
@@ -227,11 +234,13 @@ class JaxSeedingEngine:
         outs = [None] * n
         for i in set(range(n)) - set(dev_idx):
             outs[i] = serve_host(reqs[i], opt)
+        import jax
+        pend = []  # dispatch-all-then-collect (see _extend_wave)
         for lo in range(0, len(dev_idx), WAVE):
             grp = dev_idx[lo:lo + WAVE]
             B = WAVE
-            qb = np.full((B, LQ), 4, np.int32)
-            tb = np.full((B, LT), 4, np.int32)
+            qb = np.full((B, LQ), 4, np.int8)
+            tb = np.full((B, LT), 4, np.int8)
             qlen = np.zeros(B, np.int32)
             tlen = np.zeros(B, np.int32)
             wv = np.ones(B, np.int32)
@@ -241,13 +250,15 @@ class JaxSeedingEngine:
                 tb[bi, :len(rs)] = rs
                 qlen[bi], tlen[bi] = len(qs), len(rs)
                 wv[bi] = w
-            import jax
+            dev = ksw_global2_batched(
+                jnp.asarray(qb), jnp.asarray(tb), jnp.asarray(qlen),
+                jnp.asarray(tlen), self._mat_i32(opt),
+                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                jnp.asarray(wv), LQ=LQ, LT=LT)
+            pend.append((grp, dev))
+        for grp, dev in pend:
             score, ops, n_ops, ri, rk = self._timed(
-                lambda: jax.device_get(ksw_global2_batched(
-                    jnp.asarray(qb), jnp.asarray(tb), jnp.asarray(qlen),
-                    jnp.asarray(tlen), self._mat_i32(opt),
-                    opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-                    jnp.asarray(wv), LQ=LQ, LT=LT)))
+                lambda dev=dev: jax.device_get(dev))
             for bi, i in enumerate(grp):
                 outs[i] = (int(score[bi]),
                            cigar_from_traceback(ops[bi], int(n_ops[bi]),

@@ -41,6 +41,44 @@ WORDS_PER_BLOCK = 16
 _M55 = jnp.uint32(0x55555555)
 _ALL1 = jnp.uint32(0xFFFFFFFF)
 
+# above this many rows the one-hot matmul's (lanes, n_blocks) operand
+# outgrows its usefulness and the plain gather wins
+_ONEHOT_MAX = int(os.environ.get("BWAMEM_TPU_ONEHOT_BLOCKS", "32768"))
+
+
+def _gather_rows(blocks: jnp.ndarray, blk: jnp.ndarray) -> jnp.ndarray:
+    """Row gather from the (n_blocks, 16) uint32 occ-block table.
+
+    XLA lowers a TPU row gather to one serialized copy per index —
+    ~1.7 us/row, which at 2048 lanes makes every occ lookup ~3.5 ms and
+    puts the whole SMEM search at ~0.9 s per dispatch.  For tables that
+    fit (small references), ride the MXU instead: one-hot(blk) @ table
+    as a bf16 matmul.  The table is pre-split into uint8 columns so the
+    f32 accumulation is exact (one-hot rows select a single value
+    <= 255); the split itself is loop-invariant and hoisted out of the
+    smem while_loop by XLA.  Large references keep the gather (the
+    pallas DMA path is the long-term answer there)."""
+    n_blocks = blocks.shape[0]
+    if n_blocks > _ONEHOT_MAX or _ONEHOT_MAX <= 0:
+        return blocks[blk]
+    shp = blk.shape
+    flat = blk.reshape(-1).astype(jnp.int32)
+    if flat.shape[0] * n_blocks > (1 << 24):
+        # the one-hot operand would be tens of MB per lookup — the MXU
+        # win drowns in HBM traffic; keep the gather for wide batches
+        return blocks[blk]
+    sh = jnp.arange(4, dtype=jnp.int64) * 8
+    t8 = ((blocks.astype(jnp.int64)[:, :, None] >> sh) & 0xFF)
+    t8 = t8.reshape(n_blocks, 4 * WORDS_PER_BLOCK).astype(jnp.bfloat16)
+    oh = (flat[:, None] == jnp.arange(n_blocks, dtype=jnp.int32)[None, :]
+          ).astype(jnp.bfloat16)
+    out = lax.dot_general(oh, t8, (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    r8 = out.astype(jnp.int64).reshape(-1, WORDS_PER_BLOCK, 4)
+    w = (r8[..., 0] | (r8[..., 1] << 8) | (r8[..., 2] << 16)
+         | (r8[..., 3] << 24)).astype(jnp.uint32)
+    return w.reshape(*shp, WORDS_PER_BLOCK)
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
@@ -109,7 +147,7 @@ def occ4(blocks: jnp.ndarray, primary: jnp.ndarray, k: jnp.ndarray
     kk = k - (k >= primary).astype(jnp.int64)
     kk = jnp.where(valid, kk, 0)
     blk = (kk >> 7).astype(jnp.int32)
-    row = blocks[blk]                                  # [..., 16] uint32
+    row = _gather_rows(blocks, blk)                    # [..., 16] uint32
     lo = row[..., 0:8:2].astype(jnp.int64)
     hi = row[..., 1:8:2].astype(jnp.int64)
     ck = lo | (hi << 32)                               # [..., 4] checkpoint
@@ -145,8 +183,11 @@ def extend(blocks: jnp.ndarray, primary: jnp.ndarray, L2: jnp.ndarray,
     each int64[..., 4] — candidate bi-intervals for bases 0..3.
     """
     fwd = x0 if is_back else x1
-    tk = occ4(blocks, primary, fwd - 1)                # [..., 4]
-    tl = occ4(blocks, primary, fwd - 1 + s)
+    # one stacked occ4 for both interval ends: halves the table-lookup
+    # matmuls (and the kernel's compile size) per extension step
+    both = occ4(blocks, primary,
+                jnp.stack([fwd - 1, fwd - 1 + s]))     # [2, ..., 4]
+    tk, tl = both[0], both[1]
     occ_side = L2[:4] + 1 + tk
     oks = tl - tk
     bump = ((fwd <= primary) & (fwd + s - 1 >= primary)).astype(jnp.int64)
@@ -169,7 +210,7 @@ def bwt_b0(blocks: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     x = x.astype(jnp.int64)
     blk = (x >> 7).astype(jnp.int32)
     wi = ((x >> 4) & 7).astype(jnp.int32)
-    row = blocks[blk]                                   # [..., 16]
+    row = _gather_rows(blocks, blk)                     # [..., 16]
     w = jnp.take_along_axis(row, (8 + wi)[..., None], axis=-1)[..., 0]
     sh = (((~x) & 15) * 2).astype(jnp.uint32)
     return ((w >> sh) & jnp.uint32(3)).astype(jnp.int32)

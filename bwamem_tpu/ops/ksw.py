@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .select import sel_col, set_col, sel_row, score_profile
+
 NEG = jnp.int32(-0x40000000)
 # out-of-band fill for the prefix scan: strictly below every in-band
 # value, with headroom so the downstream subtractions can't wrap int32
@@ -63,6 +65,10 @@ def ksw_extend2_batched(
     """Returns (best, qle, tle, gtle, gscore, max_off), each int32[B]."""
     B = query.shape[0]
     i32 = jnp.int32
+    # sequences ship from the host as int8 (bases are 0..4) to quarter
+    # the per-wave transfer volume; widen on-device
+    query = query.astype(i32)
+    target = target.astype(i32)
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
     h0 = jnp.maximum(h0, 0)
@@ -112,10 +118,10 @@ def ksw_extend2_batched(
         degen = beg >= end
         run = alive & ~degen
 
-        # row profile
+        # row profile (mask-select: per-lane gathers serialize on TPU)
         ii = jnp.clip(i, 0, LT - 1)
-        tch = jnp.take_along_axis(target, ii[:, None], 1)[:, 0]     # [B]
-        qp = mat55[tch[:, None], query]                             # [B, LQ]
+        tch = sel_col(target, ii)                                   # [B]
+        qp = score_profile(mat55, tch, query)                       # [B, LQ]
         band = (jq >= beg[:, None]) & (jq < end[:, None])
 
         hdiag = st["eh_h"][:, :LQ]
@@ -153,8 +159,7 @@ def ksw_extend2_batched(
         eh_h_new = jnp.where(jv == beg[:, None], h1[:, None], eh_h_new)
         eh_h_new = jnp.where(run[:, None], eh_h_new, st["eh_h"])
 
-        h1_last = jnp.take_along_axis(
-            h, jnp.clip(end - 1, 0, LQ - 1)[:, None], 1)[:, 0]
+        h1_last = sel_col(h, jnp.clip(end - 1, 0, LQ - 1))
         at_q_end = run & (end == qlen)
         g_upd = at_q_end & (st["gscore"] <= h1_last)
         max_ie = jnp.where(g_upd, i, st["max_ie"])
@@ -234,6 +239,8 @@ def ksw_global2_batched(
     """
     B = query.shape[0]
     i32 = jnp.int32
+    query = query.astype(i32)   # int8 on the wire (see ksw_extend2)
+    target = target.astype(i32)
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
     w = w_in.astype(i32)
@@ -257,10 +264,10 @@ def ksw_global2_batched(
         degen = end <= beg
         do = run & ~degen
 
-        tch = jnp.take_along_axis(target,
-                                  jnp.full((B, 1), jnp.clip(i, 0, LT - 1),
-                                           i32), 1)[:, 0]
-        qp = mat55[tch[:, None], query]                         # [B, LQ]
+        # row index is uniform across lanes: a dynamic slice, not a gather
+        tch = lax.dynamic_slice_in_dim(
+            target, jnp.clip(i, 0, LT - 1), 1, axis=1)[:, 0]
+        qp = score_profile(mat55, tch, query)                   # [B, LQ]
         band = (jq >= beg[:, None]) & (jq < end[:, None])
 
         hdiag = eh_h[:, :LQ]
@@ -312,7 +319,7 @@ def ksw_global2_batched(
 
     z0 = jnp.zeros((B, LT, LQ), jnp.uint8)
     eh_h, eh_e, z = lax.fori_loop(0, LT, row, (eh_h, eh_e, z0))
-    score = jnp.take_along_axis(eh_h, qlen[:, None], 1)[:, 0]
+    score = sel_col(eh_h, qlen)
 
     # traceback (ksw.c:570-584)
     MAXOPS = LT + LQ
@@ -323,12 +330,12 @@ def ksw_global2_batched(
         act = ~done
         zi = jnp.clip(i, 0, LT - 1)
         zk = jnp.clip(k, 0, LQ - 1)
-        dcode = z[jnp.arange(B), zi, zk].astype(i32)
+        dcode = sel_col(sel_row(z, zi), zk).astype(i32)
         which_new = (dcode >> (which << 1)) & 3
         op = jnp.where(which_new == 0, 0,
                        jnp.where(which_new == 1, 2, 1)).astype(jnp.uint8)
         idx = jnp.where(act, n, MAXOPS)
-        ops = ops.at[jnp.arange(B), idx].set(op, mode="drop")
+        ops = set_col(ops, idx, op)
         di = jnp.where(which_new != 2, 1, 0)
         dk = jnp.where(which_new != 1, 1, 0)
         i = jnp.where(act, i - di, i)

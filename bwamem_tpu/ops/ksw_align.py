@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .select import sel_col, set_col, score_profile
+
 NEG = jnp.int32(-0x40000000)
 
 
@@ -49,6 +51,8 @@ def ksw_align_batched(
     """
     B = query.shape[0]
     i32 = jnp.int32
+    query = query.astype(i32)   # int8 on the wire (see ksw_extend2)
+    target = target.astype(i32)
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
     mat55 = mat.reshape(5, 5)
@@ -78,8 +82,8 @@ def ksw_align_batched(
         i = st["i"]
         run = ~st["done"] & (i < tlen)
         ii = jnp.clip(i, 0, LT - 1)
-        tch = jnp.take_along_axis(target, ii[:, None], 1)[:, 0]
-        qp = jnp.where(qvalid, mat55[tch[:, None], query], 0)
+        tch = sel_col(target, ii)
+        qp = jnp.where(qvalid, score_profile(mat55, tch, query), 0)
         hdiag = jnp.concatenate(
             [jnp.zeros((B, 1), i32), st["H"][:, :-1]], axis=1)
         g = hdiag + qp
@@ -98,9 +102,7 @@ def ksw_align_batched(
 
         Hn = jnp.where(run[:, None], H, st["H"])
         En = jnp.where(run[:, None], E, st["E"])
-        bar = jnp.arange(B)
-        row_max = st["row_max"].at[bar, jnp.where(run, ii, LT)].set(
-            imax, mode="drop")
+        row_max = set_col(st["row_max"], jnp.where(run, ii, LT), imax)
         improved = run & (imax > st["gmax"])
         gmax = jnp.where(improved, imax, st["gmax"])
         te = jnp.where(improved, i, st["te"])
@@ -155,11 +157,12 @@ def align2_wave(opt, reqs, wave_width: int, lq_cap: int = 128,
         """One batched dispatch; rev_info marks the reversed-prefix
         rerun (seq slices + endsc from the forward result)."""
         res = {}
+        pend = []  # dispatch-all-then-collect (see engine._extend_wave)
         for lo in range(0, len(idxs), wave_width):
             grp = idxs[lo:lo + wave_width]
             B = wave_width
-            qb = np.full((B, lq_cap), 4, np.int32)
-            tb = np.full((B, lt_cap), 4, np.int32)
+            qb = np.full((B, lq_cap), 4, np.int8)
+            tb = np.full((B, lt_cap), 4, np.int8)
             qlen = np.zeros(B, np.int32)
             tlen = np.zeros(B, np.int32)
             mins = np.full(B, 0x10000, np.int32)
@@ -179,12 +182,15 @@ def align2_wave(opt, reqs, wave_width: int, lq_cap: int = 128,
                 qb[bi, :len(qs)] = qs
                 tb[bi, :len(rs)] = rs
                 qlen[bi], tlen[bi] = len(qs), len(rs)
-            fn = lambda: jax.device_get(ksw_align_batched(
+            dev = ksw_align_batched(
                 jnp.asarray(qb), jnp.asarray(tb), jnp.asarray(qlen),
                 jnp.asarray(tlen), mat_dev,
                 opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
                 jnp.asarray(mins), jnp.asarray(ends),
-                size=size, LQV=lq_cap, LT=lt_cap))
+                size=size, LQV=lq_cap, LT=lt_cap)
+            pend.append((grp, dev, mins))
+        for grp, dev, mins in pend:
+            fn = lambda dev=dev: jax.device_get(dev)
             out = timed(fn) if timed else fn()
             gmax, te, qe, satu, row_max, last = out
             for bi, i in enumerate(grp):

@@ -73,7 +73,7 @@ class BatchedSeeder:
         n = len(queries)
         B = LANES
         L, M = self.L, self.M
-        qpad = np.full((B, L), 4, dtype=np.int32)
+        qpad = np.full((B, L), 4, dtype=np.int8)
         qlen = np.zeros(B, dtype=np.int32)
         for i, q in enumerate(queries):
             qlen[i] = len(q)

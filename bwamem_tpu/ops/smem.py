@@ -29,6 +29,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from .fm import extend
+from .select import (sel_col as _sel_col, set_col as _set_col,
+                     permute_cols as _permute_cols,
+                     scatter_cols as _scatter_cols)
 
 
 def _prev_valid_value(vals: jnp.ndarray, valid: jnp.ndarray, fill
@@ -68,12 +71,11 @@ def smem_iter_step(blocks, primary, L2,
     jj = jnp.arange(M, dtype=jnp.int32)[None, :]
     validm = jj < n_mem[:, None]
     lens = jnp.where(validm, lens, -1)
-    best = jnp.argmax(lens, axis=1)
-    bar = jnp.arange(q.shape[0])
-    best_len = lens[bar, best]
-    bs = ms[bar, best]
-    bqb = mqb[bar, best]
-    bqe = mqe[bar, best]
+    best = jnp.argmax(lens, axis=1).astype(jnp.int32)
+    best_len = _sel_col(lens, best)
+    bs = _sel_col(ms, best)
+    bqb = _sel_col(mqb, best)
+    bqe = _sel_col(mqe, best)
     need2 = (active & (n_mem > 0) & (split_len > 0)
              & (best_len >= split_len) & (bs <= split_width) & ~over)
     x2 = ((bqb + bqe) >> 1).astype(jnp.int32)
@@ -123,8 +125,9 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
     B = q.shape[0]
     i64 = jnp.int64
     i32 = jnp.int32
+    q = q.astype(i32)  # int8 on the wire (bases 0..4); widen on-device
 
-    qx = jnp.take_along_axis(q, x[:, None], axis=1)[:, 0]        # base at x
+    qx = _sel_col(q, x)                                          # base at x
     bad = (qx > 3) | ~active
     qx_c = jnp.where(bad, 0, qx).astype(jnp.int64)
     min_intv = jnp.maximum(min_intv, 1)
@@ -145,25 +148,24 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
         at_end = i >= qlen
         ii = jnp.minimum(i, qlen - 1)
         ii = jnp.clip(ii, 0, L - 1)
-        cb = jnp.take_along_axis(q, ii[:, None], axis=1)[:, 0]
+        cb = _sel_col(q, ii)
         is_amb = cb > 3
         o0, o1, os_ = extend(blocks, primary, L2, ik0, ik1, iks,
                              is_back=False)
         cc = jnp.where(is_amb, 0, 3 - cb).astype(i32)
-        n0 = jnp.take_along_axis(o0, cc[:, None].astype(i32), 1)[:, 0]
-        n1 = jnp.take_along_axis(o1, cc[:, None].astype(i32), 1)[:, 0]
-        ns = jnp.take_along_axis(os_, cc[:, None].astype(i32), 1)[:, 0]
+        n0 = _sel_col(o0, cc)
+        n1 = _sel_col(o1, cc)
+        ns = _sel_col(os_, cc)
         changed = ns != iks
         small = ns < min_intv
         # push ik when: at_end | ambiguous | (changed)
         push = ~done & (at_end | is_amb | changed)
         stop = ~done & (at_end | is_amb | (changed & small))
         idx = jnp.where(push, n_curr, M)  # M = out of bounds, dropped
-        bar = jnp.arange(B)
-        c0 = c0.at[bar, idx].set(ik0, mode="drop")
-        c1 = c1.at[bar, idx].set(ik1, mode="drop")
-        cs = cs.at[bar, idx].set(iks, mode="drop")
-        cend = cend.at[bar, idx].set(ikend, mode="drop")
+        c0 = _set_col(c0, idx, ik0)
+        c1 = _set_col(c1, idx, ik1)
+        cs = _set_col(cs, idx, iks)
+        cend = _set_col(cend, idx, ikend)
         n_curr = n_curr + push.astype(i32)
         # advance ik (only when continuing)
         cont = ~done & ~stop
@@ -187,32 +189,29 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
     # ret = info of last pushed interval (curr[0] after reversal,
     # software/bwt.c:803-805); bad lanes return x+1
     last = jnp.clip(n_curr - 1, 0, M - 1)
-    ret = jnp.where(n_curr > 0,
-                    cend[jnp.arange(B), last], x + 1)
+    ret = jnp.where(n_curr > 0, _sel_col(cend, last), x + 1)
 
     # reverse first n_curr entries per lane: prev[j] = curr[n_curr-1-j]
     jj = jnp.arange(M, dtype=i32)[None, :]
     src = jnp.clip(n_curr[:, None] - 1 - jj, 0, M - 1)
-    p0 = jnp.take_along_axis(c0, src, 1)
-    p1 = jnp.take_along_axis(c1, src, 1)
-    ps = jnp.take_along_axis(cs, src, 1)
-    pend = jnp.take_along_axis(cend, src, 1)
+    p0 = _permute_cols(c0, src)
+    p1 = _permute_cols(c1, src)
+    ps = _permute_cols(cs, src)
+    pend = _permute_cols(cend, src)
 
     # ---- backward extension (software/bwt.c:808-831) ---------------------
     def bwd_body(st):
         (i, p0, p1, ps, pend, n_prev, m0, m1, ms, mqb, mqe, n_mem,
          done) = st
         ii = jnp.clip(i, 0, L - 1)
-        cb = jnp.take_along_axis(q, ii[:, None], axis=1)[:, 0]
+        cb = _sel_col(q, ii)
         c = jnp.where((i < 0) | (cb > 3), -1, cb)                  # int32[B]
         o0, o1, os_ = extend(blocks, primary, L2, p0, p1, ps, is_back=True)
         csel = jnp.clip(c, 0, 3).astype(i32)[:, None, None]
-        n0 = jnp.take_along_axis(o0, jnp.broadcast_to(csel, (B, M, 1)),
-                                 2)[..., 0]
-        n1 = jnp.take_along_axis(o1, jnp.broadcast_to(csel, (B, M, 1)),
-                                 2)[..., 0]
-        ns = jnp.take_along_axis(os_, jnp.broadcast_to(csel, (B, M, 1)),
-                                 2)[..., 0]
+        j4 = jnp.arange(4, dtype=i32)
+        n0 = jnp.sum(jnp.where(j4 == csel, o0, 0), axis=2, dtype=o0.dtype)
+        n1 = jnp.sum(jnp.where(j4 == csel, o1, 0), axis=2, dtype=o1.dtype)
+        ns = jnp.sum(jnp.where(j4 == csel, os_, 0), axis=2, dtype=os_.dtype)
         present = (jj < n_prev[:, None]) & ~done[:, None]
         fail = (c[:, None] < 0) | (ns < min_intv[:, None])
         nonfail = present & ~fail
@@ -226,15 +225,10 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
         keep = nonfail & (first_nf | (ns != prev_s))
         pos = jnp.cumsum(keep.astype(i32), axis=1) - 1
         tgt = jnp.where(keep, pos, M)  # M = out of bounds, dropped
-        bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, M))
-        nc0 = jnp.zeros((B, M), i64).at[bidx, tgt].set(
-            jnp.where(keep, n0, 0), mode="drop")
-        nc1 = jnp.zeros((B, M), i64).at[bidx, tgt].set(
-            jnp.where(keep, n1, 0), mode="drop")
-        ncs = jnp.zeros((B, M), i64).at[bidx, tgt].set(
-            jnp.where(keep, ns, 0), mode="drop")
-        ncend = jnp.zeros((B, M), i32).at[bidx, tgt].set(
-            jnp.where(keep, pend, 0), mode="drop")
+        nc0 = _scatter_cols(n0, tgt)
+        nc1 = _scatter_cols(n1, tgt)
+        ncs = _scatter_cols(ns, tgt)
+        ncend = _scatter_cols(pend, tgt)
         n_curr_new = jnp.sum(keep, axis=1).astype(i32)
         # mem append: first present&fail with all-fail prefix
         cand = present & fail & (nf_before == 0)
@@ -244,16 +238,15 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
         has_cand = jnp.any(first_cand, axis=1)
         jstar = jnp.argmax(first_cand, axis=1).astype(i32)
         lastm = jnp.maximum(n_mem - 1, 0)
-        allow = (n_mem == 0) | ((i + 1) < mqb[jnp.arange(B), lastm])
+        allow = (n_mem == 0) | ((i + 1) < _sel_col(mqb, lastm))
         do_mem = ~done & has_cand & allow
         midx = jnp.where(do_mem, n_mem, M)  # M = out of bounds, dropped
-        bar = jnp.arange(B)
-        sel = lambda a: a[bar, jstar]
-        m0 = m0.at[bar, midx].set(sel(p0), mode="drop")
-        m1 = m1.at[bar, midx].set(sel(p1), mode="drop")
-        ms = ms.at[bar, midx].set(sel(ps), mode="drop")
-        mqb = mqb.at[bar, midx].set(i + 1, mode="drop")
-        mqe = mqe.at[bar, midx].set(sel(pend), mode="drop")
+        sel = lambda a: _sel_col(a, jstar)
+        m0 = _set_col(m0, midx, sel(p0))
+        m1 = _set_col(m1, midx, sel(p1))
+        ms = _set_col(ms, midx, sel(ps))
+        mqb = _set_col(mqb, midx, i + 1)
+        mqe = _set_col(mqe, midx, sel(pend))
         n_mem = n_mem + do_mem.astype(i32)
         done = done | (n_curr_new == 0)
         i = i - (~done).astype(i32)
@@ -280,9 +273,9 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
     jo = jj[:, :M_OUT]
     src = jnp.clip(n_mem[:, None] - 1 - jo, 0, M - 1)
     valid = jo < n_mem[:, None]
-    m0 = jnp.where(valid, jnp.take_along_axis(m0, src, 1), 0)
-    m1 = jnp.where(valid, jnp.take_along_axis(m1, src, 1), 0)
-    ms = jnp.where(valid, jnp.take_along_axis(ms, src, 1), 0)
-    mqb = jnp.where(valid, jnp.take_along_axis(mqb, src, 1), 0)
-    mqe = jnp.where(valid, jnp.take_along_axis(mqe, src, 1), 0)
+    m0 = _permute_cols(m0, src, valid)
+    m1 = _permute_cols(m1, src, valid)
+    ms = _permute_cols(ms, src, valid)
+    mqb = _permute_cols(mqb, src, valid)
+    mqe = _permute_cols(mqe, src, valid)
     return ret, n_mem, m0, m1, ms, mqb, mqe, overflow

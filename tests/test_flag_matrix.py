@@ -100,3 +100,19 @@ def test_fastmap_flag_matrix(data_dir, flags):
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0
     assert out.getvalue() == r.stdout
+
+
+@pytest.mark.parametrize("files,golden", [
+    (["reads_se.fq"], "golden_se.sam"),
+    (["reads_1.fq", "reads_2.fq"], "golden_pe.sam"),
+], ids=["se", "pe"])
+def test_mem_worker_pool_identical(data_dir, files, golden):
+    """-t N forks the core.mt worker pool; output must be byte-identical
+    to single-threaded (the reference's kt_for split preserves per-chunk
+    semantics, software/bwamem.c:1569-1639)."""
+    args = ["-t", "3", "--engine", "host",
+            os.path.join(data_dir, "genome.fa")] + \
+        [os.path.join(data_dir, f) for f in files]
+    with open(os.path.join(data_dir, golden)) as f:
+        want = [l for l in f.read().split("\n") if not l.startswith("@PG")]
+    assert _run_ours(args) == want
