@@ -13,8 +13,9 @@ import os
 import sys
 import time
 
-# one wide dispatch slice: the whole bench workload fits one lane group,
-# minimizing device round trips (shapes stay fixed -> one compile each)
+# one wide lane group: the smem while_loop's cost is per-iteration, not
+# per-lane, so the widest dispatch wins (two 1024-lane groups measured
+# ~35% slower than one 2048 despite software pipelining)
 os.environ.setdefault("BWAMEM_TPU_LANES", "2048")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -34,6 +35,10 @@ def main():
     pac = bns.pac
     opt = MemOptions()
 
+    # no -t worker pool here: at this workload size the job pickling
+    # costs more than the parallel finalize saves (A/B: 946 vs 1024 r/s)
+    pool = None
+
     engine = None
     try:
         from bwamem_tpu.ops.engine import JaxSeedingEngine
@@ -49,12 +54,16 @@ def main():
 
     # warm-up (compiles)
     warm = [copy.copy(r) for r in reads[:64]]
-    pl.process_seqs(opt, fm, bns, pac, 0, warm, None, "", engine, verbose=0)
+    pl.process_seqs(opt, fm, bns, pac, 0, warm, None, "", engine,
+                    verbose=0, pool=pool)
 
     t0 = time.perf_counter()
-    pl.process_seqs(opt, fm, bns, pac, 0, work, None, "", engine, verbose=0)
+    pl.process_seqs(opt, fm, bns, pac, 0, work, None, "", engine,
+                    verbose=0, pool=pool)
     dt = time.perf_counter() - t0
     rps = len(work) / dt
+    if pool is not None:
+        pool.close()
 
     print(json.dumps({
         "metric": "mem_align_throughput",

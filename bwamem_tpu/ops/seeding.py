@@ -36,6 +36,9 @@ Intv = Tuple[int, int, int, int]  # (x0, x1, s, info=qb<<32|qe)
 import os as _os
 LANES = int(_os.environ.get("BWAMEM_TPU_LANES", "512"))
 SA_SLICE = int(_os.environ.get("BWAMEM_TPU_SA_SLICE", "16384"))
+# below this many live lanes a seeding dispatch costs more than the
+# scalar oracle; the straggler tail of each lane group runs on the host
+MIN_SEED_WAVE = int(_os.environ.get("BWAMEM_TPU_MIN_SEED_WAVE", "32"))
 
 
 class BatchedSeeder:
@@ -61,130 +64,47 @@ class BatchedSeeder:
         """Run the full iterator for every read (sliced into fixed-width
         lane groups); returns, per read, the concatenated interval lists
         of every iterator call, in call order (the exact stream
-        mem_chain consumes, software/bwamem.c:593-615)."""
-        out: List[List[Intv]] = []
-        for lo in range(0, len(queries), LANES):
-            out.extend(self._interval_streams_slice(
-                opt, queries[lo:lo + LANES]))
-        return out
+        mem_chain consumes, software/bwamem.c:593-615).
 
-    def _interval_streams_slice(self, opt, queries: Sequence[np.ndarray]
-                                ) -> List[List[Intv]]:
-        n = len(queries)
-        B = LANES
-        L, M = self.L, self.M
-        qpad = np.full((B, L), 4, dtype=np.int8)
-        qlen = np.zeros(B, dtype=np.int32)
-        for i, q in enumerate(queries):
-            qlen[i] = len(q)
-            qpad[i, :len(q)] = q
-
-        from ..config import MEM_F_NO_EXACT
-        start_width = 2 if (opt.flag & MEM_F_NO_EXACT) else 1
-        split_widths = np.zeros(B, dtype=np.int64)
-        split_lens = np.zeros(B, dtype=np.int64)
-        for i, q in enumerate(queries):
-            sl = int(opt.min_seed_len * opt.split_factor + .499)
-            split_lens[i] = min(sl, len(q))
-            split_widths[i] = opt.split_width
-
-        start = np.zeros(B, dtype=np.int32)
-        exhausted = np.zeros(B, dtype=bool)
-        exhausted[n:] = True
-        out: List[List[Intv]] = [[] for _ in range(n)]
-
+        Lane groups are software-pipelined: while one group's dispatch
+        is in flight on the device, the previous group's results are
+        unpacked and merged on the host — the same overlap the
+        reference gets from its manager thread running ahead of the
+        FPGA (software/fastmap.c:320-429)."""
+        states = [
+            _SliceRun(self, opt, queries[lo:lo + LANES], lo)
+            for lo in range(0, len(queries), LANES)]
+        from collections import deque
         import jax
-        from .smem import smem_iter_step
-        d = self.dfm
-        # upload loop-invariant arrays once (the query buffer alone is
-        # ~1 MB per slice; re-uploading it every iterator step doubles
-        # the per-dispatch transfer volume)
-        qpad_d = jnp.asarray(qpad)
-        qlen_d = jnp.asarray(qlen)
-        slens_d = jnp.asarray(split_lens)
-        swid_d = jnp.asarray(split_widths)
-        from .engine import MIN_WAVE
-        while not exhausted.all():
-            # skip ambiguous bases (software/bwamem.c:258-259)
-            for i in np.nonzero(~exhausted)[0]:
-                q = queries[i]
-                s = start[i]
-                while s < qlen[i] and q[s] > 3:
-                    s += 1
-                start[i] = s
-                if s >= qlen[i]:
-                    exhausted[i] = True
-            active = ~exhausted
-            if not active.any():
-                break
-            if int(active.sum()) < MIN_WAVE and self.fm_host is not None:
-                # straggler tail: finish the few live reads on the host
-                # oracle (identical results) instead of paying full-width
-                # dispatch round trips
-                for i in np.nonzero(active)[0]:
-                    while start[i] < qlen[i]:
-                        q = queries[i]
-                        while start[i] < qlen[i] and q[start[i]] > 3:
-                            start[i] += 1
-                        if start[i] >= qlen[i]:
-                            break
-                        oret, matches = self._oracle_step(
-                            opt, q, int(start[i]), start_width,
-                            int(split_lens[i]), int(split_widths[i]))
-                        start[i] = oret
-                        out[i].extend(matches)
-                    exhausted[i] = True
-                break
-            x = np.where(active, start, 0).astype(np.int32)
-            mi = np.full(B, start_width, dtype=np.int64)
-            step = lambda: jax.device_get(smem_iter_step(
-                d.blocks, d.primary, d.L2,
-                qpad_d, qlen_d, jnp.asarray(x),
-                jnp.asarray(mi), jnp.asarray(active),
-                slens_d, swid_d,
-                L=self.L, M=self.M, M_OUT=self.m_out))
-            res = self.timer._timed(step) if self.timer else step()
-            (ret, n_mem, m0, m1, ms, mqb, mqe, over1, need2,
-             _r2, n2, s0, s1, ss, sqb, sqe, over2) = res
-            n_mem = np.where(over1, self.M + 1, n_mem)
-            n2 = np.where(over2, self.M + 1, n2)
-            ori_start = start.copy()
-            start = np.where(active, ret, start).astype(np.int32)
-
-            for i in np.nonzero(active)[0]:
-                if int(n_mem[i]) > self.m_out:
-                    # host fallback: the whole iterator step via oracle
-                    oret, matches = self._oracle_step(
-                        opt, queries[i], int(ori_start[i]), start_width,
-                        int(split_lens[i]), int(split_widths[i]))
-                    start[i] = oret
-                    out[i].extend(matches)
-                    continue
-                matches = [(int(m0[i, j]), int(m1[i, j]), int(ms[i, j]),
-                            (int(mqb[i, j]) << 32) | int(mqe[i, j]))
-                           for j in range(int(n_mem[i]))]
-                if need2[i] and matches:
-                    best_len, best = 0, 0
-                    for j, p in enumerate(matches):
-                        ln = (p[3] & 0xFFFFFFFF) - (p[3] >> 32)
-                        if best_len < ln:
-                            best_len, best = ln, j
-                    pm = matches[best]
-                    if int(n2[i]) > self.m_out:  # pass-2 overflow
-                        from ..oracle.smem import smem1
-                        _, sub = smem1(
-                            self.fm_host, queries[i],
-                            ((pm[3] >> 32) + (pm[3] & 0xFFFFFFFF)) >> 1,
-                            pm[2] + 1)
-                    else:
-                        sub = [(int(s0[i, j]), int(s1[i, j]),
-                                int(ss[i, j]),
-                                (int(sqb[i, j]) << 32) | int(sqe[i, j]))
-                               for j in range(int(n2[i]))]
-                    matches = _merge(matches, sub, best_len,
-                                     int(ori_start[i]), int(qlen[i]))
-                out[i].extend(matches)
+        pending = deque()
+        for st in states:
+            if st.advance():
+                pending.append((st, st.dispatch()))
+        while pending:
+            st, dev = pending.popleft()
+            get = lambda dev=dev: jax.device_get(dev)
+            res = self.timer._timed(get) if self.timer else get()
+            st.process(res)
+            if st.advance():
+                pending.append((st, st.dispatch()))
+        out: List[List[Intv]] = []
+        for st in states:
+            out.extend(st.out)
         return out
+
+    def _oracle_finish(self, opt, query, start: int, start_width: int,
+                       split_len: int, split_width: int, out: list) -> None:
+        """Run the iterator to exhaustion for one read on the host
+        oracle (identical results to the device path)."""
+        qlen = len(query)
+        while start < qlen:
+            while start < qlen and query[start] > 3:
+                start += 1
+            if start >= qlen:
+                break
+            start, matches = self._oracle_step(
+                opt, query, start, start_width, split_len, split_width)
+            out.extend(matches)
 
     def _oracle_step(self, opt, query, x: int, start_width: int,
                      split_len: int, split_width: int):
@@ -231,23 +151,157 @@ class BatchedSeeder:
         karr = np.asarray(keys, dtype=np.int64)
         vals = np.empty(len(karr), dtype=np.int64)
         over = np.empty(len(karr), dtype=bool)
+        import jax
+        pend = []  # dispatch-all-then-collect (jax dispatch is async)
         for lo in range(0, len(karr), SA_SLICE):
             sl = karr[lo:lo + SA_SLICE]
             pad = np.zeros(SA_SLICE, dtype=np.int64)
             pad[:len(sl)] = sl
-            import jax
-            fn = lambda: jax.device_get(sa_lookup_batched(
+            dev = sa_lookup_batched(
                 d.blocks, d.primary, d.L2, d.seq_len, d.sa, d.sa_intv,
-                jnp.asarray(pad), max_steps=self.sa_max_steps))
+                jnp.asarray(pad), max_steps=self.sa_max_steps)
+            pend.append((lo, len(sl), dev))
+        for lo, n_sl, dev in pend:
+            fn = lambda dev=dev: jax.device_get(dev)
             v, o = self.timer._timed(fn) if self.timer else fn()
-            vals[lo:lo + len(sl)] = v[:len(sl)]
-            over[lo:lo + len(sl)] = o[:len(sl)]
+            vals[lo:lo + n_sl] = v[:n_sl]
+            over[lo:lo + n_sl] = o[:n_sl]
         for idx in np.nonzero(over)[0]:  # host fallback
             vals[idx] = fm_host.sa_lookup(int(karr[idx]))
         for (i, p, slen, qb, n_occ, off) in layout:
             for k in range(n_occ):
                 out[i].append((int(vals[off + k]), qb, slen))
         return out
+
+
+class _SliceRun:
+    """Iterator state for one fixed-width lane group (see
+    BatchedSeeder.interval_streams).  advance() does the host-side
+    bookkeeping between rounds (ambiguous-base skip, straggler tail);
+    dispatch() launches one fused smem_iter_step asynchronously;
+    process() unpacks a round's results."""
+
+    def __init__(self, seeder: "BatchedSeeder", opt, queries, base: int):
+        self.seeder = seeder
+        self.opt = opt
+        self.queries = queries
+        n = len(queries)
+        B = LANES
+        qpad = np.full((B, seeder.L), 4, dtype=np.int8)
+        qlen = np.zeros(B, dtype=np.int32)
+        for i, q in enumerate(queries):
+            qlen[i] = len(q)
+            qpad[i, :len(q)] = q
+        from ..config import MEM_F_NO_EXACT
+        self.start_width = 2 if (opt.flag & MEM_F_NO_EXACT) else 1
+        self.split_lens = np.zeros(B, dtype=np.int64)
+        self.split_widths = np.zeros(B, dtype=np.int64)
+        sl = int(opt.min_seed_len * opt.split_factor + .499)
+        for i, q in enumerate(queries):
+            self.split_lens[i] = min(sl, len(q))
+            self.split_widths[i] = opt.split_width
+        self.qlen = qlen
+        self.start = np.zeros(B, dtype=np.int32)
+        self.exhausted = np.zeros(B, dtype=bool)
+        self.exhausted[n:] = True
+        self.out: List[List[Intv]] = [[] for _ in range(n)]
+        # upload loop-invariant arrays once (the query buffer alone is
+        # ~0.25 MB per group; re-uploading it every round doubles the
+        # per-dispatch transfer volume)
+        self.qpad_d = jnp.asarray(qpad)
+        self.qlen_d = jnp.asarray(qlen)
+        self.slens_d = jnp.asarray(self.split_lens)
+        self.swid_d = jnp.asarray(self.split_widths)
+        self.active = None
+        self.ori_start = None
+
+    def advance(self) -> bool:
+        """Host bookkeeping between rounds; True if a device round
+        should be dispatched."""
+        sdr = self.seeder
+        # skip ambiguous bases (software/bwamem.c:258-259)
+        for i in np.nonzero(~self.exhausted)[0]:
+            q = self.queries[i]
+            s = self.start[i]
+            while s < self.qlen[i] and q[s] > 3:
+                s += 1
+            self.start[i] = s
+            if s >= self.qlen[i]:
+                self.exhausted[i] = True
+        active = ~self.exhausted
+        n_live = int(active.sum())
+        if n_live == 0:
+            return False
+        if n_live < MIN_SEED_WAVE and sdr.fm_host is not None:
+            # straggler tail: finish the few live reads on the host
+            # oracle instead of paying full-width dispatch round trips
+            for i in np.nonzero(active)[0]:
+                sdr._oracle_finish(
+                    self.opt, self.queries[i], int(self.start[i]),
+                    self.start_width, int(self.split_lens[i]),
+                    int(self.split_widths[i]), self.out[i])
+                self.exhausted[i] = True
+            return False
+        self.active = active
+        return True
+
+    def dispatch(self):
+        from .smem import smem_iter_step
+        sdr = self.seeder
+        d = sdr.dfm
+        self.ori_start = self.start.copy()
+        x = np.where(self.active, self.start, 0).astype(np.int32)
+        mi = np.full(LANES, self.start_width, dtype=np.int64)
+        return smem_iter_step(
+            d.blocks, d.primary, d.L2,
+            self.qpad_d, self.qlen_d, jnp.asarray(x),
+            jnp.asarray(mi), jnp.asarray(self.active),
+            self.slens_d, self.swid_d,
+            L=sdr.L, M=sdr.M, M_OUT=sdr.m_out)
+
+    def process(self, res) -> None:
+        sdr = self.seeder
+        (ret, n_mem, m0, m1, ms, mqb, mqe, over1, need2,
+         _r2, n2, s0, s1, ss, sqb, sqe, over2) = res
+        n_mem = np.where(over1, sdr.M + 1, n_mem)
+        n2 = np.where(over2, sdr.M + 1, n2)
+        ori_start = self.ori_start
+        active = self.active
+        self.start = np.where(active, ret, self.start).astype(np.int32)
+        out = self.out
+        for i in np.nonzero(active)[0]:
+            if int(n_mem[i]) > sdr.m_out:
+                # host fallback: the whole iterator step via oracle
+                oret, matches = sdr._oracle_step(
+                    self.opt, self.queries[i], int(ori_start[i]),
+                    self.start_width, int(self.split_lens[i]),
+                    int(self.split_widths[i]))
+                self.start[i] = oret
+                out[i].extend(matches)
+                continue
+            matches = [(int(m0[i, j]), int(m1[i, j]), int(ms[i, j]),
+                        (int(mqb[i, j]) << 32) | int(mqe[i, j]))
+                       for j in range(int(n_mem[i]))]
+            if need2[i] and matches:
+                best_len, best = 0, 0
+                for j, p in enumerate(matches):
+                    ln = (p[3] & 0xFFFFFFFF) - (p[3] >> 32)
+                    if best_len < ln:
+                        best_len, best = ln, j
+                pm = matches[best]
+                if int(n2[i]) > sdr.m_out:  # pass-2 overflow
+                    from ..oracle.smem import smem1
+                    _, sub = smem1(
+                        sdr.fm_host, self.queries[i],
+                        ((pm[3] >> 32) + (pm[3] & 0xFFFFFFFF)) >> 1,
+                        pm[2] + 1)
+                else:
+                    sub = [(int(s0[i, j]), int(s1[i, j]), int(ss[i, j]),
+                            (int(sqb[i, j]) << 32) | int(sqe[i, j]))
+                           for j in range(int(n2[i]))]
+                matches = _merge(matches, sub, best_len,
+                                 int(ori_start[i]), int(self.qlen[i]))
+            out[i].extend(matches)
 
 
 def _merge(matches: List[Intv], sub: List[Intv], max_len: int,
