@@ -61,11 +61,18 @@ def _gather_rows(blocks: jnp.ndarray, blk: jnp.ndarray) -> jnp.ndarray:
     n_blocks = blocks.shape[0]
     if n_blocks > _ONEHOT_MAX or _ONEHOT_MAX <= 0:
         return blocks[blk]
+    if os.environ.get("BWAMEM_TPU_PALLAS_GATHER"):
+        # explicit-VMEM one-hot matmul kernel; measured slightly slower
+        # than the XLA paths at these table sizes (see ops/pallas_onehot)
+        from .pallas_onehot import (onehot_gather_available, onehot_table,
+                                    gather_rows_onehot)
+        if onehot_gather_available(n_blocks):
+            return gather_rows_onehot(onehot_table(blocks), blk)
     shp = blk.shape
     flat = blk.reshape(-1).astype(jnp.int32)
     if flat.shape[0] * n_blocks > (1 << 24):
-        # the one-hot operand would be tens of MB per lookup — the MXU
-        # win drowns in HBM traffic; keep the gather for wide batches
+        # the XLA one-hot operand would be tens of MB per lookup — the
+        # MXU win drowns in HBM traffic; keep the gather for wide batches
         return blocks[blk]
     sh = jnp.arange(4, dtype=jnp.int64) * 8
     t8 = ((blocks.astype(jnp.int64)[:, :, None] >> sh) & 0xFF)

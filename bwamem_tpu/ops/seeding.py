@@ -50,10 +50,13 @@ class BatchedSeeder:
                  timer=None):
         self.dfm = dfm
         self.L = int(max_len)
-        # interval-buffer width: typical prev/mem lists are short; lanes
-        # that outgrow it fall back to the host oracle (analog of the
-        # FPGA's fixed push_mem BRAM, hardware/afu_core.v:5946-5969)
-        self.M = 48
+        # interval-buffer width: the backward pass costs O(M) occ
+        # lookups per iteration, so M is sized from measured interval
+        # counts (p99 = 11, max 13 on 101 bp reads); lanes that outgrow
+        # it are flagged overflow and fall back to the host oracle (the
+        # FPGA's fixed push_mem BRAM + CPU fallback,
+        # hardware/afu_core.v:5946-5969, software/bwt.c:603-717)
+        self.M = int(_os.environ.get("BWAMEM_TPU_SMEM_M", "16"))
         self.m_out = min(int(m_out), self.M)
         self.sa_max_steps = int(sa_max_steps)
         self.fm_host = fm_host  # host oracle for overflow fallback

@@ -186,3 +186,16 @@ def test_pallas_occ4_interpret_parity(ref_index, dfm):
     finally:
         po.gather_rows_pallas = orig
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_onehot_gather_interpret_parity(dfm):
+    """The generated-one-hot matmul gather kernel (interpret mode on
+    CPU) must reproduce the plain row gather exactly."""
+    from bwamem_tpu.ops import pallas_onehot as oh
+    rng = np.random.default_rng(11)
+    n_blocks = int(dfm.blocks.shape[0])
+    blk = jnp.asarray(rng.integers(0, n_blocks, (2, 7, 5)).astype(np.int64))
+    tab = oh.onehot_table(dfm.blocks)
+    got = oh.gather_rows_onehot(tab, blk, interpret=True)
+    want = dfm.blocks[blk]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
