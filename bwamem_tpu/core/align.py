@@ -69,13 +69,14 @@ def drive_cigar_gen(gen, mat, o_del, e_del, o_ins, e_ins):
 
 
 def gen_cigar_gen(mat, o_del, e_del, o_ins, e_ins, w_, l_pac, pac,
-                  query: np.ndarray, rb: int, re: int):
+                  query: np.ndarray, rb: int, re: int, trace=None):
     """bwa_gen_cigar2 as a generator (software/bwa.c:96-179): the banded
     global alignment is yielded as ('global2', q, rseq, w) and
     (score, cigar) sent back, so a batching driver can run one device
     dispatch per wave.  query is the nt4 slice being aligned (NOT
     modified; reversal on copies).  Returns (cigar, MD, score, NM);
-    cigar None when rejected."""
+    cigar None when rejected.  `trace` collects the bwa_verbose>=4
+    lines (software/bwa.c:134-138)."""
     l_query = len(query)
     if l_query <= 0 or rb >= re or (rb < l_pac < re):
         return None, "", 0, -1
@@ -99,6 +100,12 @@ def gen_cigar_gen(mat, o_del, e_del, o_ins, e_ins, w_, l_pac, pac,
         w = min(w, w_)
         min_w = abs((re - rb) - l_query) + 3
         w = max(w, min_w)
+        if trace is not None:
+            trace.append("* Global bandwidth: %d\n" % w)
+            trace.append("* Global ref:   %s\n"
+                         % "".join(INT2BASE_F[b] for b in rseq))
+            trace.append("* Global query: %s\n"
+                         % "".join(INT2BASE_F[b] for b in q))
         score, cigar = yield ("global2", q, rseq, w)
     # NM and MD
     md = []
@@ -134,7 +141,7 @@ def gen_cigar_gen(mat, o_del, e_del, o_ins, e_ins, w_, l_pac, pac,
 
 
 def fix_xref_gen(opt, bns, pac, query: np.ndarray, qb: int, qe: int,
-                 rb: int, re: int):
+                 rb: int, re: int, trace=None):
     """bwa_fix_xref2 as a generator: returns (status, qb, qe, rb, re)."""
     if rb < bns.l_pac < re:
         return -1, -1, -1, -1, -1
@@ -147,7 +154,7 @@ def fix_xref_gen(opt, bns, pac, query: np.ndarray, qb: int, qe: int,
         ce = min(ce, re)
         cigar, _md, _sc, _nm = yield from gen_cigar_gen(
             opt.mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, opt.w,
-            bns.l_pac, pac, query[qb:qe], rb, re)
+            bns.l_pac, pac, query[qb:qe], rb, re, trace)
         x, y = rb, qb
         for cg in cigar or []:
             op, ln = cg & 0xF, cg >> 4
@@ -187,8 +194,9 @@ def reg2aln(opt, bns, pac, l_query: int, query_nt4: np.ndarray,
 
 
 def reg2aln_gen(opt, bns, pac, l_query: int, query_nt4: np.ndarray,
-                ar: Optional[AlnReg]):
-    """mem_reg2aln (software/bwamem.c:1481-1553) as a generator."""
+                ar: Optional[AlnReg], trace=None):
+    """mem_reg2aln (software/bwamem.c:1481-1553) as a generator.
+    `trace` collects the bwa_verbose>=4 lines (:1507,:1514)."""
     a = MemAln()
     if ar is None or ar.rb < 0 or ar.re < 0:
         a.rid = -1
@@ -202,12 +210,15 @@ def reg2aln_gen(opt, bns, pac, l_query: int, query_nt4: np.ndarray,
     if ar.secondary >= 0:
         a.flag |= 0x100
     st, qb, qe, rb, re = yield from fix_xref_gen(opt, bns, pac, query,
-                                                 qb, qe, rb, re)
+                                                 qb, qe, rb, re, trace)
     if st < 0:
         raise RuntimeError("mem_reg2aln: unfixable cross-contig alignment")
     tmp = infer_bw(qe - qb, re - rb, ar.truesc, opt.a, opt.o_del, opt.e_del)
     w2 = infer_bw(qe - qb, re - rb, ar.truesc, opt.a, opt.o_ins, opt.e_ins)
     w2 = max(w2, tmp)
+    if trace is not None:
+        trace.append("* Band width: inferred=%d, cmd_opt=%d, alnreg=%d\n"
+                     % (w2, opt.w, ar.w))
     if w2 > opt.w:
         w2 = min(w2, ar.w)
     i = 0
@@ -218,7 +229,10 @@ def reg2aln_gen(opt, bns, pac, l_query: int, query_nt4: np.ndarray,
     while True:
         cigar, md, score, NM = yield from gen_cigar_gen(
             opt.mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, w2,
-            bns.l_pac, pac, query[qb:qe], rb, re)
+            bns.l_pac, pac, query[qb:qe], rb, re, trace)
+        if trace is not None:
+            trace.append("* Final alignment: w2=%d, global_sc=%d, "
+                         "local_sc=%d\n" % (w2, score, ar.truesc))
         if score == last_sc:
             break
         last_sc = score

@@ -99,8 +99,9 @@ class ChainTree:
         return len(self.chains)
 
 
-def mem_chain(opt, fm, l_pac: int, query) -> List[Chain]:
-    """mem_chain + mem_insert_seed (software/bwamem.c:453-501,593-615)."""
+def mem_chain(opt, fm, l_pac: int, query, trace=None) -> List[Chain]:
+    """mem_chain + mem_insert_seed (software/bwamem.c:453-501,593-615).
+    `trace` collects the bwa_verbose>=5 seed dump (bwamem.c:478-479)."""
     from ..oracle.smem import SmemIterator
     if len(query) < opt.min_seed_len:
         return []
@@ -121,6 +122,9 @@ def mem_chain(opt, fm, l_pac: int, query) -> List[Chain]:
             for k in range(p[2]):
                 rbeg = fm.sa_lookup(p[0] + k)
                 s = (rbeg, p[3] >> 32, slen)
+                if trace is not None:
+                    trace.append("* Found SEED: length=%d,query_beg=%d,"
+                                 "ref_beg=%d\n" % (slen, p[3] >> 32, rbeg))
                 if rbeg < l_pac < rbeg + slen:
                     continue  # bridging forward-reverse boundary
                 to_add = False

@@ -277,9 +277,10 @@ def sam_pe(opt, bns, pac, pes: List[PeStat], pair_id: int, reads, regs,
 
 
 def sam_pe_gen(opt, bns, pac, pes: List[PeStat], pair_id: int, reads, regs,
-               rg_id: str):
+               rg_id: str, trace=None):
     """mem_sam_pe as a generator: finalize one read pair into SAM
-    lines, yielding every SW request for batched wave dispatch."""
+    lines, yielding every SW request for batched wave dispatch.
+    `trace` collects the bwa_verbose>=4 lines of the reg2aln calls."""
     s0, s1 = reads
     a = [regs[0], regs[1]]
     n = 0
@@ -342,11 +343,11 @@ def sam_pe_gen(opt, bns, pac, pes: List[PeStat], pair_id: int, reads, regs,
                     q_se = [approx_mapq_se(opt, a[0][0]),
                             approx_mapq_se(opt, a[1][0])]
                 h0 = yield from reg2aln_gen(opt, bns, pac, s0.l_seq,
-                                            s0.seq_nt4, a[0][z[0]])
+                                            s0.seq_nt4, a[0][z[0]], trace)
                 h0.mapq = q_se[0]
                 h0.flag |= 0x40 | extra_flag
                 h1 = yield from reg2aln_gen(opt, bns, pac, s1.l_seq,
-                                            s1.seq_nt4, a[1][z[1]])
+                                            s1.seq_nt4, a[1][z[1]], trace)
                 h1.mapq = q_se[1]
                 h1.flag |= 0x80 | extra_flag
                 out0, out1 = [], []
@@ -362,10 +363,10 @@ def sam_pe_gen(opt, bns, pac, pes: List[PeStat], pair_id: int, reads, regs,
     for i, (s, ai) in enumerate(((s0, a[0]), (s1, a[1]))):
         if ai and ai[0].score >= opt.T:
             h[i] = yield from reg2aln_gen(opt, bns, pac, s.l_seq,
-                                          s.seq_nt4, ai[0])
+                                          s.seq_nt4, ai[0], trace)
         else:
             h[i] = yield from reg2aln_gen(opt, bns, pac, s.l_seq,
-                                          s.seq_nt4, None)
+                                          s.seq_nt4, None, trace)
     if (not (opt.flag & MEM_F_NOPAIRING) and h[0].rid == h[1].rid
             and h[0].rid >= 0):
         d, dist = infer_dir(bns.l_pac, a[0][0].rb, a[1][0].rb)
@@ -373,9 +374,9 @@ def sam_pe_gen(opt, bns, pac, pes: List[PeStat], pair_id: int, reads, regs,
             extra_flag |= 2
     from .pipeline import reg2sam_se_gen
     yield from reg2sam_se_gen(opt, bns, pac, s0, a[0], 0x41 | extra_flag,
-                              h[1], rg_id)
+                              h[1], rg_id, trace)
     yield from reg2sam_se_gen(opt, bns, pac, s1, a[1], 0x81 | extra_flag,
-                              h[0], rg_id)
+                              h[0], rg_id, trace)
     if s0.name != s1.name:
         raise RuntimeError("paired reads have different names")
     return n

@@ -35,31 +35,43 @@ def encode_read(read) -> None:
 
 
 def align1_core(opt: MemOptions, fm, bns, pac, read,
-                chains=None) -> List[AlnReg]:
+                chains=None, trace=None, trace_seeds=False) -> List[AlnReg]:
     """mem_align1_core: one read -> deduplicated alignment regions.
     `chains` may be precomputed (e.g. by the batched TPU seeder)."""
     from .region import drive_extension_gen
-    gen = align1_core_gen(opt, fm, bns, pac, read, chains)
+    gen = align1_core_gen(opt, fm, bns, pac, read, chains, trace,
+                          trace_seeds)
     return drive_extension_gen(gen, opt)
 
 
-def align1_core_gen(opt: MemOptions, fm, bns, pac, read, chains=None):
+def align1_core_gen(opt: MemOptions, fm, bns, pac, read, chains=None,
+                    trace=None, trace_seeds=False):
     """Generator form of mem_align1_core: yields banded-extension
     requests (see region.chain2aln_gen) and returns the deduplicated
-    region list via StopIteration.value."""
+    region list via StopIteration.value.  `trace` collects the
+    bwa_verbose>=4 lines (chain dump software/bwamem.c:1450, per-chain
+    header :1456, extension traces); `trace_seeds` adds the >=5 seed
+    dump."""
     from .region import chain2aln_gen
     encode_read(read)
     query = read.seq_nt4
     if chains is None:
-        chains = mem_chain(opt, fm, bns.l_pac, query)
+        chains = mem_chain(opt, fm, bns.l_pac, query,
+                           trace if trace_seeds else None)
     chains = mem_chain_flt(opt, chains)
+    if trace is not None:
+        from .trace import print_chain
+        print_chain(bns, chains, trace)
     regs: List[AlnReg] = []
-    for c in chains:
-        ret = chain2aln_short(opt, bns.l_pac, pac, query, c)
+    for i, c in enumerate(chains):
+        if trace is not None:  # err_printf → stdout (bwamem.c:1456)
+            trace.err("* ---> Processing chain(%d) <---\n" % i)
+        ret = chain2aln_short(opt, bns.l_pac, pac, query, c, trace)
         if isinstance(ret, AlnReg):
             regs.append(ret)
         elif ret > 0:
-            yield from chain2aln_gen(opt, bns.l_pac, pac, query, c, regs)
+            yield from chain2aln_gen(opt, bns.l_pac, pac, query, c, regs,
+                                     trace)
     regs = sort_and_dedup(regs, opt.mask_level_redun)
     if opt.flag & MEM_F_NO_EXACT:
         regs = test_and_remove_exact(opt, regs, read.l_seq)
@@ -76,7 +88,7 @@ def reg2sam_se(opt, bns, pac, read, regs: List[AlnReg], extra_flag: int,
 
 
 def reg2sam_se_gen(opt, bns, pac, read, regs: List[AlnReg],
-                   extra_flag: int, m, rg_id: str):
+                   extra_flag: int, m, rg_id: str, trace=None):
     """mem_reg2sam_se (software/bwamem.c:1359-1393) as a generator
     yielding the banded-global-SW requests of its reg2aln calls."""
     from .align import reg2aln_gen
@@ -89,7 +101,7 @@ def reg2sam_se_gen(opt, bns, pac, read, regs: List[AlnReg],
         if p.secondary >= 0 and p.score < regs[p.secondary].score * .5:
             continue
         q = yield from reg2aln_gen(opt, bns, pac, read.l_seq,
-                                   read.seq_nt4, p)
+                                   read.seq_nt4, p, trace)
         q.flag |= extra_flag
         if p.secondary >= 0:
             q.sub = -1  # don't output sub-optimal score
@@ -101,7 +113,7 @@ def reg2sam_se_gen(opt, bns, pac, read, regs: List[AlnReg],
     out: List[str] = []
     if not aa:  # unaligned record
         t = yield from reg2aln_gen(opt, bns, pac, read.l_seq,
-                                   read.seq_nt4, None)
+                                   read.seq_nt4, None, trace)
         t.flag |= extra_flag
         aln2sam(bns, read, 1, [t], 0, m, rg_id, out)
     else:
@@ -127,12 +139,36 @@ def process_seqs(opt: MemOptions, fm, bns, pac, n_processed: int,
     for r in reads:
         encode_read(r)
 
+    # -v>=4 per-read tracing (SURVEY.md §5): collect per read, replay
+    # in the reference's -t1 order (see core.trace).  The worker pool is
+    # bypassed so trace collection stays in-process.
+    traces1 = None
+    if verbose >= 4:
+        from .trace import TraceLog, emit
+        traces1 = [TraceLog() for _ in reads]
+        pool = None
+
     if engine is not None:
-        regs = engine.align_batch(opt, fm, bns, pac, reads)
+        regs = engine.align_batch(opt, fm, bns, pac, reads, traces=traces1,
+                                  trace_seeds=verbose >= 5)
     elif pool is not None:
         regs = pool.align_regs(opt, reads)
     else:
-        regs = [align1_core(opt, fm, bns, pac, r) for r in reads]
+        regs = [align1_core(opt, fm, bns, pac, reads[i],
+                            trace=traces1[i] if traces1 is not None else None,
+                            trace_seeds=verbose >= 5)
+                for i in range(n)]
+
+    if traces1 is not None:
+        # worker1_batched prints the batch headers AFTER each batch of
+        # `-b` reads completes (software/bwamem.c:1589-1594)
+        b = max(opt.batch_size, 1)
+        for start in range(0, n, b):
+            emit(traces1[start:start + b])
+            for r in reads[start:start + b]:
+                sys.stdout.write("=====> Processing read '%s' <=====\n"
+                                 % r.name)
+        sys.stdout.flush()
 
     if opt.flag & MEM_F_PE:
         if pes0 is not None:
@@ -142,10 +178,13 @@ def process_seqs(opt: MemOptions, fm, bns, pac, n_processed: int,
         if pool is not None:
             pool.finalize_pe(opt, pes, reads, regs, n_processed, rg_id)
         else:
+            traces2 = ([TraceLog() for _ in range(n >> 1)]
+                       if traces1 is not None else [None] * (n >> 1))
             gens = [pe.sam_pe_gen(opt, bns, pac, pes,
                                   (n_processed >> 1) + i,
                                   (reads[i << 1], reads[i << 1 | 1]),
-                                  (regs[i << 1], regs[i << 1 | 1]), rg_id)
+                                  (regs[i << 1], regs[i << 1 | 1]), rg_id,
+                                  traces2[i])
                     for i in range(n >> 1)]
             if engine is not None:
                 engine.drive_waves(opt, gens)
@@ -153,6 +192,11 @@ def process_seqs(opt: MemOptions, fm, bns, pac, n_processed: int,
                 from .swdrive import drive_host
                 for g in gens:
                     drive_host(g, opt)
+            if traces1 is not None:
+                for i in range(n >> 1):  # worker2 header (bwamem.c:1608)
+                    sys.stdout.write("=====> Finalizing read pair '%s' "
+                                     "<=====\n" % reads[i << 1].name)
+                    emit(traces2[i:i + 1])
     else:
         if pool is not None:
             pool.finalize_se(opt, reads, regs,
@@ -160,14 +204,22 @@ def process_seqs(opt: MemOptions, fm, bns, pac, n_processed: int,
         else:
             for i in range(n):
                 mark_primary(opt, regs[i], n_processed + i)
+            traces2 = ([TraceLog() for _ in range(n)]
+                       if traces1 is not None else [None] * n)
             gens = [reg2sam_se_gen(opt, bns, pac, reads[i], regs[i], 0,
-                                   None, rg_id) for i in range(n)]
+                                   None, rg_id, traces2[i])
+                    for i in range(n)]
             if engine is not None:
                 engine.drive_waves(opt, gens)
             else:
                 from .swdrive import drive_host
                 for g in gens:
                     drive_host(g, opt)
+            if traces1 is not None:
+                for i in range(n):  # worker2 header (bwamem.c:1603)
+                    sys.stdout.write("=====> Finalizing read '%s' <=====\n"
+                                     % reads[i].name)
+                    emit(traces2[i:i + 1])
     if verbose >= 3:
         print("[M::mem_process_seqs] Processed %d reads in %.3f CPU sec, "
               "%.3f real sec" % (n, time.process_time() - ctime,

@@ -52,9 +52,11 @@ def cal_max_gap(opt, qlen: int) -> int:
     return min(l, opt.w * 2)
 
 
-def chain2aln_short(opt, l_pac: int, pac, query: np.ndarray, c) -> object:
+def chain2aln_short(opt, l_pac: int, pac, query: np.ndarray, c,
+                    trace=None) -> object:
     """mem_chain2aln_short.  Returns an AlnReg on success, 1 if the
-    general path must run, -1 on empty chain (C's return codes)."""
+    general path must run, -1 on empty chain (C's return codes).
+    `trace` collects the bwa_verbose>=4 lines (software/bwamem.c:850)."""
     if c.n == 0:
         return -1
     l_query = len(query)
@@ -106,6 +108,9 @@ def chain2aln_short(opt, l_pac: int, pac, query: np.ndarray, c) -> object:
     a.qe = qb + x.qe + 1
     a.score = x.score
     a.csub = x.score2
+    if trace is not None:
+        trace.append("** Added alignment region via mem_chain2aln_short():"
+                     " [%d,%d) <=> [%d,%d)\n" % (a.qb, a.qe, a.rb, a.re))
     return a
 
 
@@ -131,8 +136,11 @@ def drive_extension_gen(gen, opt):
         return e.value
 
 
+_NT5 = "ACGTN"
+
+
 def chain2aln_gen(opt, l_pac: int, pac, query: np.ndarray, c,
-                  av: List[AlnReg]):
+                  av: List[AlnReg], trace=None):
     """mem_chain2aln as a generator: extend each seed (longest first)
     unless contained in an existing region (software/bwamem.c:1040-1188).
     Each banded-extension call is yielded as
@@ -186,6 +194,11 @@ def chain2aln_gen(opt, l_pac: int, pac, query: np.ndarray, c,
                 hit = i
                 break
         if hit >= 0:
+            if trace is not None:
+                trace.append(
+                    "** Seed(%d) [%d;%d,%d] is almost contained in an "
+                    "existing alignment. Confirming whether extension is "
+                    "needed...\n" % (k, s_len, s_qbeg, s_rbeg))
             # confirm no overlapping seed would produce a different aln
             i = k + 1
             while i < c.n:
@@ -206,10 +219,18 @@ def chain2aln_gen(opt, l_pac: int, pac, query: np.ndarray, c,
             if i == c.n:
                 srt_alive[k] = 0  # mark extension not performed
                 continue
+            if trace is not None:
+                trace.append(
+                    "** Seed(%d) might lead to a different alignment even "
+                    "though it is contained. Extension will be performed."
+                    "\n" % k)
 
         a = AlnReg()
         a.w = aw0 = aw1 = opt.w
         a.score = a.truesc = -1
+        if trace is not None:  # err_printf (bwamem.c:1119)
+            trace.err("** ---> Extending from seed(%d) [%d;%d,%d] <---\n"
+                      % (k, s_len, s_qbeg, s_rbeg))
 
         gscore = 0
         if s_qbeg:  # left extension
@@ -220,9 +241,18 @@ def chain2aln_gen(opt, l_pac: int, pac, query: np.ndarray, c,
             for i in range(MAX_BAND_TRY):
                 prev = a.score
                 aw0 = opt.w << i
+                if trace is not None:
+                    trace.append("*** Left ref:   %s\n*** Left query: %s\n"
+                                 % ("".join(_NT5[b] for b in rs),
+                                    "".join(_NT5[b] for b in qs)))
                 (a.score, qle, tle, gtle, gscore,
                  max_off0) = yield ("extend2", qs, rs, aw0,
                                     opt.pen_clip5, s_len * opt.a)
+                if trace is not None:
+                    trace.append("*** Left extension: prev_score=%d; "
+                                 "score=%d; bandwidth=%d; "
+                                 "max_off_diagonal_dist=%d\n"
+                                 % (prev, a.score, aw0, max_off0))
                 if a.score == prev or max_off0 < (aw0 >> 1) + (aw0 >> 2):
                     break
             if gscore <= 0 or gscore <= a.score - opt.pen_clip5:
@@ -248,9 +278,18 @@ def chain2aln_gen(opt, l_pac: int, pac, query: np.ndarray, c,
             for i in range(MAX_BAND_TRY):
                 prev = a.score
                 aw1 = opt.w << i
+                if trace is not None:
+                    trace.append("*** Right ref:   %s\n*** Right query: %s\n"
+                                 % ("".join(_NT5[b] for b in rseq[re:]),
+                                    "".join(_NT5[b] for b in query[qe:])))
                 (a.score, qle, tle, gtle, gscore,
                  max_off1) = yield ("extend2", query[qe:], rseq[re:], aw1,
                                     opt.pen_clip3, sc0)
+                if trace is not None:
+                    trace.append("*** Right extension: prev_score=%d; "
+                                 "score=%d; bandwidth=%d; "
+                                 "max_off_diagonal_dist=%d\n"
+                                 % (prev, a.score, aw1, max_off1))
                 if a.score == prev or max_off1 < (aw1 >> 1) + (aw1 >> 2):
                     break
             if gscore <= 0 or gscore <= a.score - opt.pen_clip3:
@@ -265,6 +304,10 @@ def chain2aln_gen(opt, l_pac: int, pac, query: np.ndarray, c,
             a.qe = l_query
             a.re = s_rbeg + s_len
 
+        if trace is not None:
+            trace.append("*** Added alignment region: [%d,%d) <=> [%d,%d); "
+                         "score=%d; {left,right}_bandwidth={%d,%d}\n"
+                         % (a.qb, a.qe, a.rb, a.re, a.score, aw0, aw1))
         a.seedcov = 0
         for t_rbeg, t_qbeg, t_len in c.seeds:
             if (t_qbeg >= a.qb and t_qbeg + t_len <= a.qe

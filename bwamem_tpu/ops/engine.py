@@ -45,10 +45,14 @@ class JaxSeedingEngine:
         self.kernel_time = 0.0
         self.n_dispatches = 0
 
-    def chain_batch(self, opt, reads) -> List[list]:
+    def chain_batch(self, opt, reads, traces=None,
+                    trace_seeds=False) -> List[list]:
         """Batched replacement for per-read mem_chain
         (software/bwamem.c:453-501): device seeding + SA, host chain
-        insertion replaying the kbtree semantics."""
+        insertion replaying the kbtree semantics.  `trace_seeds` adds
+        the -v>=5 seed dump (bwamem.c:478-479) in per-read order (the
+        reference's batched seeder interleaves reads; we emit the
+        equivalent per-read grouping)."""
         from ..core.chain import Chain, ChainTree, _test_and_merge
         from ..core.pipeline import encode_read
 
@@ -72,6 +76,10 @@ class JaxSeedingEngine:
                 tree = ChainTree()
                 for s in seeds[bi]:
                     rbeg, qbeg, slen = s
+                    if trace_seeds and traces is not None:
+                        traces[i].append(
+                            "* Found SEED: length=%d,query_beg=%d,"
+                            "ref_beg=%d\n" % (slen, qbeg, rbeg))
                     if rbeg < l_pac < rbeg + slen:
                         continue  # bridging fwd-rev boundary
                     to_add = False
@@ -89,19 +97,26 @@ class JaxSeedingEngine:
             from ..core.chain import mem_chain
             l_pac = self.fm_host.seq_len >> 1
             for i in host_idx:
-                chains[i] = mem_chain(opt, self.fm_host, l_pac,
-                                      reads[i].seq_nt4)
+                chains[i] = mem_chain(
+                    opt, self.fm_host, l_pac, reads[i].seq_nt4,
+                    traces[i] if (trace_seeds and traces is not None)
+                    else None)
         return chains
 
-    def align_batch(self, opt, fm, bns, pac, reads) -> List[list]:
+    def align_batch(self, opt, fm, bns, pac, reads, traces=None,
+                    trace_seeds=False) -> List[list]:
         """mem_align1_core for a whole batch: batched device seeding,
         then all reads' chain extensions advanced in lock-step waves —
         every wave is ONE batched ksw_extend2 device dispatch over the
         live (read, seed, side) lanes (the reference's batch-dispatch
-        structure applied to the SW stage)."""
+        structure applied to the SW stage).  `traces` (one TraceLog per
+        read) collects the -v>=4 lines."""
         from ..core.pipeline import align1_core_gen
-        chains = self.chain_batch(opt, reads)
-        gens = [align1_core_gen(opt, fm, bns, pac, r, chains=chains[i])
+        chains = self.chain_batch(opt, reads, traces=traces,
+                                  trace_seeds=trace_seeds)
+        gens = [align1_core_gen(
+                    opt, fm, bns, pac, r, chains=chains[i],
+                    trace=traces[i] if traces is not None else None)
                 for i, r in enumerate(reads)]
         return self.drive_waves(opt, gens)
 
