@@ -48,22 +48,50 @@ def main():
 
     reader = ChunkReader(os.path.join(data, "reads_se.fq"))
     reads = reader.read_chunk(1 << 30)
-    # replicate to a steadier workload
+    # replicate to a steadier workload: 4 chunks of 2000 reads driven
+    # through the chunk-pipelined stream (chunk k+1 seeds on the device
+    # while chunk k's waves/finalize run on the host)
     import copy
-    work = [copy.copy(r) for r in reads * 4]
+    chunks = [[copy.copy(r) for r in reads * 4] for _ in range(4)]
+    n_work = sum(len(c) for c in chunks)
 
     # warm-up (compiles)
     warm = [copy.copy(r) for r in reads[:64]]
     pl.process_seqs(opt, fm, bns, pac, 0, warm, None, "", engine,
                     verbose=0, pool=pool)
 
+    # optional stage breakdown (stderr; JSON line unchanged)
+    stages = {}
+    if engine is not None and os.environ.get("BWAMEM_TPU_BENCH_STAGES"):
+        def timed(name, fn):
+            def wrap(*a, **kw):
+                t = time.perf_counter()
+                out = fn(*a, **kw)
+                stages[name] = stages.get(name, 0.0) \
+                    + time.perf_counter() - t
+                return out
+            return wrap
+        engine.chain_batch = timed("seed+sa", engine.chain_batch)
+        engine.drive_waves = timed("sw_waves", engine.drive_waves)
+        engine.kernel_time = 0.0
+        engine.n_dispatches = 0
+        engine.kernel_time_by_tag = {}
+
     t0 = time.perf_counter()
-    pl.process_seqs(opt, fm, bns, pac, 0, work, None, "", engine,
-                    verbose=0, pool=pool)
+    pl.process_chunk_stream(opt, fm, bns, pac, iter(chunks), None, "",
+                            engine, verbose=0, pool=pool)
     dt = time.perf_counter() - t0
-    rps = len(work) / dt
+    rps = n_work / dt
     if pool is not None:
         pool.close()
+    if stages:
+        stages["total"] = dt
+        stages["kernel_time"] = engine.kernel_time
+        stages["n_dispatches"] = engine.n_dispatches
+        stages.update(engine.kernel_time_by_tag)
+        sys.stderr.write("[bench] stages: %s\n" % json.dumps(
+            {k: round(v, 3) if isinstance(v, float) else v
+             for k, v in stages.items()}))
 
     print(json.dumps({
         "metric": "mem_align_throughput",

@@ -234,26 +234,36 @@ def main_mem(argv):
         import jax.profiler
         prof = jax.profiler.trace(profile_dir)
         prof.__enter__()
-    while True:
-        reads = reader.read_chunk(opt.chunk_size * opt.n_threads)
-        if not reads:
-            break
-        if (opt.flag & MEM_F_PE) and len(reads) % 2 == 1:
-            if verbose >= 2:
-                sys.stderr.write("[W::main_mem] odd number of reads in the PE"
-                                 " mode; last read dropped\n")
-            reads = reads[:-1]
-        if not copy_comment:
-            for r in reads:
-                r.comment = None
+    def chunk_iter():
+        while True:
+            reads = reader.read_chunk(opt.chunk_size * opt.n_threads)
+            if not reads:
+                return
+            if (opt.flag & MEM_F_PE) and len(reads) % 2 == 1:
+                if verbose >= 2:
+                    sys.stderr.write("[W::main_mem] odd number of reads in"
+                                     " the PE mode; last read dropped\n")
+                reads = reads[:-1]
+                if not reads:
+                    return
+            if not copy_comment:
+                for r in reads:
+                    r.comment = None
+            yield reads
+
+    def on_start(reads):
         if verbose >= 3:
             sys.stderr.write("[M::main_mem] read %d sequences (%d bp)...\n"
                              % (len(reads), sum(r.l_seq for r in reads)))
-        pl.process_seqs(opt, fm, bns, pac, n_processed, reads, pes0,
-                        rg_id or "", engine, verbose, pool=pool)
-        n_processed += len(reads)
+
+    def emit(reads):
         for r in reads:
             out.write(r.sam)
+
+    n_processed = pl.process_chunk_stream(
+        opt, fm, bns, pac, chunk_iter(), pes0, rg_id or "", engine,
+        verbose, pool=pool, n_processed=n_processed,
+        on_start=on_start, emit=emit)
     if pool is not None:
         pool.close()
     if prof is not None:

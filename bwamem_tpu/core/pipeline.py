@@ -124,7 +124,8 @@ def reg2sam_se_gen(opt, bns, pac, read, regs: List[AlnReg],
 
 def process_seqs(opt: MemOptions, fm, bns, pac, n_processed: int,
                  reads: List, pes0=None, rg_id: str = "",
-                 engine=None, verbose: int = 3, pool=None) -> None:
+                 engine=None, verbose: int = 3, pool=None,
+                 chains=None) -> None:
     """mem_process_seqs: seed+extend every read, then finalize
     (single-end or paired) writing read.sam.
 
@@ -150,7 +151,7 @@ def process_seqs(opt: MemOptions, fm, bns, pac, n_processed: int,
 
     if engine is not None:
         regs = engine.align_batch(opt, fm, bns, pac, reads, traces=traces1,
-                                  trace_seeds=verbose >= 5)
+                                  trace_seeds=verbose >= 5, chains=chains)
     elif pool is not None:
         regs = pool.align_regs(opt, reads)
     else:
@@ -225,3 +226,64 @@ def process_seqs(opt: MemOptions, fm, bns, pac, n_processed: int,
               "%.3f real sec" % (n, time.process_time() - ctime,
                                  time.perf_counter() - rtime),
               file=sys.stderr)
+
+
+def process_chunk_stream(opt: MemOptions, fm, bns, pac, chunks, pes0=None,
+                         rg_id: str = "", engine=None, verbose: int = 3,
+                         pool=None, n_processed: int = 0, on_start=None,
+                         emit=None) -> int:
+    """Drive a stream of read chunks through process_seqs with one-deep
+    chunk pipelining; returns the total number of reads processed.
+
+    `chunks` is an iterator of read lists.  When the device engine is
+    active (and -v<4 tracing is off), chunk k+1's seeding + chaining
+    (engine.chain_batch — the device-heavy stage) runs on a helper
+    thread while chunk k's extension waves and finalization (the
+    host-heavy stages) run on the main thread, so the device stays busy
+    through the host-side phases — the TPU analog of the reference's
+    manager thread running ahead of the worker threads
+    (software/fastmap.c:320-429).  Output stays byte-identical: chunks
+    are finalized and emitted strictly in input order, and `n_processed`
+    numbering (the mem_mark_primary_se tie-break key, SURVEY.md §3.5)
+    is assigned before any reordering can occur.
+
+    `on_start(reads)` fires when a chunk begins processing (in chunk
+    order — the CLI's "read N sequences" message), `emit(reads)` after
+    its SAM strings are ready."""
+    it = iter(chunks)
+
+    def _next():
+        try:
+            return next(it)
+        except StopIteration:
+            return None
+
+    pipelined = engine is not None and verbose < 4
+    ex = None
+    fut = None
+    if pipelined:
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        reads = _next()
+        while reads is not None:
+            if on_start is not None:
+                on_start(reads)
+            chains = None
+            nxt = None
+            if pipelined:
+                chains = (fut.result() if fut is not None
+                          else engine.chain_batch(opt, reads))
+                nxt = _next()
+                fut = (ex.submit(engine.chain_batch, opt, nxt)
+                       if nxt is not None else None)
+            process_seqs(opt, fm, bns, pac, n_processed, reads, pes0,
+                         rg_id, engine, verbose, pool=pool, chains=chains)
+            n_processed += len(reads)
+            if emit is not None:
+                emit(reads)
+            reads = nxt if pipelined else _next()
+    finally:
+        if ex is not None:
+            ex.shutdown(wait=True)
+    return n_processed

@@ -44,6 +44,7 @@ class JaxSeedingEngine:
         # afu_time counter (software/fastmap.c:322,388,427)
         self.kernel_time = 0.0
         self.n_dispatches = 0
+        self.kernel_time_by_tag = {}
 
     def chain_batch(self, opt, reads, traces=None,
                     trace_seeds=False) -> List[list]:
@@ -104,16 +105,19 @@ class JaxSeedingEngine:
         return chains
 
     def align_batch(self, opt, fm, bns, pac, reads, traces=None,
-                    trace_seeds=False) -> List[list]:
+                    trace_seeds=False, chains=None) -> List[list]:
         """mem_align1_core for a whole batch: batched device seeding,
         then all reads' chain extensions advanced in lock-step waves —
         every wave is ONE batched ksw_extend2 device dispatch over the
         live (read, seed, side) lanes (the reference's batch-dispatch
         structure applied to the SW stage).  `traces` (one TraceLog per
-        read) collects the -v>=4 lines."""
+        read) collects the -v>=4 lines.  `chains` may be precomputed
+        (the chunk-pipelined driver seeds chunk k+1 on a helper thread
+        while chunk k's waves run, core.pipeline.process_chunk_stream)."""
         from ..core.pipeline import align1_core_gen
-        chains = self.chain_batch(opt, reads, traces=traces,
-                                  trace_seeds=trace_seeds)
+        if chains is None:
+            chains = self.chain_batch(opt, reads, traces=traces,
+                                      trace_seeds=trace_seeds)
         gens = [align1_core_gen(
                     opt, fm, bns, pac, r, chains=chains[i],
                     trace=traces[i] if traces is not None else None)
@@ -177,12 +181,15 @@ class JaxSeedingEngine:
                     results[i] = e.value
         return results
 
-    def _timed(self, fn, *args, **kw):
+    def _timed(self, fn, *args, _tag="other", **kw):
         import time
         t0 = time.perf_counter()
         out = fn(*args, **kw)
-        self.kernel_time += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        self.kernel_time += dt
         self.n_dispatches += 1
+        kt = self.kernel_time_by_tag
+        kt[_tag] = kt.get(_tag, 0.0) + dt
         return out
 
     def _extend_wave(self, opt, reqs):
@@ -230,7 +237,8 @@ class JaxSeedingEngine:
                 jnp.asarray(h0v), LQ=LQ, LT=LT)
             pend.append((grp, dev))
         for grp, dev in pend:
-            res = self._timed(lambda dev=dev: jax.device_get(dev))
+            res = self._timed(lambda dev=dev: jax.device_get(dev),
+                              _tag="extend2")
             for bi, i in enumerate(grp):
                 outs[i] = tuple(int(r[bi]) for r in res)
         return outs
@@ -273,7 +281,7 @@ class JaxSeedingEngine:
             pend.append((grp, dev))
         for grp, dev in pend:
             score, ops, n_ops, ri, rk = self._timed(
-                lambda dev=dev: jax.device_get(dev))
+                lambda dev=dev: jax.device_get(dev), _tag="global2")
             for bi, i in enumerate(grp):
                 outs[i] = (int(score[bi]),
                            cigar_from_traceback(ops[bi], int(n_ops[bi]),

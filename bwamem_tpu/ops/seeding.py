@@ -86,7 +86,8 @@ class BatchedSeeder:
         while pending:
             st, dev = pending.popleft()
             get = lambda dev=dev: jax.device_get(dev)
-            res = self.timer._timed(get) if self.timer else get()
+            res = (self.timer._timed(get, _tag="smem")
+                   if self.timer else get())
             st.process(res)
             if st.advance():
                 pending.append((st, st.dispatch()))
@@ -166,7 +167,8 @@ class BatchedSeeder:
             pend.append((lo, len(sl), dev))
         for lo, n_sl, dev in pend:
             fn = lambda dev=dev: jax.device_get(dev)
-            v, o = self.timer._timed(fn) if self.timer else fn()
+            v, o = (self.timer._timed(fn, _tag="sa")
+                    if self.timer else fn())
             vals[lo:lo + n_sl] = v[:n_sl]
             over[lo:lo + n_sl] = o[:n_sl]
         for idx in np.nonzero(over)[0]:  # host fallback
