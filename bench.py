@@ -24,8 +24,10 @@ BASELINE_READS_PER_S = 1199.0  # 512 reads / 0.427 s, 4 CPU threads
 
 
 def main():
-    data = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "tests", "data")
+    # alternate dataset (e.g. the large-genome set from
+    # tools/make_biggenome.py) via BWAMEM_TPU_BENCH_DATA
+    data = os.environ.get("BWAMEM_TPU_BENCH_DATA") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "data")
     from bwamem_tpu.index import load_index
     from bwamem_tpu.io.fastq import ChunkReader
     from bwamem_tpu.config import MemOptions
@@ -34,6 +36,8 @@ def main():
     fm, bns = load_index(os.path.join(data, "genome.fa"))
     pac = bns.pac
     opt = MemOptions()
+    sys.stderr.write("[bench] index loaded\n")
+    sys.stderr.flush()
 
     # no -t worker pool here: at this workload size the job pickling
     # costs more than the parallel finalize saves (A/B: 946 vs 1024 r/s)
@@ -55,10 +59,15 @@ def main():
     chunks = [[copy.copy(r) for r in reads * 4] for _ in range(4)]
     n_work = sum(len(c) for c in chunks)
 
+    sys.stderr.write("[bench] engine ready (device tables uploaded)\n")
+    sys.stderr.flush()
+
     # warm-up (compiles)
     warm = [copy.copy(r) for r in reads[:64]]
     pl.process_seqs(opt, fm, bns, pac, 0, warm, None, "", engine,
                     verbose=0, pool=pool)
+    sys.stderr.write("[bench] warmup done\n")
+    sys.stderr.flush()
 
     # optional stage breakdown (stderr; JSON line unchanged)
     stages = {}

@@ -265,9 +265,10 @@ def sa_lookup_batched(blocks, primary, L2, seq_len, sa, sa_intv: int,
         k, _, it = state
         return jnp.any((k & mask) != 0) & (it < max_steps)
 
+    from .loops import unroll_body
     k = k.astype(jnp.int64)
     state = (k, jnp.zeros_like(k), jnp.int32(0))
-    k_fin, steps, _ = lax.while_loop(cond, body, state)
+    k_fin, steps, _ = lax.while_loop(cond, unroll_body(body), state)
     over = (k_fin & mask) != 0
     vals = steps + sa[(k_fin >> int(np.log2(sa_intv))).astype(jnp.int64)]
     return jnp.where(over, jnp.int64(-1), vals), over

@@ -210,7 +210,8 @@ def ksw_extend2_batched(
     def cond(st):
         return jnp.any(~st["done"] & (st["i"] < tlen))
 
-    st = lax.while_loop(cond, body, state)
+    from .loops import unroll_body
+    st = lax.while_loop(cond, unroll_body(body), state)
     return (st["best"], st["max_j"] + 1, st["max_i"] + 1,
             st["max_ie"] + 1, st["gscore"], st["max_off"])
 
@@ -317,8 +318,9 @@ def ksw_global2_batched(
                                    eh_e_deg, eh_e))
         return eh_h, eh_e, z
 
+    from .loops import unroll_fori, unroll_body
     z0 = jnp.zeros((B, LT, LQ), jnp.uint8)
-    eh_h, eh_e, z = lax.fori_loop(0, LT, row, (eh_h, eh_e, z0))
+    eh_h, eh_e, z = unroll_fori(LT, row, (eh_h, eh_e, z0))
     score = sel_col(eh_h, qlen)
 
     # traceback (ksw.c:570-584)
@@ -352,5 +354,6 @@ def ksw_global2_batched(
     k0 = jnp.minimum(i0 + w + 1, qlen) - 1
     st = (i0, k0, jnp.zeros(B, i32), jnp.zeros(B, i32), ops0,
           (i0 < 0) | (k0 < 0))
-    i_f, k_f, _, n_ops, ops, _ = lax.while_loop(tb_cond, tb_body, st)
+    i_f, k_f, _, n_ops, ops, _ = lax.while_loop(
+        tb_cond, unroll_body(tb_body), st)
     return score, ops, n_ops, i_f, k_f

@@ -118,7 +118,8 @@ def ksw_align_batched(
     def cond(st):
         return jnp.any(~st["done"] & (st["i"] < tlen))
 
-    st = lax.while_loop(cond, body, state)
+    from .loops import unroll_body
+    st = lax.while_loop(cond, unroll_body(body), state)
     # qe: smallest virtual position achieving max(Hmax)
     mx = jnp.max(st["Hmax"], axis=1)
     hit = st["Hmax"] >= mx[:, None]

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .fm import extend
+from .loops import unroll_body
 from .select import (sel_col as _sel_col, set_col as _set_col,
                      permute_cols as _permute_cols,
                      scatter_cols as _scatter_cols)
@@ -182,7 +183,7 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
 
     st = (x + 1, ik0, ik1, iks, ikend, zbufs["c0"], zbufs["c1"], zbufs["cs"],
           zbufs["cend"], jnp.zeros(B, i32), bad)
-    st = lax.while_loop(fwd_cond, fwd_body, st)
+    st = lax.while_loop(fwd_cond, unroll_body(fwd_body), st)
     (_, _, _, _, _, c0, c1, cs, cend, n_curr, _) = st
     overflow = n_curr > M
 
@@ -261,7 +262,7 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
           jnp.zeros((B, M), i64), jnp.zeros((B, M), i32),
           jnp.zeros((B, M), i32), jnp.zeros(B, i32),
           bad | (n_curr == 0))
-    st = lax.while_loop(bwd_cond, bwd_body, st)
+    st = lax.while_loop(bwd_cond, unroll_body(bwd_body), st)
     (_, _, _, _, _, _, m0, m1, ms, mqb, mqe, n_mem, _) = st
 
     # reverse mem to qb-ascending order (software/bwt.c:833); truncate the
