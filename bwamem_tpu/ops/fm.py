@@ -9,8 +9,13 @@ the hardware's BWT_OCC4 modules perform per PE step
 (hardware/afu_core.v:5427-5897; software oracle software/bwt.c:416-429,
 bwt_occ4 software/bwt.c:187-204).
 
-All counts are int64 (genome coordinates exceed 2^32 for mammalian
-doubled packs); JAX x64 mode is required and enabled on import.
+Coordinates are carried in a genome-size-dependent dtype: int32 when the
+doubled pack fits in 31 bits (every genome under ~1 Gbp), int64 beyond
+(mammalian scale).  int64 arithmetic on TPU is emulated as multiple
+int32 ops, so the narrow path both shrinks the kernels and halves the
+device<->host transfer volume; the dtype is chosen once at index upload
+(DeviceFmIndex.from_host) and every kernel derives it from L2.dtype.
+JAX x64 mode is required and enabled on import.
 
 Popcounts use jax.lax.population_count over 2-bit-field masks instead of
 the reference's cnt_table byte LUT (software/bwt.c:60-69,183-185) — the
@@ -107,6 +112,11 @@ class DeviceFmIndex:
     def tree_unflatten(cls, aux, children):
         return cls(*children, aux[0])
 
+    @property
+    def cdt(self):
+        """Coordinate dtype (int32 for sub-Gbp genomes, else int64)."""
+        return self.L2.dtype
+
     @classmethod
     def from_host(cls, fm) -> "DeviceFmIndex":
         """Upload a host FmIndex (bwamem_tpu.index.fmindex.FmIndex).
@@ -118,12 +128,16 @@ class DeviceFmIndex:
         gather row == one occ block; the closing checkpoint is dropped
         (occ queries never index past block seq_len>>7)."""
         blocks = jnp.asarray(_uniform_blocks(fm.bwt, int(fm.seq_len)))
+        # +2 margin: interval arithmetic forms seq_len+1 style values
+        cdt = np.int32 if int(fm.seq_len) + 2 < (1 << 31) else np.int64
+        if os.environ.get("BWAMEM_TPU_FORCE_I64"):  # test the wide path
+            cdt = np.int64
         return cls(
             blocks=blocks,
-            L2=jnp.asarray(fm.L2.astype(np.int64)),
-            primary=jnp.asarray(np.int64(fm.primary)),
-            seq_len=jnp.asarray(np.int64(fm.seq_len)),
-            sa=jnp.asarray(fm.sa.astype(np.int64)),
+            L2=jnp.asarray(fm.L2.astype(cdt)),
+            primary=jnp.asarray(cdt(fm.primary)),
+            seq_len=jnp.asarray(cdt(fm.seq_len)),
+            sa=jnp.asarray(fm.sa.astype(cdt)),
             sa_intv=int(fm.sa_intv),
         )
 
@@ -149,15 +163,20 @@ def occ4(blocks: jnp.ndarray, primary: jnp.ndarray, k: jnp.ndarray
 
     k: int64[...]; returns int64[..., 4].
     """
-    k = k.astype(jnp.int64)
+    cdt = primary.dtype
+    k = k.astype(cdt)
     valid = k >= 0
-    kk = k - (k >= primary).astype(jnp.int64)
+    kk = k - (k >= primary).astype(cdt)
     kk = jnp.where(valid, kk, 0)
     blk = (kk >> 7).astype(jnp.int32)
     row = _gather_rows(blocks, blk)                    # [..., 16] uint32
-    lo = row[..., 0:8:2].astype(jnp.int64)
-    hi = row[..., 1:8:2].astype(jnp.int64)
-    ck = lo | (hi << 32)                               # [..., 4] checkpoint
+    lo = row[..., 0:8:2].astype(cdt)
+    if cdt == jnp.int64:
+        hi = row[..., 1:8:2].astype(jnp.int64)
+        ck = lo | (hi << 32)                           # [..., 4] checkpoint
+    else:
+        # narrow path: counts < 2^31, the hi checkpoint words are zero
+        ck = lo
     words = row[..., 8:16]                             # [..., 8] uint32
 
     off = (kk & 127).astype(jnp.int32)                 # 0..127 within block
@@ -176,8 +195,8 @@ def occ4(blocks: jnp.ndarray, primary: jnp.ndarray, k: jnp.ndarray
     c2 = lax.population_count(hb & ~lb).astype(jnp.int32).sum(axis=-1)
     c1 = lax.population_count(lb & ~hb).astype(jnp.int32).sum(axis=-1)
     c0 = (off + 1) - c1 - c2 - c3
-    within = jnp.stack([c0, c1, c2, c3], axis=-1).astype(jnp.int64)
-    return jnp.where(valid[..., None], ck + within, jnp.int64(0))
+    within = jnp.stack([c0, c1, c2, c3], axis=-1).astype(cdt)
+    return jnp.where(valid[..., None], ck + within, jnp.zeros((), cdt))
 
 
 def extend(blocks: jnp.ndarray, primary: jnp.ndarray, L2: jnp.ndarray,
@@ -197,7 +216,7 @@ def extend(blocks: jnp.ndarray, primary: jnp.ndarray, L2: jnp.ndarray,
     tk, tl = both[0], both[1]
     occ_side = L2[:4] + 1 + tk
     oks = tl - tk
-    bump = ((fwd <= primary) & (fwd + s - 1 >= primary)).astype(jnp.int64)
+    bump = ((fwd <= primary) & (fwd + s - 1 >= primary)).astype(primary.dtype)
     prev = (x1 if is_back else x0) + bump
     same3 = prev
     same2 = same3 + oks[..., 3]
@@ -214,7 +233,6 @@ def extend(blocks: jnp.ndarray, primary: jnp.ndarray, L2: jnp.ndarray,
 def bwt_b0(blocks: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Batched bwt_B0 (software/bwt.h:72-78): BWT base at $-removed
     position x. x: int64[...] in [0, seq_len)."""
-    x = x.astype(jnp.int64)
     blk = (x >> 7).astype(jnp.int32)
     wi = ((x >> 4) & 7).astype(jnp.int32)
     row = _gather_rows(blocks, blk)                     # [..., 16]
@@ -235,11 +253,12 @@ def occ1(blocks: jnp.ndarray, primary: jnp.ndarray, L2: jnp.ndarray,
 
 
 def inv_psi(blocks, primary, L2, seq_len, k):
-    """Batched bwt_invPsi (software/bwt.c:71-77). k: int64[...]"""
-    x = k - (k > primary).astype(jnp.int64)
-    c = bwt_b0(blocks, x).astype(jnp.int64)
+    """Batched bwt_invPsi (software/bwt.c:71-77). k: coord dtype[...]"""
+    cdt = primary.dtype
+    x = k - (k > primary).astype(cdt)
+    c = bwt_b0(blocks, x).astype(jnp.int32)
     nxt = jnp.take(L2, c) + occ1(blocks, primary, L2, seq_len, k, c)
-    return jnp.where(k == primary, jnp.int64(0), nxt)
+    return jnp.where(k == primary, jnp.zeros((), cdt), nxt)
 
 
 @partial(jax.jit, static_argnames=("sa_intv", "max_steps"))
@@ -251,14 +270,15 @@ def sa_lookup_batched(blocks, primary, L2, seq_len, sa, sa_intv: int,
     max_steps; returns (sa_values, overflowed) where overflowed lanes
     must be resolved by the host fallback (the reference's own
     HW-caps/CPU-fallback pattern, software/bwt.c:603-717)."""
-    mask = jnp.int64(sa_intv - 1)
+    cdt = primary.dtype
+    mask = jnp.asarray(sa_intv - 1, cdt)
 
     def body(state):
         k, steps, it = state
         act = (k & mask) != 0
         k2 = inv_psi(blocks, primary, L2, seq_len, k)
         k = jnp.where(act, k2, k)
-        steps = steps + act.astype(jnp.int64)
+        steps = steps + act.astype(cdt)
         return k, steps, it + 1
 
     def cond(state):
@@ -266,9 +286,9 @@ def sa_lookup_batched(blocks, primary, L2, seq_len, sa, sa_intv: int,
         return jnp.any((k & mask) != 0) & (it < max_steps)
 
     from .loops import unroll_body
-    k = k.astype(jnp.int64)
+    k = k.astype(cdt)
     state = (k, jnp.zeros_like(k), jnp.int32(0))
     k_fin, steps, _ = lax.while_loop(cond, unroll_body(body), state)
     over = (k_fin & mask) != 0
-    vals = steps + sa[(k_fin >> int(np.log2(sa_intv))).astype(jnp.int64)]
-    return jnp.where(over, jnp.int64(-1), vals), over
+    vals = steps + sa[(k_fin >> int(np.log2(sa_intv))).astype(jnp.int32)]
+    return jnp.where(over, jnp.asarray(-1, cdt), vals), over

@@ -68,7 +68,7 @@ def smem_iter_step(blocks, primary, L2,
     r1 = _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
                      L, M, 0)
     ret, n_mem, m0, m1, ms, mqb, mqe, over = r1
-    lens = (mqe - mqb).astype(jnp.int64)
+    lens = mqe - mqb                       # int32
     jj = jnp.arange(M, dtype=jnp.int32)[None, :]
     validm = jj < n_mem[:, None]
     lens = jnp.where(validm, lens, -1)
@@ -78,7 +78,8 @@ def smem_iter_step(blocks, primary, L2,
     bqb = _sel_col(mqb, best)
     bqe = _sel_col(mqe, best)
     need2 = (active & (n_mem > 0) & (split_len > 0)
-             & (best_len >= split_len) & (bs <= split_width) & ~over)
+             & (best_len >= split_len.astype(jnp.int32))
+             & (bs <= split_width.astype(bs.dtype)) & ~over)
     x2 = ((bqb + bqe) >> 1).astype(jnp.int32)
     mi2 = bs + 1
     r2 = _smem1_impl(blocks, primary, L2, q, qlen,
@@ -120,18 +121,18 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
     Returns (ret, n_mem, m0, m1, ms, mqb, mqe, overflow):
       ret  int32[B]    — next iterator start (curr[0].info low bits)
       n_mem int32[B]   — number of SMEMs (0 for inactive/bad lanes)
-      m0/m1/ms int64[B, M], mqb/mqe int32[B, M] — SMEM bi-intervals and
+      m0/m1/ms coord-dtype[B, M], mqb/mqe int32[B, M] — SMEM bi-intervals and
       query [qb, qe) coordinates, sorted by qb ascending.
     """
     B = q.shape[0]
-    i64 = jnp.int64
+    cdt = L2.dtype  # coordinate dtype (int32 fast path on small genomes)
     i32 = jnp.int32
     q = q.astype(i32)  # int8 on the wire (bases 0..4); widen on-device
 
     qx = _sel_col(q, x)                                          # base at x
     bad = (qx > 3) | ~active
-    qx_c = jnp.where(bad, 0, qx).astype(jnp.int64)
-    min_intv = jnp.maximum(min_intv, 1)
+    qx_c = jnp.where(bad, 0, qx).astype(jnp.int32)
+    min_intv = jnp.maximum(min_intv, 1).astype(cdt)
 
     # bwt_set_intv (software/bwt.h:80)
     ik0 = jnp.take(L2, qx_c) + 1
@@ -140,8 +141,8 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
     ikend = x + 1
 
     zbufs = dict(
-        c0=jnp.zeros((B, M), i64), c1=jnp.zeros((B, M), i64),
-        cs=jnp.zeros((B, M), i64), cend=jnp.zeros((B, M), i32))
+        c0=jnp.zeros((B, M), cdt), c1=jnp.zeros((B, M), cdt),
+        cs=jnp.zeros((B, M), cdt), cend=jnp.zeros((B, M), i32))
 
     # ---- forward extension (software/bwt.c:790-801) ----------------------
     def fwd_body(st):
@@ -218,7 +219,7 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
         nonfail = present & ~fail
         # dedup: keep the first nonfail and later nonfails whose size
         # differs from the previous nonfail's size (== last kept's size)
-        prev_s = _prev_valid_value(ns, nonfail, jnp.int64(-1))
+        prev_s = _prev_valid_value(ns, nonfail, jnp.asarray(-1, ns.dtype))
         # first nonfail: nonfail with zero nonfails strictly before
         nf_before = jnp.cumsum(nonfail.astype(i32), axis=1) \
             - nonfail.astype(i32)
@@ -230,7 +231,7 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
         nc1 = _scatter_cols(n1, tgt)
         ncs = _scatter_cols(ns, tgt)
         ncend = _scatter_cols(pend, tgt)
-        n_curr_new = jnp.sum(keep, axis=1).astype(i32)
+        n_curr_new = jnp.sum(keep, axis=1, dtype=i32)
         # mem append: first present&fail with all-fail prefix
         cand = present & fail & (nf_before == 0)
         cand_before = jnp.cumsum(cand.astype(i32), axis=1) \
@@ -258,8 +259,8 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
         return jnp.any(~st[-1])
 
     st = (x - 1, p0, p1, ps, pend, n_curr,
-          jnp.zeros((B, M), i64), jnp.zeros((B, M), i64),
-          jnp.zeros((B, M), i64), jnp.zeros((B, M), i32),
+          jnp.zeros((B, M), cdt), jnp.zeros((B, M), cdt),
+          jnp.zeros((B, M), cdt), jnp.zeros((B, M), i32),
           jnp.zeros((B, M), i32), jnp.zeros(B, i32),
           bad | (n_curr == 0))
     st = lax.while_loop(bwd_cond, unroll_body(bwd_body), st)

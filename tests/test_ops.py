@@ -199,3 +199,31 @@ def test_pallas_onehot_gather_interpret_parity(dfm):
     got = oh.gather_rows_onehot(tab, blk, interpret=True)
     want = dfm.blocks[blk]
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_smem_forced_int64_path(ref_index, queries, monkeypatch):
+    """The wide-coordinate (int64) kernel path — what mammalian-scale
+    genomes use — must match the narrow path and the host oracle."""
+    monkeypatch.setenv("BWAMEM_TPU_FORCE_I64", "1")
+    fm, _ = ref_index
+    d64 = dfm_mod.DeviceFmIndex.from_host(fm)
+    assert d64.cdt == jnp.int64
+    from bwamem_tpu.config import MemOptions
+    from bwamem_tpu.ops.seeding import BatchedSeeder
+    opt = MemOptions()
+    seeder = BatchedSeeder(d64, max_len=128, fm_host=fm)
+    streams = seeder.interval_streams(opt, queries)
+    from bwamem_tpu.oracle.smem import SmemIterator
+    for q, got in zip(queries, streams):
+        want = []
+        if len(q) >= opt.min_seed_len:
+            itr = SmemIterator(fm, q)
+            sl = min(int(opt.min_seed_len * opt.split_factor + .499),
+                     len(q))
+            while True:
+                a = itr.next(sl, opt.split_width, 1)
+                if a is None:
+                    break
+                want.extend(a)
+        assert [tuple(int(v) for v in p) for p in got] == \
+            [tuple(int(v) for v in p) for p in want]
