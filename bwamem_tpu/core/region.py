@@ -123,15 +123,11 @@ def drive_extension_gen(gen, opt):
     """Serve an extension generator's requests with the scalar host
     oracle (the reference's CPU-fallback role); returns the generator's
     return value."""
-    mat = np.asarray(opt.mat, dtype=np.int64)
+    from .swdrive import serve_host
     try:
         req = next(gen)
         while True:
-            _tag, qs, rs, w, pen, h0 = req
-            out = ksw.ksw_extend2(qs, rs, mat, opt.o_del, opt.e_del,
-                                  opt.o_ins, opt.e_ins, w, pen,
-                                  opt.zdrop, h0)
-            req = gen.send(out)
+            req = gen.send(serve_host(req, opt))
     except StopIteration as e:
         return e.value
 
@@ -231,6 +227,39 @@ def chain2aln_gen(opt, l_pac: int, pac, query: np.ndarray, c,
         if trace is not None:  # err_printf (bwamem.c:1119)
             trace.err("** ---> Extending from seed(%d) [%d;%d,%d] <---\n"
                       % (k, s_len, s_qbeg, s_rbeg))
+
+        if trace is None:
+            # fused request: the whole left+right extension incl. band
+            # -doubling retries in ONE wave (swdrive.extend_seed_lr /
+            # ops.ksw.ksw_extend_lr_batched) — 4x fewer dispatch round
+            # trips than per-call waves.  The traced path below keeps
+            # per-attempt granularity for the -v4 lines.
+            if s_qbeg:
+                qs = query[s_qbeg - 1::-1].copy()
+                tmp = s_rbeg - rmax0
+                rs = rseq[tmp - 1::-1].copy() if tmp > 0 else rseq[:0]
+            else:
+                qs = query[:0]
+                rs = rseq[:0]
+            if s_qbeg + s_len != l_query:
+                qe = s_qbeg + s_len
+                re = s_rbeg + s_len - rmax0
+                assert re >= 0
+                qrt, rrt = query[qe:], rseq[re:]
+            else:
+                qrt, rrt = query[:0], rseq[:0]
+            (a.score, a.truesc, a.qb, a.rb, a.qe, a.re, aw0,
+             aw1) = yield ("extend_lr", qs, rs, qrt, rrt,
+                           s_len * opt.a, s_qbeg, s_rbeg, rmax0,
+                           l_query, s_len)
+            a.seedcov = 0
+            for t_rbeg, t_qbeg, t_len in c.seeds:
+                if (t_qbeg >= a.qb and t_qbeg + t_len <= a.qe
+                        and t_rbeg >= a.rb and t_rbeg + t_len <= a.re):
+                    a.seedcov += t_len
+            a.w = max(aw0, aw1)
+            av.append(a)
+            continue
 
         gscore = 0
         if s_qbeg:  # left extension

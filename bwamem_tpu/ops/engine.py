@@ -152,13 +152,19 @@ class JaxSeedingEngine:
                         results[i] = e.value
                 continue
             ext = [j for j, r in enumerate(reqs) if r[0] == "extend2"]
+            elr = [j for j, r in enumerate(reqs) if r[0] == "extend_lr"]
             glo = [j for j, r in enumerate(reqs) if r[0] == "global2"]
             al2 = [j for j, r in enumerate(reqs) if r[0] == "align2"]
             oth = [j for j, r in enumerate(reqs)
-                   if r[0] not in ("extend2", "global2", "align2")]
+                   if r[0] not in ("extend2", "extend_lr", "global2",
+                                   "align2")]
             if ext:
                 for j, out in zip(ext, self._extend_wave(
                         opt, [reqs[j] for j in ext])):
+                    outs[j] = out
+            if elr:
+                for j, out in zip(elr, self._extend_lr_wave(
+                        opt, [reqs[j] for j in elr])):
                     outs[j] = out
             if glo:
                 for j, out in zip(glo, self._global_wave(
@@ -239,6 +245,71 @@ class JaxSeedingEngine:
         for grp, dev in pend:
             res = self._timed(lambda dev=dev: jax.device_get(dev),
                               _tag="extend2")
+            for bi, i in enumerate(grp):
+                outs[i] = tuple(int(r[bi]) for r in res)
+        return outs
+
+    def _extend_lr_wave(self, opt, reqs):
+        """One batched fused left+right extension dispatch per group of
+        ("extend_lr", qs, rs, qrt, rrt, sc_seed, s_qbeg, s_rbeg, rmax0,
+        l_query, s_len) requests (see core.swdrive.extend_seed_lr)."""
+        import jax
+        import jax.numpy as jnp
+        from .ksw import ksw_extend_lr_batched
+        from ..core.swdrive import serve_host
+
+        LQ, LT = self._ext_lq, self._ext_lt
+        n = len(reqs)
+        dev_idx = [i for i, r in enumerate(reqs)
+                   if len(r[1]) <= LQ and len(r[2]) <= LT
+                   and len(r[3]) <= LQ and len(r[4]) <= LT]
+        outs = [None] * n
+        for i in set(range(n)) - set(dev_idx):
+            outs[i] = serve_host(reqs[i], opt)
+        pend = []  # dispatch-all-then-collect
+        for lo in range(0, len(dev_idx), WAVE):
+            grp = dev_idx[lo:lo + WAVE]
+            B = WAVE
+            lqb = np.full((B, LQ), 4, np.int8)
+            ltb = np.full((B, LT), 4, np.int8)
+            rqb = np.full((B, LQ), 4, np.int8)
+            rtb = np.full((B, LT), 4, np.int8)
+            llq = np.zeros(B, np.int32)
+            llt = np.zeros(B, np.int32)
+            rlq = np.zeros(B, np.int32)
+            rlt = np.zeros(B, np.int32)
+            scs = np.zeros(B, np.int32)
+            sqb = np.zeros(B, np.int32)
+            srb = np.zeros(B, np.int64)
+            rm0 = np.zeros(B, np.int64)
+            lqv = np.ones(B, np.int32)
+            slv = np.zeros(B, np.int32)
+            for bi, i in enumerate(grp):
+                (_, qs, rs, qrt, rrt, sc_seed, s_qbeg, s_rbeg, rmax0,
+                 l_query, s_len) = reqs[i]
+                lqb[bi, :len(qs)] = qs
+                ltb[bi, :len(rs)] = rs
+                rqb[bi, :len(qrt)] = qrt
+                rtb[bi, :len(rrt)] = rrt
+                llq[bi], llt[bi] = len(qs), len(rs)
+                rlq[bi], rlt[bi] = len(qrt), len(rrt)
+                scs[bi], sqb[bi], srb[bi] = sc_seed, s_qbeg, s_rbeg
+                rm0[bi], lqv[bi], slv[bi] = rmax0, l_query, s_len
+            dev = ksw_extend_lr_batched(
+                jnp.asarray(lqb), jnp.asarray(ltb),
+                jnp.asarray(llq), jnp.asarray(llt),
+                jnp.asarray(rqb), jnp.asarray(rtb),
+                jnp.asarray(rlq), jnp.asarray(rlt),
+                self._mat_i32(opt),
+                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                opt.w, opt.pen_clip5, opt.pen_clip3, opt.zdrop,
+                jnp.asarray(scs), jnp.asarray(sqb), jnp.asarray(srb),
+                jnp.asarray(rm0), jnp.asarray(lqv), jnp.asarray(slv),
+                LQ=LQ, LT=LT)
+            pend.append((grp, dev))
+        for grp, dev in pend:
+            res = self._timed(lambda dev=dev: jax.device_get(dev),
+                              _tag="extend_lr")
             for bi, i in enumerate(grp):
                 outs[i] = tuple(int(r[bi]) for r in res)
         return outs

@@ -63,6 +63,17 @@ def ksw_extend2_batched(
         h0: jnp.ndarray,       # int32[B]
         LQ: int, LT: int):
     """Returns (best, qle, tle, gtle, gscore, max_off), each int32[B]."""
+    return _extend_impl(query, target, qlen, tlen, mat, o_del, e_del,
+                        o_ins, e_ins, w_in, end_bonus, zdrop, h0,
+                        LQ, LT, None)
+
+
+def _extend_impl(query, target, qlen, tlen, mat,
+                 o_del, e_del, o_ins, e_ins, w_in, end_bonus, zdrop, h0,
+                 LQ: int, LT: int, active):
+    """Traceable body of ksw_extend2_batched; `active` (bool[B] or
+    None) masks lanes off entirely (used by the fused left+right
+    kernel's masked band-retry passes)."""
     B = query.shape[0]
     i32 = jnp.int32
     # sequences ship from the host as int8 (bases are 0..4) to quarter
@@ -98,6 +109,9 @@ def ksw_extend2_batched(
     eh_h = jnp.where(jv <= qlen[:, None], eh_h, 0)
     eh_e = jnp.zeros((B, LQ + 1), i32)
 
+    done0 = tlen <= 0
+    if active is not None:
+        done0 = done0 | ~active
     state = dict(
         i=jnp.zeros(B, i32),
         eh_h=eh_h, eh_e=eh_e,
@@ -106,7 +120,7 @@ def ksw_extend2_batched(
         max_i=jnp.full(B, -1, i32), max_j=jnp.full(B, -1, i32),
         max_ie=jnp.full(B, -1, i32), gscore=jnp.full(B, -1, i32),
         max_off=jnp.zeros(B, i32),
-        done=tlen <= 0,
+        done=done0,
     )
 
     def body(st):
@@ -357,3 +371,99 @@ def ksw_global2_batched(
     i_f, k_f, _, n_ops, ops, _ = lax.while_loop(
         tb_cond, unroll_body(tb_body), st)
     return score, ops, n_ops, i_f, k_f
+
+
+@partial(jax.jit, static_argnames=("LQ", "LT"))
+def ksw_extend_lr_batched(
+        lq, lt,                # int8[B, LQ]/[B, LT] left query/target
+                               # (both pre-reversed, bwamem.c:1123-1128)
+        llq, llt,              # int32[B] left lengths (0 = no left ext)
+        rq, rt,                # int8[B, LQ]/[B, LT] right query/target
+        rlq, rlt,              # int32[B] right lengths (0 = no right)
+        mat,                   # int32[25]
+        o_del: int, e_del: int, o_ins: int, e_ins: int,
+        w0: int,               # opt.w (band attempt 0; attempt 1 = 2w)
+        pc5: int, pc3: int,    # pen_clip5 / pen_clip3
+        zdrop: int,
+        sc_seed,               # int32[B] s_len * opt.a
+        s_qbeg,                # int32[B]
+        s_rbeg,                # int64[B]
+        rmax0,                 # int64[B]
+        l_query,               # int32[B]
+        s_len,                 # int32[B]
+        LQ: int, LT: int):
+    """One seed's whole left+right extension with the x2 band-doubling
+    retries on device (the C logic around ksw_extend2,
+    software/bwamem.c:1120-1176; scalar twin core.swdrive.extend_seed_lr)
+    — ONE dispatch replaces up to four per-call waves, which dominates
+    when the host link costs ~35 ms per round trip.
+
+    Returns (score, truesc, qb, rb, qe, re, aw0, aw1): rb/re int64
+    genome coordinates, the rest int32[B]."""
+    i32 = jnp.int32
+    B = lq.shape[0]
+    w0v = jnp.full(B, w0, i32)
+    w1v = jnp.full(B, w0 * 2, i32)
+    pc5v = jnp.full(B, pc5, i32)
+    pc3v = jnp.full(B, pc3, i32)
+    retry_hi = (w0 >> 1) + (w0 >> 2)       # max_off threshold at w0
+
+    has_l = llq > 0
+    a0 = _extend_impl(lq, lt, llq, llt, mat, o_del, e_del, o_ins, e_ins,
+                      w0v, pc5v, zdrop, sc_seed, LQ, LT, has_l)
+    sc_a0, qle0, tle0, gtle0, gsc0, mo0 = a0
+    # bwamem.c:1136-1138: break if score == prev (== -1 on attempt 0)
+    # or max_off small; else retry at double band
+    retry_l = has_l & (sc_a0 != -1) & (mo0 >= retry_hi)
+    a1 = _extend_impl(lq, lt, llq, llt, mat, o_del, e_del, o_ins, e_ins,
+                      w1v, pc5v, zdrop, sc_seed, LQ, LT, retry_l)
+
+    def pick(r, v0, v1):
+        return jnp.where(r, v1, v0)
+    lsc = pick(retry_l, sc_a0, a1[0])
+    lqle = pick(retry_l, qle0, a1[1])
+    ltle = pick(retry_l, tle0, a1[2])
+    lgtle = pick(retry_l, gtle0, a1[3])
+    lgsc = pick(retry_l, gsc0, a1[4])
+    aw0 = jnp.where(has_l, pick(retry_l, w0v, w1v), w0v)
+
+    # left decision (bwamem.c:1140-1148)
+    g_ok = (lgsc <= 0) | (lgsc <= lsc - pc5)
+    score = jnp.where(has_l, lsc, sc_seed)
+    truesc = jnp.where(has_l, jnp.where(g_ok, lsc, lgsc), sc_seed)
+    qb = jnp.where(has_l & g_ok, s_qbeg - lqle, 0)
+    rb = jnp.where(has_l,
+                   jnp.where(g_ok, s_rbeg - ltle.astype(s_rbeg.dtype),
+                             s_rbeg - lgtle.astype(s_rbeg.dtype)),
+                   s_rbeg)
+
+    has_r = rlq > 0
+    sc0 = score
+    b0 = _extend_impl(rq, rt, rlq, rlt, mat, o_del, e_del, o_ins, e_ins,
+                      w0v, pc3v, zdrop, sc0, LQ, LT, has_r)
+    sc_b0, rqle0, rtle0, rgtle0, rgsc0, rmo0 = b0
+    retry_r = has_r & (sc_b0 != sc0) & (rmo0 >= retry_hi)
+    b1 = _extend_impl(rq, rt, rlq, rlt, mat, o_del, e_del, o_ins, e_ins,
+                      w1v, pc3v, zdrop, sc0, LQ, LT, retry_r)
+    rsc = pick(retry_r, sc_b0, b1[0])
+    rqle = pick(retry_r, rqle0, b1[1])
+    rtle = pick(retry_r, rtle0, b1[2])
+    rgtle = pick(retry_r, rgtle0, b1[3])
+    rgsc = pick(retry_r, rgsc0, b1[4])
+    aw1 = jnp.where(has_r, pick(retry_r, w0v, w1v), w0v)
+
+    # right decision (bwamem.c:1168-1176)
+    re0 = s_rbeg + s_len.astype(s_rbeg.dtype) - rmax0
+    g_ok_r = (rgsc <= 0) | (rgsc <= rsc - pc3)
+    qe0 = l_query - rlq
+    qe = jnp.where(has_r,
+                   jnp.where(g_ok_r, qe0 + rqle, l_query), l_query)
+    re = jnp.where(has_r,
+                   rmax0 + re0 + jnp.where(g_ok_r, rtle,
+                                           rgtle).astype(s_rbeg.dtype),
+                   s_rbeg + s_len.astype(s_rbeg.dtype))
+    truesc = jnp.where(has_r,
+                       truesc + jnp.where(g_ok_r, rsc, rgsc) - sc0,
+                       truesc)
+    score = jnp.where(has_r, rsc, score)
+    return (score, truesc, qb, rb, qe, re, aw0, aw1)

@@ -46,7 +46,7 @@ class BatchedSeeder:
     SmemIterator would produce — computed by batched device kernels."""
 
     def __init__(self, dfm: DeviceFmIndex, max_len: int = 128,
-                 sa_max_steps: int = 128, fm_host=None, m_out: int = 16,
+                 sa_max_steps: int = 128, fm_host=None, m_out: int = None,
                  timer=None):
         self.dfm = dfm
         self.L = int(max_len)
@@ -57,6 +57,10 @@ class BatchedSeeder:
         # FPGA's fixed push_mem BRAM + CPU fallback,
         # hardware/afu_core.v:5946-5969, software/bwt.c:603-717)
         self.M = int(_os.environ.get("BWAMEM_TPU_SMEM_M", "16"))
+        # transfer-width cap: measured n_mem p99 = 11 on 101 bp reads;
+        # lanes with more SMEMs than M_OUT re-run on the host oracle
+        if m_out is None:
+            m_out = int(_os.environ.get("BWAMEM_TPU_SMEM_MOUT", "12"))
         self.m_out = min(int(m_out), self.M)
         self.sa_max_steps = int(sa_max_steps)
         self.fm_host = fm_host  # host oracle for overflow fallback
@@ -69,11 +73,17 @@ class BatchedSeeder:
         of every iterator call, in call order (the exact stream
         mem_chain consumes, software/bwamem.c:593-615).
 
-        Lane groups are software-pipelined: while one group's dispatch
-        is in flight on the device, the previous group's results are
-        unpacked and merged on the host — the same overlap the
-        reference gets from its manager thread running ahead of the
-        FPGA (software/fastmap.c:320-429)."""
+        Default path: ONE fused superstep dispatch per lane group (the
+        whole iterator on device, ops.smem.smem_superstep) — the host
+        link pays ~35 ms RTT per hop, so round-per-dispatch is the
+        dominant seeding cost it eliminates.  BWAMEM_TPU_SUPERSTEP=0
+        falls back to the round-per-dispatch path (_SliceRun).
+        Dispatches are software-pipelined either way: while one group
+        is in flight, the previous group's results unpack on the host —
+        the overlap the reference gets from its manager thread running
+        ahead of the FPGA (software/fastmap.c:320-429)."""
+        if _os.environ.get("BWAMEM_TPU_SUPERSTEP", "1") != "0":
+            return self._streams_superstep(opt, queries)
         states = [
             _SliceRun(self, opt, queries[lo:lo + LANES], lo)
             for lo in range(0, len(queries), LANES)]
@@ -94,6 +104,58 @@ class BatchedSeeder:
         out: List[List[Intv]] = []
         for st in states:
             out.extend(st.out)
+        return out
+
+    def _streams_superstep(self, opt, queries) -> List[List[Intv]]:
+        """One smem_superstep dispatch per lane group; overflow lanes
+        re-run entirely on the host oracle."""
+        from .smem import smem_superstep
+        from ..config import MEM_F_NO_EXACT
+        import jax
+        import jax.numpy as jnp
+        start_width = 2 if (opt.flag & MEM_F_NO_EXACT) else 1
+        sl_init = int(opt.min_seed_len * opt.split_factor + .499)
+        out_cap = int(_os.environ.get("BWAMEM_TPU_OUT_CAP", "48"))
+        pend = []
+        for lo in range(0, len(queries), LANES):
+            grp = queries[lo:lo + LANES]
+            B = LANES
+            qpad = np.full((B, self.L), 4, dtype=np.int8)
+            qlen = np.zeros(B, dtype=np.int32)
+            slens = np.zeros(B, dtype=np.int32)
+            for i, qq in enumerate(grp):
+                qlen[i] = len(qq)
+                qpad[i, :len(qq)] = qq
+                slens[i] = min(sl_init, len(qq))
+            active = np.zeros(B, dtype=bool)
+            active[:len(grp)] = True
+            dev = smem_superstep(
+                self.dfm.blocks, self.dfm.primary, self.dfm.L2,
+                jnp.asarray(qpad), jnp.asarray(qlen),
+                jnp.full(B, start_width, dtype=self.dfm.L2.dtype),
+                jnp.asarray(active), jnp.asarray(slens),
+                jnp.full(B, opt.split_width, np.int32),
+                L=self.L, M=self.M, OUT_CAP=out_cap)
+            pend.append((lo, grp, dev))
+        out: List[List[Intv]] = []
+        for lo, grp, dev in pend:
+            get = lambda dev=dev: jax.device_get(dev)
+            (o0, o1, os_, oqb, oqe, n_out,
+             over) = (self.timer._timed(get, _tag="smem")
+                      if self.timer else get())
+            for i, qq in enumerate(grp):
+                if over[i]:
+                    lst: List[Intv] = []
+                    self._oracle_finish(opt, qq, 0, start_width,
+                                        min(sl_init, len(qq)),
+                                        opt.split_width, lst)
+                    out.append(lst)
+                    continue
+                n = int(n_out[i])
+                out.append([
+                    (int(o0[i, j]), int(o1[i, j]), int(os_[i, j]),
+                     (int(oqb[i, j]) << 32) | int(oqe[i, j]))
+                    for j in range(n)])
         return out
 
     def _oracle_finish(self, opt, query, start: int, start_width: int,
@@ -152,14 +214,15 @@ class BatchedSeeder:
         if not keys:
             return out
         d = self.dfm
-        karr = np.asarray(keys, dtype=np.int64)
+        kdt = np.int32 if d.sa.dtype == jnp.int32 else np.int64
+        karr = np.asarray(keys, dtype=kdt)
         vals = np.empty(len(karr), dtype=np.int64)
         over = np.empty(len(karr), dtype=bool)
         import jax
         pend = []  # dispatch-all-then-collect (jax dispatch is async)
         for lo in range(0, len(karr), SA_SLICE):
             sl = karr[lo:lo + SA_SLICE]
-            pad = np.zeros(SA_SLICE, dtype=np.int64)
+            pad = np.zeros(SA_SLICE, dtype=kdt)
             pad[:len(sl)] = sl
             dev = sa_lookup_batched(
                 d.blocks, d.primary, d.L2, d.seq_len, d.sa, d.sa_intv,
@@ -272,7 +335,8 @@ class _SliceRun:
         n2 = np.where(over2, sdr.M + 1, n2)
         ori_start = self.ori_start
         active = self.active
-        self.start = np.where(active, ret, self.start).astype(np.int32)
+        self.start = np.where(active, ret.astype(np.int32),
+                              self.start).astype(np.int32)
         out = self.out
         for i in np.nonzero(active)[0]:
             if int(n_mem[i]) > sdr.m_out:

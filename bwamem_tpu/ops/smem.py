@@ -85,7 +85,8 @@ def smem_iter_step(blocks, primary, L2,
     r2 = _smem1_impl(blocks, primary, L2, q, qlen,
                      jnp.where(need2, x2, 0),
                      jnp.where(need2, mi2, 1), need2, L, M, M_OUT)
-    return (_truncate(r1, M, M_OUT) + (need2,) + r2)
+    return (_pack(_truncate(r1, M, M_OUT)) + (need2,)
+            + _pack(r2))
 
 
 def _truncate(r, M: int, M_OUT: int):
@@ -95,6 +96,155 @@ def _truncate(r, M: int, M_OUT: int):
         return r
     return (ret, n_mem, m0[:, :M_OUT], m1[:, :M_OUT], ms[:, :M_OUT],
             mqb[:, :M_OUT], mqe[:, :M_OUT], over)
+
+
+def _pack(r):
+    """Wire-pack a round's outputs for the device->host hop: query
+    coordinates (<= L+1 <= 256) and counts (<= M+1) travel as uint8 —
+    the tunnel link runs at ~20-70 MB/s, so the per-round transfer
+    volume, not device compute (~5 ms/round), dominates seeding time."""
+    ret, n_mem, m0, m1, ms, mqb, mqe, over = r
+    return (ret.astype(jnp.uint8), n_mem.astype(jnp.uint8), m0, m1, ms,
+            mqb.astype(jnp.uint8), mqe.astype(jnp.uint8), over)
+
+
+@partial(jax.jit, static_argnames=("L", "M", "OUT_CAP"))
+def smem_superstep(blocks, primary, L2,
+                   q, qlen, min_intv, active,
+                   split_len, split_width,
+                   L: int, M: int, OUT_CAP: int):
+    """The WHOLE per-read SMEM iterator fused into one dispatch: an
+    outer while_loop advances every lane's iterator round in lock-step
+    (pass1 + re-seed test + pass2 + ordered merge, software/
+    bwamem.c:110-241), appending each round's merged interval list to a
+    per-lane output stream.  One device round trip replaces one per
+    round (~5-8), which matters because the host link pays ~35 ms RTT
+    and ~20-70 MB/s per hop — the FPGA analog is the manager batching a
+    whole read's seeding into one accelerator session rather than one
+    handshake per iterator call.
+
+    Returns (o0, o1, os, oqb, oqe, n_out, overflow): the interval
+    stream per lane, qb-major ordering identical to the host iterator;
+    `overflow` lanes (interval buffer M, pass-2 width, or OUT_CAP
+    exceeded) must re-run entirely on the host oracle."""
+    B = q.shape[0]
+    cdt = L2.dtype
+    i32 = jnp.int32
+    split_len32 = split_len.astype(i32)
+    kk2 = jnp.arange(2 * M, dtype=i32)[None, :]
+    jj = jnp.arange(M, dtype=i32)[None, :]
+
+    def round_body(st):
+        (x, n_out, o0, o1, os_, oqb, oqe, over, done) = st
+        act = ~done
+        ret, n_mem, m0, m1, ms, mqb, mqe, ov1 = _smem1_impl(
+            blocks, primary, L2, q, qlen, x, min_intv, act, L, M, 0)
+        ov1 = ov1 | (n_mem > M)  # mem list outgrew the buffer too
+        # re-seeding test (software/bwamem.c:185-204)
+        lens = mqe - mqb
+        validm = jj < n_mem[:, None]
+        lens = jnp.where(validm, lens, -1)
+        best = jnp.argmax(lens, axis=1).astype(i32)
+        best_len = _sel_col(lens, best)
+        bs = _sel_col(ms, best)
+        bqb = _sel_col(mqb, best)
+        bqe = _sel_col(mqe, best)
+        need2 = (act & (n_mem > 0) & (split_len > 0)
+                 & (best_len >= split_len32)
+                 & (bs <= split_width.astype(bs.dtype)) & ~ov1)
+        x2 = ((bqb + bqe) >> 1).astype(i32)
+        s0, s1, ss, sqb, sqe = m0, m1, ms, mqb, mqe  # placeholders
+        _r2ret, n2, s0, s1, ss, sqb, sqe, ov2 = _smem1_impl(
+            blocks, primary, L2, q, qlen,
+            jnp.where(need2, x2, 0),
+            jnp.where(need2, bs + 1, 1), need2, L, M, 0)
+        n2 = jnp.where(need2, n2, 0)
+        ov2 = need2 & (ov2 | (n2 > M))
+
+        # ordered merge (software/bwamem.c:206-238): key is qb-major,
+        # (qlen-qe)-minor — both fields <= L < 256 so one int32 encodes
+        # the reference's (qb<<32)|(qlen-qe) uint64 comparator exactly
+        key_m = mqb * 256 + (qlen[:, None] - mqe)
+        key_s = sqb * 256 + (qlen[:, None] - sqe)
+        valid_m = jj < n_mem[:, None]
+        # sub filter: len >= best_len/2 and ends after the round's start
+        keep_s = ((jj < n2[:, None]) & ((sqe - sqb) >= (best_len[:, None] >> 1))
+                  & (sqe > x[:, None]))
+        # compact kept sub entries
+        pos_s = jnp.cumsum(keep_s.astype(i32), axis=1) - 1
+        tgt_s = jnp.where(keep_s, pos_s, M)
+        cs0 = _scatter_cols(s0, tgt_s)
+        cs1 = _scatter_cols(s1, tgt_s)
+        css = _scatter_cols(ss, tgt_s)
+        csqb = _scatter_cols(sqb, tgt_s)
+        csqe = _scatter_cols(sqe, tgt_s)
+        ckey_s = _scatter_cols(key_s, tgt_s)
+        ns = jnp.sum(keep_s, axis=1, dtype=i32)
+        valid_s = jj < ns[:, None]
+        # stable merge, sub first on key ties (the C loop emits main
+        # only when xi < xj): rank_m[i] = i + #{j: key_s[j] <= key_m[i]},
+        # rank_s[j] = j + #{i: key_m[i] < key_s[j]}
+        km = jnp.where(valid_m, key_m, jnp.int32(2 ** 30))
+        ks = jnp.where(valid_s, ckey_s, jnp.int32(2 ** 30))
+        le = (ks[:, :, None] <= km[:, None, :]) & valid_s[:, :, None]
+        rank_m = jj + jnp.sum(le, axis=1, dtype=i32)
+        lt = (km[:, :, None] < ks[:, None, :]) & valid_m[:, :, None]
+        rank_s = jj + jnp.sum(lt, axis=1, dtype=i32)
+        rank_m = jnp.where(valid_m, rank_m, 2 * M)
+        rank_s = jnp.where(valid_s, rank_s, 2 * M)
+        # gather merged[k] from (main | sub) by rank
+        oh_m = rank_m[:, None, :] == kk2[:, :, None]     # [B, 2M, M]
+        oh_s = rank_s[:, None, :] == kk2[:, :, None]
+
+        def take(mv, sv):
+            return (jnp.sum(jnp.where(oh_m, mv[:, None, :], 0), axis=2,
+                            dtype=mv.dtype)
+                    + jnp.sum(jnp.where(oh_s, sv[:, None, :], 0), axis=2,
+                              dtype=sv.dtype))
+        g0 = take(m0, cs0)
+        g1 = take(m1, cs1)
+        gs = take(ms, css)
+        gqb = take(mqb, csqb)
+        gqe = take(mqe, csqe)
+        n_mrg = n_mem + ns
+
+        # append to the per-lane stream at cursor n_out
+        col = n_out[:, None] + kk2                        # [B, 2M]
+        in_mrg = kk2 < n_mrg[:, None]
+        cap = jnp.arange(OUT_CAP, dtype=i32)[None, :]
+        sel = (col[:, None, :] == cap[:, :, None]) & in_mrg[:, None, :]
+
+        def put(buf, vals):
+            upd = jnp.sum(jnp.where(sel, vals[:, None, :], 0), axis=2,
+                          dtype=buf.dtype)
+            hit = jnp.any(sel, axis=2)
+            return jnp.where(hit, upd, buf)
+        o0 = put(o0, g0.astype(o0.dtype))
+        o1 = put(o1, g1.astype(o1.dtype))
+        os_ = put(os_, gs.astype(os_.dtype))
+        oqb = put(oqb, gqb.astype(i32))
+        oqe = put(oqe, gqe.astype(i32))
+        n_new = n_out + jnp.where(act, n_mrg, 0)
+        over_now = act & (ov1 | ov2 | (n_new > OUT_CAP))
+        over = over | over_now
+        n_out = jnp.where(act & ~over_now, n_new, n_out)
+        x = jnp.where(act, ret.astype(i32), x)
+        done = done | over_now | (x >= qlen)
+        return (x, n_out, o0, o1, os_, oqb, oqe, over, done)
+
+    def round_cond(st):
+        return jnp.any(~st[-1])
+
+    x0 = jnp.zeros(B, i32)
+    st = (x0, jnp.zeros(B, i32),
+          jnp.zeros((B, OUT_CAP), cdt), jnp.zeros((B, OUT_CAP), cdt),
+          jnp.zeros((B, OUT_CAP), cdt), jnp.zeros((B, OUT_CAP), i32),
+          jnp.zeros((B, OUT_CAP), i32),
+          jnp.zeros(B, bool), ~active | (x0 >= qlen))
+    st = lax.while_loop(round_cond, round_body, st)
+    (_, n_out, o0, o1, os_, oqb, oqe, over, _) = st
+    return (o0, o1, os_, oqb.astype(jnp.uint8), oqe.astype(jnp.uint8),
+            n_out.astype(jnp.uint8), over)
 
 
 @partial(jax.jit, static_argnames=("L", "M", "M_OUT"))

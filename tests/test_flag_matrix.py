@@ -36,8 +36,13 @@ def _run_ours(args):
 
 
 def _run_ref(exe, args):
-    r = subprocess.run([exe, "mem"] + args, capture_output=True,
-                       text=True, timeout=300)
+    # the stubbed HARP manager thread occasionally races at startup and
+    # segfaults the reference binary before any work; retry those
+    for attempt in range(3):
+        r = subprocess.run([exe, "mem"] + args, capture_output=True,
+                           text=True, timeout=300)
+        if r.returncode == 0:
+            break
     assert r.returncode == 0, r.stderr[-500:]
     return [l for l in r.stdout.split("\n") if not l.startswith("@PG")]
 
