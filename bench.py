@@ -39,9 +39,14 @@ def main():
     sys.stderr.write("[bench] index loaded\n")
     sys.stderr.flush()
 
-    # no -t worker pool here: at this workload size the job pickling
-    # costs more than the parallel finalize saves (A/B: 946 vs 1024 r/s)
+    # -t worker pool (parallel host finalize): BWAMEM_TPU_BENCH_POOL=N
+    # (with chunk pipelining the host stages are the critical path, so
+    # the earlier pickling-cost verdict may not hold — re-A/B freely)
     pool = None
+    n_pool = int(os.environ.get("BWAMEM_TPU_BENCH_POOL", "0"))
+    if n_pool > 1:
+        from bwamem_tpu.core.mt import WorkerPool
+        pool = WorkerPool(fm, bns, pac, n_pool)
 
     engine = None
     try:
@@ -86,10 +91,20 @@ def main():
         engine.n_dispatches = 0
         engine.kernel_time_by_tag = {}
 
+    prof = None
+    if os.environ.get("BWAMEM_TPU_BENCH_PROFILE"):
+        import cProfile
+        prof = cProfile.Profile()
+        prof.enable()
     t0 = time.perf_counter()
     pl.process_chunk_stream(opt, fm, bns, pac, iter(chunks), None, "",
                             engine, verbose=0, pool=pool)
     dt = time.perf_counter() - t0
+    if prof is not None:
+        prof.disable()
+        import pstats
+        pstats.Stats(prof, stream=sys.stderr).sort_stats(
+            "cumulative").print_stats(25)
     rps = n_work / dt
     if pool is not None:
         pool.close()

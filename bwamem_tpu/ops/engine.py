@@ -266,6 +266,10 @@ class JaxSeedingEngine:
         outs = [None] * n
         for i in set(range(n)) - set(dev_idx):
             outs[i] = serve_host(reqs[i], opt)
+        # group lanes by extension size: the kernel's loops run to the
+        # max live target length in the group, so packing short lanes
+        # together lets their groups exit after a few iterations
+        dev_idx.sort(key=lambda i: max(len(reqs[i][2]), len(reqs[i][4])))
         pend = []  # dispatch-all-then-collect
         for lo in range(0, len(dev_idx), WAVE):
             grp = dev_idx[lo:lo + WAVE]

@@ -332,9 +332,20 @@ def ksw_global2_batched(
                                    eh_e_deg, eh_e))
         return eh_h, eh_e, z
 
-    from .loops import unroll_fori, unroll_body
+    from .loops import unroll_body
     z0 = jnp.zeros((B, LT, LQ), jnp.uint8)
-    eh_h, eh_e, z = unroll_fori(LT, row, (eh_h, eh_e, z0))
+    # early-exit row loop: rows past every lane's tlen are no-ops (the
+    # row body masks on i < tlen), so a while_loop stops at the max
+    # LIVE target length instead of always paying LT rows
+    def wrow(st):
+        i, carry = st
+        return i + 1, row(i, carry)
+
+    def wcond(st):
+        return st[0] < jnp.max(tlen)
+
+    _, (eh_h, eh_e, z) = lax.while_loop(
+        wcond, unroll_body(wrow), (jnp.int32(0), (eh_h, eh_e, z0)))
     score = sel_col(eh_h, qlen)
 
     # traceback (ksw.c:570-584)
