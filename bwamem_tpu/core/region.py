@@ -135,19 +135,11 @@ def drive_extension_gen(gen, opt):
 _NT5 = "ACGTN"
 
 
-def chain2aln_gen(opt, l_pac: int, pac, query: np.ndarray, c,
-                  av: List[AlnReg], trace=None):
-    """mem_chain2aln as a generator: extend each seed (longest first)
-    unless contained in an existing region (software/bwamem.c:1040-1188).
-    Each banded-extension call is yielded as
-    ("extend2", query_slice, target_slice, band, end_bonus, h0) and its
-    (score, qle, tle, gtle, gscore, max_off) tuple sent back — so a
-    batching driver can run one device dispatch per wave of live reads
-    (the reference's batch-dispatch idea applied to the SW stage)."""
-    if c.n == 0:
-        return
+def chain_rmax_rseq(opt, l_pac: int, pac, query: np.ndarray, c):
+    """The chain's reference window and fetched sequence
+    (software/bwamem.c:1052-1066) — shared by chain2aln_gen and the
+    speculative extension prefetch (ops.engine)."""
     l_query = len(query)
-    mat = np.asarray(opt.mat, dtype=np.int64)
     rmax0, rmax1 = l_pac << 1, 0
     for t_rbeg, t_qbeg, t_len in c.seeds:
         b = t_rbeg - (t_qbeg + cal_max_gap(opt, t_qbeg))
@@ -165,6 +157,47 @@ def chain2aln_gen(opt, l_pac: int, pac, query: np.ndarray, c,
             rmax0 = l_pac
     rseq = get_seq(l_pac, pac, rmax0, rmax1)
     assert len(rseq) == rmax1 - rmax0
+    return rmax0, rmax1, rseq
+
+
+def seed_lr_request(opt, query: np.ndarray, rmax0: int, rseq: np.ndarray,
+                    seed):
+    """Build the fused ("extend_lr", ...) request for one seed (the
+    slicing of software/bwamem.c:1121-1160); MUST stay identical
+    between chain2aln_gen and the speculative prefetch."""
+    s_rbeg, s_qbeg, s_len = seed
+    l_query = len(query)
+    if s_qbeg:
+        qs = query[s_qbeg - 1::-1].copy()
+        tmp = s_rbeg - rmax0
+        rs = rseq[tmp - 1::-1].copy() if tmp > 0 else rseq[:0]
+    else:
+        qs = query[:0]
+        rs = rseq[:0]
+    if s_qbeg + s_len != l_query:
+        qe = s_qbeg + s_len
+        re = s_rbeg + s_len - rmax0
+        assert re >= 0
+        qrt, rrt = query[qe:], rseq[re:]
+    else:
+        qrt, rrt = query[:0], rseq[:0]
+    return ("extend_lr", qs, rs, qrt, rrt, s_len * opt.a, s_qbeg,
+            s_rbeg, rmax0, l_query, s_len)
+
+
+def chain2aln_gen(opt, l_pac: int, pac, query: np.ndarray, c,
+                  av: List[AlnReg], trace=None):
+    """mem_chain2aln as a generator: extend each seed (longest first)
+    unless contained in an existing region (software/bwamem.c:1040-1188).
+    Each banded-extension call is yielded as
+    ("extend2", query_slice, target_slice, band, end_bonus, h0) and its
+    (score, qle, tle, gtle, gscore, max_off) tuple sent back — so a
+    batching driver can run one device dispatch per wave of live reads
+    (the reference's batch-dispatch idea applied to the SW stage)."""
+    if c.n == 0:
+        return
+    l_query = len(query)
+    rmax0, rmax1, rseq = chain_rmax_rseq(opt, l_pac, pac, query, c)
 
     srt = sorted((c.seeds[i][2] << 32) | i for i in range(c.n))
     srt_alive = list(srt)
@@ -234,24 +267,9 @@ def chain2aln_gen(opt, l_pac: int, pac, query: np.ndarray, c,
             # ops.ksw.ksw_extend_lr_batched) — 4x fewer dispatch round
             # trips than per-call waves.  The traced path below keeps
             # per-attempt granularity for the -v4 lines.
-            if s_qbeg:
-                qs = query[s_qbeg - 1::-1].copy()
-                tmp = s_rbeg - rmax0
-                rs = rseq[tmp - 1::-1].copy() if tmp > 0 else rseq[:0]
-            else:
-                qs = query[:0]
-                rs = rseq[:0]
-            if s_qbeg + s_len != l_query:
-                qe = s_qbeg + s_len
-                re = s_rbeg + s_len - rmax0
-                assert re >= 0
-                qrt, rrt = query[qe:], rseq[re:]
-            else:
-                qrt, rrt = query[:0], rseq[:0]
             (a.score, a.truesc, a.qb, a.rb, a.qe, a.re, aw0,
-             aw1) = yield ("extend_lr", qs, rs, qrt, rrt,
-                           s_len * opt.a, s_qbeg, s_rbeg, rmax0,
-                           l_query, s_len)
+             aw1) = yield seed_lr_request(
+                 opt, query, rmax0, rseq, (s_rbeg, s_qbeg, s_len))
             a.seedcov = 0
             for t_rbeg, t_qbeg, t_len in c.seeds:
                 if (t_qbeg >= a.qb and t_qbeg + t_len <= a.qe

@@ -113,29 +113,90 @@ class JaxSeedingEngine:
         structure applied to the SW stage).  `traces` (one TraceLog per
         read) collects the -v>=4 lines.  `chains` may be precomputed
         (the chunk-pipelined driver seeds chunk k+1 on a helper thread
-        while chunk k's waves run, core.pipeline.process_chunk_stream)."""
+        while chunk k's waves run, core.pipeline.process_chunk_stream).
+
+        Extension results depend only on the seed and its chain window
+        — never on the serial containment bookkeeping that decides
+        WHICH seeds extend — so every seed's fused extension is
+        dispatched SPECULATIVELY up front as one pipelined wave set,
+        and the exact per-read serial logic then consumes the cached
+        results: byte-identical output, without one dispatch round
+        trip per serial extension step."""
         from ..core.pipeline import align1_core_gen
         if chains is None:
             chains = self.chain_batch(opt, reads, traces=traces,
                                       trace_seeds=trace_seeds)
+        cache = None
+        if traces is None:
+            cache = self._speculate_extensions(opt, bns, pac, reads,
+                                               chains)
         gens = [align1_core_gen(
                     opt, fm, bns, pac, r, chains=chains[i],
                     trace=traces[i] if traces is not None else None)
                 for i, r in enumerate(reads)]
-        return self.drive_waves(opt, gens)
+        return self.drive_waves(opt, gens, cache=cache)
 
-    def drive_waves(self, opt, gens) -> List:
+    @staticmethod
+    def _lr_key(req):
+        (_, qs, rs, qrt, rrt, sc_seed, s_qbeg, s_rbeg, rmax0,
+         l_query, s_len) = req
+        return (bytes(memoryview(np.ascontiguousarray(qs))),
+                bytes(memoryview(np.ascontiguousarray(rs))),
+                bytes(memoryview(np.ascontiguousarray(qrt))),
+                bytes(memoryview(np.ascontiguousarray(rrt))),
+                sc_seed, s_qbeg, s_rbeg, rmax0, l_query, s_len)
+
+    def _speculate_extensions(self, opt, bns, pac, reads, chains):
+        """One batched wave set covering EVERY seed's fused extension
+        (a superset of what the serial path will request); returns a
+        content-keyed result cache.  Chains so seed-rich that
+        speculation would waste the device fall back to live waves."""
+        from ..core.region import chain_rmax_rseq, seed_lr_request
+        reqs = []
+        budget = 16 * max(len(reads), 1)
+        for i, r in enumerate(reads):
+            for c in chains[i]:
+                if c.n == 0:
+                    continue
+                rmax0, _, rseq = chain_rmax_rseq(
+                    opt, bns.l_pac, pac, r.seq_nt4, c)
+                for seed in c.seeds:
+                    reqs.append(seed_lr_request(
+                        opt, r.seq_nt4, rmax0, rseq, seed))
+            if len(reqs) > budget:
+                return None
+        if not reqs:
+            return {}
+        outs = self._extend_lr_wave(opt, reqs)
+        return {self._lr_key(q): o for q, o in zip(reqs, outs)}
+
+    def drive_waves(self, opt, gens, cache=None) -> List:
         """Advance all generators in lock-step; every wave serves the
         live requests grouped by type, one batched device dispatch per
         type (the reference's batch-dispatch structure applied to every
-        SW call site).  Returns each generator's return value."""
+        SW call site).  `cache` (content-keyed speculative extension
+        results) answers extend_lr requests without a dispatch.
+        Returns each generator's return value."""
         results: List = [None] * len(gens)
         live = {}
-        for i, g in enumerate(gens):
-            try:
-                live[i] = g.send(None)
-            except StopIteration as e:
-                results[i] = e.value
+
+        def advance(i, out):
+            while True:
+                try:
+                    req = gens[i].send(out)
+                except StopIteration as e:
+                    results[i] = e.value
+                    return
+                if cache is not None and req[0] == "extend_lr":
+                    hit = cache.get(self._lr_key(req))
+                    if hit is not None:
+                        out = hit
+                        continue
+                live[i] = req
+                return
+
+        for i in range(len(gens)):
+            advance(i, None)
         while live:
             order = list(live.keys())
             reqs = [live[i] for i in order]
@@ -146,10 +207,7 @@ class JaxSeedingEngine:
                     outs[j] = serve_host(r, opt)
                 live = {}
                 for i, out in zip(order, outs):
-                    try:
-                        live[i] = gens[i].send(out)
-                    except StopIteration as e:
-                        results[i] = e.value
+                    advance(i, out)
                 continue
             ext = [j for j, r in enumerate(reqs) if r[0] == "extend2"]
             elr = [j for j, r in enumerate(reqs) if r[0] == "extend_lr"]
@@ -181,10 +239,7 @@ class JaxSeedingEngine:
                 outs[j] = serve_host(reqs[j], opt)
             live = {}
             for i, out in zip(order, outs):
-                try:
-                    live[i] = gens[i].send(out)
-                except StopIteration as e:
-                    results[i] = e.value
+                advance(i, out)
         return results
 
     def _timed(self, fn, *args, _tag="other", **kw):
