@@ -25,6 +25,8 @@ WAVE = int(_os.environ.get("BWAMEM_TPU_WAVE", "512"))
 # below this many live requests a dispatch round trip costs more than
 # the scalar oracle; the tail of the lock-step waves runs on the host
 MIN_WAVE = int(_os.environ.get("BWAMEM_TPU_MIN_WAVE", "8"))
+# speculative up-front extension waves (A/B knob; default on)
+SPECULATE = _os.environ.get("BWAMEM_TPU_SPECULATE", "1") != "0"
 
 
 class JaxSeedingEngine:
@@ -127,7 +129,7 @@ class JaxSeedingEngine:
             chains = self.chain_batch(opt, reads, traces=traces,
                                       trace_seeds=trace_seeds)
         cache = None
-        if traces is None:
+        if SPECULATE and traces is None:
             cache = self._speculate_extensions(opt, bns, pac, reads,
                                                chains)
         gens = [align1_core_gen(

@@ -45,19 +45,20 @@ def main():
             o0, o1, os_ = extend(blocks, primary, L2, x0, x1, s,
                                  is_back=True)
             # feed one candidate back to serialize iterations
-            x0n = jnp.clip(o0[..., 1], 1, n - 2)
-            x1n = jnp.clip(o1[..., 1], 1, n - 2)
-            sn = jnp.clip(os_[..., 1], 1, 64)
+            cdt = o0.dtype
+            x0n = jnp.clip(o0[..., 1], cdt.type(1), cdt.type(n - 2))
+            x1n = jnp.clip(o1[..., 1], cdt.type(1), cdt.type(n - 2))
+            sn = jnp.clip(os_[..., 1], cdt.type(1), cdt.type(64))
             return (x0n, x1n, sn), None
         (x0, x1, s), _ = lax.scan(body, (x0, x1, s), None, length=iters)
         return x0
 
     def bench(shape, label):
         x0 = jnp.asarray(rng.integers(1, n // 2, size=shape),
-                         dtype=jnp.int64)
+                         dtype=d.cdt)
         x1 = jnp.asarray(rng.integers(1, n // 2, size=shape),
-                         dtype=jnp.int64)
-        s = jnp.asarray(rng.integers(1, 64, size=shape), dtype=jnp.int64)
+                         dtype=d.cdt)
+        s = jnp.asarray(rng.integers(1, 64, size=shape), dtype=d.cdt)
         r = loop_extend(d.blocks, d.primary, d.L2, x0, x1, s,
                         ITERS).block_until_ready()
         ts = []
@@ -148,8 +149,8 @@ def main():
         qlen[i] = len(q)
     args = (d.blocks, d.primary, d.L2, jnp.asarray(qpad),
             jnp.asarray(qlen), jnp.zeros(B, jnp.int32),
-            jnp.ones(B, jnp.int64), jnp.ones(B, bool),
-            jnp.full(B, 29, jnp.int64), jnp.full(B, 10, jnp.int64))
+            jnp.ones(B, d.cdt), jnp.ones(B, bool),
+            jnp.full(B, 29, d.cdt), jnp.full(B, 10, d.cdt))
     out = smem_iter_step(*args, L=L, M=M, M_OUT=M)
     jax.block_until_ready(out)
     ts = []
