@@ -17,6 +17,10 @@ import time
 # per-lane, so the widest dispatch wins (two 1024-lane groups measured
 # ~35% slower than one 2048 despite software pipelining)
 os.environ.setdefault("BWAMEM_TPU_LANES", "2048")
+# wider SW waves = fewer ~35ms-RTT dispatch round trips; affordable
+# now that the Pallas extension kernel compiles in ~1s (A/B: 512 ->
+# 1024 lifted 1.58x -> 1.72x; 2048 regressed while global2 is XLA)
+os.environ.setdefault("BWAMEM_TPU_WAVE", "1024")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

@@ -49,7 +49,8 @@ def cigar_from_traceback(ops_row: np.ndarray, n: int, rem_i: int,
     return cigar
 
 
-@partial(jax.jit, static_argnames=("LQ", "LT"))
+@partial(jax.jit, static_argnames=("LQ", "LT", "o_del", "e_del",
+                                   "o_ins", "e_ins", "zdrop"))
 def ksw_extend2_batched(
         query: jnp.ndarray,    # int32[B, LQ] nt4 (pad 4)
         target: jnp.ndarray,   # int32[B, LT] nt4 (pad 4)
@@ -66,6 +67,17 @@ def ksw_extend2_batched(
     return _extend_impl(query, target, qlen, tlen, mat, o_del, e_del,
                         o_ins, e_ins, w_in, end_bonus, zdrop, h0,
                         LQ, LT, None)
+
+
+def _use_pallas_extend() -> bool:
+    import os
+    v = os.environ.get("BWAMEM_TPU_PALLAS_EXTEND", "auto")
+    from .pallas_extend import extend_pallas_available
+    if not extend_pallas_available():
+        return False
+    if v == "auto":
+        return jax.default_backend() == "tpu"
+    return v != "0"
 
 
 def _extend_impl(query, target, qlen, tlen, mat,
@@ -97,6 +109,16 @@ def _extend_impl(query, target, qlen, tlen, mat,
                .astype(i32))
     max_del = jnp.maximum(max_del, 1)
     w = jnp.minimum(w, max_del)
+
+    if _use_pallas_extend():
+        from .pallas_extend import extend_pallas
+        done0 = tlen <= 0
+        if active is not None:
+            done0 = done0 | ~active
+        return extend_pallas(query, target, qlen.astype(i32),
+                             tlen.astype(i32), mat, o_del, e_del,
+                             o_ins, e_ins, w, zdrop, h0.astype(i32),
+                             done0, LQ, LT)
 
     jv = jnp.arange(LQ + 1, dtype=i32)[None, :]          # [1, LQ+1]
     jq = jnp.arange(LQ, dtype=i32)[None, :]              # [1, LQ]
@@ -384,7 +406,9 @@ def ksw_global2_batched(
     return score, ops, n_ops, i_f, k_f
 
 
-@partial(jax.jit, static_argnames=("LQ", "LT"))
+@partial(jax.jit, static_argnames=("LQ", "LT", "o_del", "e_del",
+                                   "o_ins", "e_ins", "w0", "pc5",
+                                   "pc3", "zdrop"))
 def ksw_extend_lr_batched(
         lq, lt,                # int8[B, LQ]/[B, LT] left query/target
                                # (both pre-reversed, bwamem.c:1123-1128)
