@@ -30,8 +30,13 @@ SPECULATE = _os.environ.get("BWAMEM_TPU_SPECULATE", "1") != "0"
 
 
 class JaxSeedingEngine:
-    def __init__(self, fm_host, max_len: int = 128, sa_max_steps: int = 128,
+    def __init__(self, fm_host, max_len: int = 128, sa_max_steps: int = 1024,
                  ext_lq: int = 128, ext_lt: int = 544):
+        # sa_max_steps: the psi-walk length to a sampled SA row is
+        # ~geometric with mean sa_intv (32); the device loop exits at
+        # the max LIVE walk (~32*ln(lanes) ~ 300), so a high cap is
+        # free while a 128 cap sent ~1.7% of lookups to the scalar
+        # host walk (~1s+ of pure Python per bench run)
         self.fm_host = fm_host
         self.dfm = DeviceFmIndex.from_host(fm_host)
         self.seeder = BatchedSeeder(self.dfm, max_len=max_len,

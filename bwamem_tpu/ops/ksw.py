@@ -80,6 +80,18 @@ def _use_pallas_extend() -> bool:
     return v != "0"
 
 
+def _use_pallas_global() -> bool:
+    # default OFF: the in-kernel traceback is not yet faster than the
+    # XLA path on the tunnel-attached chip (dynamic scratch indexing
+    # cost; see pallas_global.py) — enable explicitly to experiment
+    import os
+    v = os.environ.get("BWAMEM_TPU_PALLAS_GLOBAL", "0")
+    from .pallas_global import global_pallas_available
+    if not global_pallas_available():
+        return False
+    return v not in ("0", "auto")
+
+
 def _extend_impl(query, target, qlen, tlen, mat,
                  o_del, e_del, o_ins, e_ins, w_in, end_bonus, zdrop, h0,
                  LQ: int, LT: int, active):
@@ -252,7 +264,8 @@ def _extend_impl(query, target, qlen, tlen, mat,
             st["max_ie"] + 1, st["gscore"], st["max_off"])
 
 
-@partial(jax.jit, static_argnames=("LQ", "LT"))
+@partial(jax.jit, static_argnames=("LQ", "LT", "o_del", "e_del",
+                                   "o_ins", "e_ins"))
 def ksw_global2_batched(
         query: jnp.ndarray,    # int32[B, LQ] nt4 (pad 4)
         target: jnp.ndarray,   # int32[B, LT] nt4 (pad 4)
@@ -281,6 +294,12 @@ def ksw_global2_batched(
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
     w = w_in.astype(i32)
+
+    if _use_pallas_global():
+        from .pallas_global import global_pallas
+        return global_pallas(query, target, qlen.astype(i32),
+                             tlen.astype(i32), mat, o_del, e_del,
+                             o_ins, e_ins, w, LQ, LT)
 
     mat55 = mat.reshape(5, 5)
     jv = jnp.arange(LQ + 1, dtype=i32)[None, :]
