@@ -50,7 +50,8 @@ def main():
     n_pool = int(os.environ.get("BWAMEM_TPU_BENCH_POOL", "0"))
     if n_pool > 1:
         from bwamem_tpu.core.mt import WorkerPool
-        pool = WorkerPool(fm, bns, pac, n_pool)
+        # spawn: a fork of the live axon device client wedges the claim
+        pool = WorkerPool(fm, bns, pac, n_pool, method="spawn")
 
     engine = None
     try:

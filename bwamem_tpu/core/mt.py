@@ -31,12 +31,31 @@ _G = {}
 class WorkerPool:
     """Fork-based pool over the host-side per-read pipeline stages."""
 
-    def __init__(self, fm, bns, pac, n_workers: int):
+    def __init__(self, fm, bns, pac, n_workers: int,
+                 method: str = None):
         import multiprocessing as mp
-        _G["fm"], _G["bns"], _G["pac"] = fm, bns, pac
-        ctx = mp.get_context("fork")
+        if method is None:
+            # the axon remote-device client has import-time connection
+            # state that a fork corrupts (wedges the device claim even
+            # when the pool forks before engine creation) — spawn
+            # whenever that client can exist in this process
+            default = ("spawn" if os.environ.get("PALLAS_AXON_POOL_IPS")
+                       else "fork")
+            method = os.environ.get("BWAMEM_TPU_POOL_METHOD", default)
         self.n = max(int(n_workers), 1)
-        self._pool = ctx.Pool(self.n)
+        if method == "spawn":
+            # spawn when a live remote-device client exists in the
+            # parent: forking it duplicates the tunnel connection state
+            # and wedges the device claim.  The index is pickled to
+            # each worker once; workers scrub the device env so any
+            # accidental jax import stays on CPU.
+            ctx = mp.get_context("spawn")
+            self._pool = ctx.Pool(self.n, initializer=_init_spawn,
+                                  initargs=(fm, bns, pac))
+        else:
+            _G["fm"], _G["bns"], _G["pac"] = fm, bns, pac
+            ctx = mp.get_context("fork")
+            self._pool = ctx.Pool(self.n)
 
     def close(self):
         if self._pool is not None:
@@ -90,6 +109,12 @@ class WorkerPool:
             for i, (s1, s2) in zip(idxs, sams):
                 reads[i << 1].sam = s1
                 reads[i << 1 | 1].sam = s2
+
+
+def _init_spawn(fm, bns, pac):
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _G["fm"], _G["bns"], _G["pac"] = fm, bns, pac
 
 
 def _w_align(job):
