@@ -73,6 +73,8 @@ def main():
     sys.stderr.flush()
 
     # warm-up (compiles)
+    if engine is not None:
+        engine.warm_shapes(opt)
     warm = [copy.copy(r) for r in reads[:64]]
     pl.process_seqs(opt, fm, bns, pac, 0, warm, None, "", engine,
                     verbose=0, pool=pool)

@@ -27,6 +27,14 @@ WAVE = int(_os.environ.get("BWAMEM_TPU_WAVE", "512"))
 MIN_WAVE = int(_os.environ.get("BWAMEM_TPU_MIN_WAVE", "8"))
 # speculative up-front extension waves (A/B knob; default on)
 SPECULATE = _os.environ.get("BWAMEM_TPU_SPECULATE", "1") != "0"
+# per-stage wave widths: the extension wave is upload-bound, so wider
+# is better once the kernel is Pallas; the global wave's XLA traceback
+# loop scales with width, so it stays narrower
+WAVE_EXT = int(_os.environ.get("BWAMEM_TPU_WAVE_EXT", str(WAVE * 2)))
+WAVE_GLO = int(_os.environ.get("BWAMEM_TPU_WAVE_GLO", str(WAVE)))
+# extension target-length buckets (must end at the engine LT cap)
+LT_BUCKETS = tuple(int(x) for x in _os.environ.get(
+    "BWAMEM_TPU_LT_BUCKETS", "160,320,544").split(","))
 
 
 class JaxSeedingEngine:
@@ -142,6 +150,45 @@ class JaxSeedingEngine:
                     trace=traces[i] if traces is not None else None)
                 for i, r in enumerate(reads)]
         return self.drive_waves(opt, gens, cache=cache)
+
+    def warm_shapes(self, opt):
+        """Pre-compile every fixed dispatch shape (all extension LT
+        buckets, the extend2/global shapes) with empty lanes so no
+        compile lands inside a measured/served request."""
+        import jax
+        import jax.numpy as jnp
+        from .ksw import ksw_extend_lr_batched, ksw_extend2_batched, \
+            ksw_global2_batched
+        LQ = self._ext_lq
+        pend = []
+        for LT in LT_BUCKETS:
+            B = WAVE_EXT
+            z8 = jnp.full((B, LQ), 4, jnp.int8)
+            t8 = jnp.full((B, LT), 4, jnp.int8)
+            zi = jnp.zeros(B, jnp.int32)
+            z6 = jnp.zeros(B, jnp.int64)
+            pend.append(ksw_extend_lr_batched(
+                z8, t8, zi, zi, z8, t8, zi, zi, self._mat_i32(opt),
+                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                opt.w, opt.pen_clip5, opt.pen_clip3, opt.zdrop,
+                zi, zi, z6, z6, zi + 1, zi, LQ=LQ, LT=LT))
+        B = WAVE
+        z8 = jnp.full((B, LQ), 4, jnp.int8)
+        t8 = jnp.full((B, self._ext_lt), 4, jnp.int8)
+        zi = jnp.zeros(B, jnp.int32)
+        pend.append(ksw_extend2_batched(
+            z8, t8, zi, zi, self._mat_i32(opt), opt.o_del, opt.e_del,
+            opt.o_ins, opt.e_ins, zi + 1, zi, opt.zdrop, zi,
+            LQ=LQ, LT=self._ext_lt))
+        B = WAVE_GLO
+        z8 = jnp.full((B, self._glo_lq), 4, jnp.int8)
+        t8 = jnp.full((B, self._glo_lt), 4, jnp.int8)
+        zi = jnp.zeros(B, jnp.int32)
+        pend.append(ksw_global2_batched(
+            z8, t8, zi + 1, zi, self._mat_i32(opt), opt.o_del,
+            opt.e_del, opt.o_ins, opt.e_ins, zi + 1,
+            LQ=self._glo_lq, LT=self._glo_lt))
+        jax.block_until_ready(pend)
 
     @staticmethod
     def _lr_key(req):
@@ -333,9 +380,16 @@ class JaxSeedingEngine:
         # together lets their groups exit after a few iterations
         dev_idx.sort(key=lambda i: max(len(reqs[i][2]), len(reqs[i][4])))
         pend = []  # dispatch-all-then-collect
-        for lo in range(0, len(dev_idx), WAVE):
-            grp = dev_idx[lo:lo + WAVE]
-            B = WAVE
+        for lo in range(0, len(dev_idx), WAVE_EXT):
+            grp = dev_idx[lo:lo + WAVE_EXT]
+            B = WAVE_EXT
+            # target-length bucket per group: lanes are size-sorted, so
+            # most groups compile (cheap, Pallas) and SHIP at a fraction
+            # of the 544-column worst case — the wave is upload-bound
+            # over the ~35ms-RTT link
+            gmax = max(max(len(reqs[i][2]), len(reqs[i][4]))
+                       for i in grp)
+            LT = next(b for b in LT_BUCKETS if b >= gmax)
             lqb = np.full((B, LQ), 4, np.int8)
             ltb = np.full((B, LT), 4, np.int8)
             rqb = np.full((B, LQ), 4, np.int8)
@@ -396,9 +450,9 @@ class JaxSeedingEngine:
             outs[i] = serve_host(reqs[i], opt)
         import jax
         pend = []  # dispatch-all-then-collect (see _extend_wave)
-        for lo in range(0, len(dev_idx), WAVE):
-            grp = dev_idx[lo:lo + WAVE]
-            B = WAVE
+        for lo in range(0, len(dev_idx), WAVE_GLO):
+            grp = dev_idx[lo:lo + WAVE_GLO]
+            B = WAVE_GLO
             qb = np.full((B, LQ), 4, np.int8)
             tb = np.full((B, LT), 4, np.int8)
             qlen = np.zeros(B, np.int32)
