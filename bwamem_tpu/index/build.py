@@ -39,6 +39,8 @@ def build_index(fasta_path: str, prefix: str = None, sa_intv: int = 32,
     fm = FmIndex.build(doubled, sa_intv=sa_intv)
     fm.dump_bwt(prefix + ".bwt")
     fm.dump_sa(prefix + ".sa")
+    if fm.sa8 is not None:
+        fm.dump_sa8(prefix + ".sa8")   # device-speed sidecar (ours)
     log("[bwa_index] done")
 
 
@@ -46,5 +48,6 @@ def load_index(prefix: str):
     """bwa_idx_load(BWA_IDX_ALL) equivalent: returns (FmIndex, BntSeq with
     pac loaded) (reference: software/bwa.c:312-334)."""
     fm = FmIndex.restore(prefix + ".bwt", prefix + ".sa")
+    fm.restore_sa8(prefix + ".sa8")
     bns = bns_restore(prefix, load_pac_file=True)
     return fm, bns

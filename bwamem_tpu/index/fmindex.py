@@ -53,6 +53,11 @@ class FmIndex:
     bwt: Optional[np.ndarray] = None   # uint32, interleaved layout
     sa_intv: int = 0
     sa: Optional[np.ndarray] = None    # int64 (bwtint_t), sa[0] == -1
+    # optional denser SA sample (own sidecar format, intv 8): identical
+    # lookup VALUES with 4x shorter psi-walks — purely a device-speed
+    # artifact, never consulted by the byte-parity host paths
+    sa8_intv: int = 0
+    sa8: Optional[np.ndarray] = None
 
     # ---- construction -------------------------------------------------------
 
@@ -80,6 +85,11 @@ class FmIndex:
         fm.sa_intv = sa_intv
         fm.sa = sa_full[np.arange(n_sa, dtype=np.int64) * sa_intv].astype(np.int64)
         fm.sa[0] = -1
+        if sa_intv > 8:
+            n8 = (n + 8) // 8
+            fm.sa8_intv = 8
+            fm.sa8 = sa_full[np.arange(n8, dtype=np.int64) * 8].astype(np.int64)
+            fm.sa8[0] = -1
         return fm
 
     # ---- derived ------------------------------------------------------------
@@ -205,6 +215,32 @@ class FmIndex:
             np.int64(self.primary).tofile(f)
             self.L2[1:5].astype("<u8").tofile(f)
             self.bwt.astype("<u4").tofile(f)
+
+    def dump_sa8(self, path: str) -> None:
+        """Dense-SA sidecar (our own artifact, not a bwa format)."""
+        with open(path, "wb") as f:
+            np.int64(self.seq_len).tofile(f)
+            np.int64(self.sa8_intv).tofile(f)
+            self.sa8[1:].astype("<u8").tofile(f)
+
+    def restore_sa8(self, path: str) -> bool:
+        import os as _os
+        if not _os.path.exists(path):
+            return False
+        with open(path, "rb") as f:
+            head = np.fromfile(f, dtype="<u8", count=2)
+            if len(head) != 2 or int(head[0]) != self.seq_len:
+                return False
+            intv = int(head[1])
+            n8 = (self.seq_len + intv) // intv
+            vals = np.fromfile(f, dtype="<u8", count=n8 - 1)
+            if len(vals) != n8 - 1:
+                return False
+            self.sa8_intv = intv
+            self.sa8 = np.empty(n8, dtype=np.int64)
+            self.sa8[0] = -1
+            self.sa8[1:] = vals.astype(np.int64)
+        return True
 
     def dump_sa(self, path: str) -> None:
         with open(path, "wb") as f:

@@ -137,8 +137,13 @@ class DeviceFmIndex:
             L2=jnp.asarray(fm.L2.astype(cdt)),
             primary=jnp.asarray(cdt(fm.primary)),
             seq_len=jnp.asarray(cdt(fm.seq_len)),
-            sa=jnp.asarray(fm.sa.astype(cdt)),
-            sa_intv=int(fm.sa_intv),
+            # denser sample when the index ships the .sa8 sidecar:
+            # identical values, ~4x fewer lock-step psi-walk iterations
+            sa=jnp.asarray((fm.sa8 if getattr(fm, "sa8", None) is not None
+                            else fm.sa).astype(cdt)),
+            sa_intv=int(fm.sa8_intv
+                        if getattr(fm, "sa8", None) is not None
+                        else fm.sa_intv),
         )
 
 
