@@ -27,11 +27,11 @@ WAVE = int(_os.environ.get("BWAMEM_TPU_WAVE", "512"))
 MIN_WAVE = int(_os.environ.get("BWAMEM_TPU_MIN_WAVE", "8"))
 # speculative up-front extension waves (A/B knob; default on)
 SPECULATE = _os.environ.get("BWAMEM_TPU_SPECULATE", "1") != "0"
-# per-stage wave widths: the extension wave is upload-bound, so wider
-# is better once the kernel is Pallas; the global wave's XLA traceback
-# loop scales with width, so it stays narrower
+# per-stage wave widths: both SW waves are upload/RTT-bound now that
+# their kernels are Pallas (extension 1.8ms, global 0.25ms per kilolane
+# on-device), so wider waves mean fewer ~35ms round trips
 WAVE_EXT = int(_os.environ.get("BWAMEM_TPU_WAVE_EXT", str(WAVE * 2)))
-WAVE_GLO = int(_os.environ.get("BWAMEM_TPU_WAVE_GLO", str(WAVE)))
+WAVE_GLO = int(_os.environ.get("BWAMEM_TPU_WAVE_GLO", str(WAVE * 2)))
 # extension target-length buckets (must end at the engine LT cap)
 LT_BUCKETS = tuple(int(x) for x in _os.environ.get(
     "BWAMEM_TPU_LT_BUCKETS", "160,320,544").split(","))
@@ -194,10 +194,11 @@ class JaxSeedingEngine:
     def _lr_key(req):
         (_, qs, rs, qrt, rrt, sc_seed, s_qbeg, s_rbeg, rmax0,
          l_query, s_len) = req
-        return (bytes(memoryview(np.ascontiguousarray(qs))),
-                bytes(memoryview(np.ascontiguousarray(rs))),
-                bytes(memoryview(np.ascontiguousarray(qrt))),
-                bytes(memoryview(np.ascontiguousarray(rrt))),
+        # rs/rrt are pure functions of (pac, rmax0, s_rbeg, lengths):
+        # pac is a run constant, len(rs) == s_rbeg-rmax0, and rmax1
+        # enters only through len(rrt) — so keying the query-side bytes
+        # plus the scalars is exact at a fraction of the hashing cost
+        return (qs.tobytes(), qrt.tobytes(), len(rrt),
                 sc_seed, s_qbeg, s_rbeg, rmax0, l_query, s_len)
 
     def _speculate_extensions(self, opt, bns, pac, reads, chains):

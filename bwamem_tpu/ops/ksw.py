@@ -81,15 +81,14 @@ def _use_pallas_extend() -> bool:
 
 
 def _use_pallas_global() -> bool:
-    # default OFF: the in-kernel traceback is not yet faster than the
-    # XLA path on the tunnel-attached chip (dynamic scratch indexing
-    # cost; see pallas_global.py) — enable explicitly to experiment
     import os
-    v = os.environ.get("BWAMEM_TPU_PALLAS_GLOBAL", "0")
+    v = os.environ.get("BWAMEM_TPU_PALLAS_GLOBAL", "auto")
     from .pallas_global import global_pallas_available
     if not global_pallas_available():
         return False
-    return v not in ("0", "auto")
+    if v == "auto":
+        return jax.default_backend() == "tpu"
+    return v != "0"
 
 
 def _extend_impl(query, target, qlen, tlen, mat,

@@ -14,7 +14,10 @@ cur_i == gi and the row fetch z[gi] is a UNIFORM dynamic slice; only
 the per-lane k-select remains a (cheap, [LQ, blk]) masked reduction.
 gi decrements once no live lane remains on it.  Iterations =
 n_rows + insertion stalls, each touching [LQ, blk] — versus the XLA
-path's [B, LT, LQ] per step.
+path's [B, LT, LQ] per step.  Measured (jitted) 0.25 ms per 1024-lane
+wave on v5e vs ~50 ms for the XLA path.  NOTE: calling this wrapper
+OUTSIDE jit pays ~15 eager dispatches over the tunnel (~600 ms) —
+always call through the jitted ksw_global2_batched.
 
 Returns match ops.ksw.ksw_global2_batched exactly: (score, ops
 (reverse order, 0=M 1=I 2=D), n_ops, rem_i, rem_k).
