@@ -107,21 +107,25 @@ def gen_cigar_gen(mat, o_del, e_del, o_ins, e_ins, w_, l_pac, pac,
             trace.append("* Global query: %s\n"
                          % "".join(INT2BASE_F[b] for b in q))
         score, cigar = yield ("global2", q, rseq, w)
-    # NM and MD
+    # NM and MD (mismatch positions found vectorized per match run —
+    # the per-base Python walk dominated finalize time at ~100
+    # iterations per read)
+    base_tab = INT2BASE_F if rb < l_pac else INT2BASE_R
     md = []
     x = y = u = n_mm = n_gap = 0
     n_cigar = len(cigar)
     for k_i, cg in enumerate(cigar):
         op, ln = cg & 0xF, cg >> 4
         if op == 0:  # match
-            for i in range(ln):
-                if q[x + i] != rseq[y + i]:
-                    md.append(str(u))
-                    md.append((INT2BASE_F if rb < l_pac else INT2BASE_R)[rseq[y + i]])
-                    n_mm += 1
-                    u = 0
-                else:
-                    u += 1
+            mis = np.nonzero(q[x:x + ln] != rseq[y:y + ln])[0]
+            prev = -1
+            for i in mis:
+                md.append(str(u + int(i) - prev - 1))
+                md.append(base_tab[rseq[y + int(i)]])
+                u = 0
+                prev = int(i)
+            u += ln - 1 - prev
+            n_mm += len(mis)
             x += ln
             y += ln
         elif op == 2:  # deletion
@@ -129,7 +133,7 @@ def gen_cigar_gen(mat, o_del, e_del, o_ins, e_ins, w_, l_pac, pac,
                 md.append(str(u))
                 md.append("^")
                 for i in range(ln):
-                    md.append((INT2BASE_F if rb < l_pac else INT2BASE_R)[rseq[y + i]])
+                    md.append(base_tab[rseq[y + i]])
                 u = 0
                 n_gap += ln
             y += ln

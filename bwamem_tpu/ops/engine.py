@@ -439,7 +439,7 @@ class JaxSeedingEngine:
         """One batched ksw_global2 dispatch (with on-device traceback)
         over a wave of ("global2", qs, rs, w) requests."""
         import jax.numpy as jnp
-        from .ksw import ksw_global2_batched, cigar_from_traceback
+        from .ksw import ksw_global2_batched, cigars_from_tracebacks
         from ..core.swdrive import serve_host
 
         LQ, LT = self._glo_lq, self._glo_lt
@@ -474,10 +474,10 @@ class JaxSeedingEngine:
         for grp, dev in pend:
             score, ops, n_ops, ri, rk = self._timed(
                 lambda dev=dev: jax.device_get(dev), _tag="global2")
+            cigars = cigars_from_tracebacks(ops, n_ops, ri, rk,
+                                            range(len(grp)))
             for bi, i in enumerate(grp):
-                outs[i] = (int(score[bi]),
-                           cigar_from_traceback(ops[bi], int(n_ops[bi]),
-                                                int(ri[bi]), int(rk[bi])))
+                outs[i] = (int(score[bi]), cigars[bi])
         return outs
 
     def _mat_i32(self, opt):

@@ -49,6 +49,48 @@ def cigar_from_traceback(ops_row: np.ndarray, n: int, rem_i: int,
     return cigar
 
 
+def cigars_from_tracebacks(ops: np.ndarray, n_ops: np.ndarray,
+                           rem_i: np.ndarray, rem_k: np.ndarray,
+                           rows) -> list:
+    """Batched cigar_from_traceback over a whole wave: one run-length
+    pass over the concatenation of every lane's (reversed) op sequence,
+    separated by sentinels, instead of a per-op Python loop (the RLE
+    dominated the global-wave host time at ~110 ops/lane)."""
+    segs = []
+    bounds = [0]
+    for bi in rows:
+        n = int(n_ops[bi])
+        ri, rk = int(rem_i[bi]), int(rem_k[bi])
+        parts = [ops[bi, :n]]
+        if ri >= 0:
+            parts.append(np.full(ri + 1, 2, np.uint8))
+        if rk >= 0:
+            parts.append(np.full(rk + 1, 1, np.uint8))
+        seq = (np.concatenate(parts) if len(parts) > 1
+               else parts[0])[::-1]
+        segs.append(seq)
+        bounds.append(bounds[-1] + len(seq) + 1)   # +1 sentinel slot
+    if not segs:
+        return []
+    total = bounds[-1]
+    flat = np.full(total, 255, np.uint8)   # 255 = sentinel, not an op,
+    for seq, lo in zip(segs, bounds[:-1]):  # so runs never straddle lanes
+        flat[lo:lo + len(seq)] = seq
+    brk = np.nonzero(np.diff(flat.astype(np.int16)))[0]
+    starts = np.concatenate([[0], brk + 1])
+    lens = np.diff(np.concatenate([starts, [total]]))
+    vals = flat[starts]
+    keep = vals != 255
+    starts, lens, vals = starts[keep], lens[keep], vals[keep]
+    lane_of = np.searchsorted(np.asarray(bounds), starts,
+                              side="right") - 1
+    packed = (lens.astype(np.int64) << 4) | vals
+    out = [[] for _ in segs]
+    for ln, pk in zip(lane_of, packed):
+        out[ln].append(int(pk))
+    return out
+
+
 @partial(jax.jit, static_argnames=("LQ", "LT", "o_del", "e_del",
                                    "o_ins", "e_ins", "zdrop"))
 def ksw_extend2_batched(
