@@ -355,8 +355,9 @@ class JaxSeedingEngine:
         for grp, dev in pend:
             res = self._timed(lambda dev=dev: jax.device_get(dev),
                               _tag="extend2")
+            cols = [r.tolist() for r in res]
             for bi, i in enumerate(grp):
-                outs[i] = tuple(int(r[bi]) for r in res)
+                outs[i] = tuple(c[bi] for c in cols)
         return outs
 
     def _extend_lr_wave(self, opt, reqs):
@@ -431,8 +432,9 @@ class JaxSeedingEngine:
         for grp, dev in pend:
             res = self._timed(lambda dev=dev: jax.device_get(dev),
                               _tag="extend_lr")
+            cols = [r.tolist() for r in res]
             for bi, i in enumerate(grp):
-                outs[i] = tuple(int(r[bi]) for r in res)
+                outs[i] = tuple(c[bi] for c in cols)
         return outs
 
     def _global_wave(self, opt, reqs):

@@ -143,19 +143,24 @@ class BatchedSeeder:
             (o0, o1, os_, oqb, oqe, n_out,
              over) = (self.timer._timed(get, _tag="smem")
                       if self.timer else get())
+            # one C-level tolist per buffer instead of 4 int() calls
+            # per interval (~0.3s of the bench was this unpacking)
+            o0l, o1l, osl = o0.tolist(), o1.tolist(), os_.tolist()
+            oqbl, oqel = oqb.tolist(), oqe.tolist()
+            n_l, over_l = n_out.tolist(), over.tolist()
             for i, qq in enumerate(grp):
-                if over[i]:
+                if over_l[i]:
                     lst: List[Intv] = []
                     self._oracle_finish(opt, qq, 0, start_width,
                                         min(sl_init, len(qq)),
                                         opt.split_width, lst)
                     out.append(lst)
                     continue
-                n = int(n_out[i])
+                r0, r1, rs = o0l[i], o1l[i], osl[i]
+                rqb, rqe = oqbl[i], oqel[i]
                 out.append([
-                    (int(o0[i, j]), int(o1[i, j]), int(os_[i, j]),
-                     (int(oqb[i, j]) << 32) | int(oqe[i, j]))
-                    for j in range(n)])
+                    (r0[j], r1[j], rs[j], (rqb[j] << 32) | rqe[j])
+                    for j in range(n_l[i])])
         return out
 
     def _oracle_finish(self, opt, query, start: int, start_width: int,
@@ -236,9 +241,11 @@ class BatchedSeeder:
             over[lo:lo + n_sl] = o[:n_sl]
         for idx in np.nonzero(over)[0]:  # host fallback
             vals[idx] = fm_host.sa_lookup(int(karr[idx]))
+        vals_l = vals.tolist()
         for (i, p, slen, qb, n_occ, off) in layout:
+            oi = out[i]
             for k in range(n_occ):
-                out[i].append((int(vals[off + k]), qb, slen))
+                oi.append((vals_l[off + k], qb, slen))
         return out
 
 
