@@ -111,7 +111,7 @@ def main():
         prof.disable()
         import pstats
         pstats.Stats(prof, stream=sys.stderr).sort_stats(
-            "cumulative").print_stats(25)
+            "tottime").print_stats(45)
     rps = n_work / dt
     if pool is not None:
         pool.close()

@@ -138,7 +138,12 @@ _NT5 = "ACGTN"
 def chain_rmax_rseq(opt, l_pac: int, pac, query: np.ndarray, c):
     """The chain's reference window and fetched sequence
     (software/bwamem.c:1052-1066) — shared by chain2aln_gen and the
-    speculative extension prefetch (ops.engine)."""
+    speculative extension prefetch (ops.engine); memoized on the chain
+    (the prefetch and the serial path would otherwise each pay the
+    window scan + pac fetch)."""
+    cached = getattr(c, "_rmax_rseq", None)
+    if cached is not None:
+        return cached
     l_query = len(query)
     rmax0, rmax1 = l_pac << 1, 0
     for t_rbeg, t_qbeg, t_len in c.seeds:
@@ -157,7 +162,8 @@ def chain_rmax_rseq(opt, l_pac: int, pac, query: np.ndarray, c):
             rmax0 = l_pac
     rseq = get_seq(l_pac, pac, rmax0, rmax1)
     assert len(rseq) == rmax1 - rmax0
-    return rmax0, rmax1, rseq
+    c._rmax_rseq = (rmax0, rmax1, rseq)
+    return c._rmax_rseq
 
 
 def seed_lr_request(opt, query: np.ndarray, rmax0: int, rseq: np.ndarray,

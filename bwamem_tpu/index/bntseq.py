@@ -108,6 +108,30 @@ def pac_get(pac: np.ndarray, l) -> np.ndarray:
     return (pac[l >> 2] >> ((~l & 3) << 1).astype(np.uint8)) & 3
 
 
+# one-time unpacked forward bases per pac (get_seq is called ~3x per
+# read in the hot finalize path; 2-bit decode + arange per call was
+# ~0.5 s per bench).  Gated by size: 1 byte/base, so a human-scale pac
+# (3 Gbp) stays packed and uses the slow path.
+_UNPACK_MAX = int(__import__("os").environ.get(
+    "BWAMEM_TPU_UNPACK_MAX", str(1 << 28)))
+_unpack_cache = {}
+
+
+def _unpacked(pac: np.ndarray, l_pac: int):
+    ent = _unpack_cache.get(id(pac))
+    if ent is not None and ent[0] is pac:
+        return ent[1]
+    if l_pac > _UNPACK_MAX:
+        return None
+    bases = np.empty(len(pac) * 4, dtype=np.uint8)
+    for sh in range(4):
+        bases[sh::4] = (pac >> ((3 - sh) << 1)) & 3
+    bases = bases[:l_pac]
+    _unpack_cache.clear()  # one live genome per process
+    _unpack_cache[id(pac)] = (pac, bases)
+    return bases
+
+
 def get_seq(l_pac: int, pac: np.ndarray, beg: int, end: int) -> np.ndarray:
     """bns_get_seq: fetch [beg,end) from the logical doubled reference.
     Reverse-strand requests return the complement in ascending logical
@@ -119,11 +143,16 @@ def get_seq(l_pac: int, pac: np.ndarray, beg: int, end: int) -> np.ndarray:
     if beg < 0:
         beg = 0
     if beg >= l_pac or end <= l_pac:
+        fwdu = _unpacked(pac, l_pac)
         if beg >= l_pac:  # reverse strand
             beg_f = (l_pac << 1) - end
             end_f = (l_pac << 1) - beg
+            if fwdu is not None:
+                return (3 - fwdu[beg_f:end_f][::-1]).astype(np.uint8)
             fwd = pac_get(pac, np.arange(beg_f, end_f, dtype=np.int64))
             return (3 - fwd[::-1]).astype(np.uint8)
+        if fwdu is not None:
+            return fwdu[beg:end].copy()
         return pac_get(pac, np.arange(beg, end, dtype=np.int64)).astype(np.uint8)
     return np.empty(0, dtype=np.uint8)
 
