@@ -272,11 +272,27 @@ def process_chunk_stream(opt: MemOptions, fm, bns, pac, chunks, pes0=None,
             chains = None
             nxt = None
             if pipelined:
-                chains = (fut.result() if fut is not None
-                          else engine.chain_batch(opt, reads))
-                nxt = _next()
-                fut = (ex.submit(engine.chain_batch, opt, nxt)
-                       if nxt is not None else None)
+                # NOTE: pipelining the speculative extension waves too
+                # (engine.prefetch_batch) measured ~20% WORSE here —
+                # the prefetch thread's Python packing fights the main
+                # thread's finalize for the GIL; opt back in with
+                # BWAMEM_TPU_PREFETCH_SPEC=1 on hosts with spare cores
+                import os as _o
+                stage = (engine.prefetch_batch
+                         if _o.environ.get("BWAMEM_TPU_PREFETCH_SPEC")
+                         else None)
+                if stage is not None:
+                    chains = (fut.result() if fut is not None
+                              else stage(opt, bns, pac, reads))
+                    nxt = _next()
+                    fut = (ex.submit(stage, opt, bns, pac, nxt)
+                           if nxt is not None else None)
+                else:
+                    chains = (fut.result() if fut is not None
+                              else engine.chain_batch(opt, reads))
+                    nxt = _next()
+                    fut = (ex.submit(engine.chain_batch, opt, nxt)
+                           if nxt is not None else None)
             process_seqs(opt, fm, bns, pac, n_processed, reads, pes0,
                          rg_id, engine, verbose, pool=pool, chains=chains)
             n_processed += len(reads)

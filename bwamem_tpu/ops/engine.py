@@ -138,11 +138,15 @@ class JaxSeedingEngine:
         results: byte-identical output, without one dispatch round
         trip per serial extension step."""
         from ..core.pipeline import align1_core_gen
+        cache = prefetched = None
+        if isinstance(chains, tuple):      # prefetch_batch output
+            chains, cache = chains
+            prefetched = True
         if chains is None:
             chains = self.chain_batch(opt, reads, traces=traces,
                                       trace_seeds=trace_seeds)
-        cache = None
-        if SPECULATE and traces is None:
+        if (cache is None and not prefetched and SPECULATE
+                and traces is None):
             cache = self._speculate_extensions(opt, bns, pac, reads,
                                                chains)
         gens = [align1_core_gen(
@@ -150,6 +154,18 @@ class JaxSeedingEngine:
                     trace=traces[i] if traces is not None else None)
                 for i, r in enumerate(reads)]
         return self.drive_waves(opt, gens, cache=cache)
+
+    def prefetch_batch(self, opt, bns, pac, reads):
+        """The pipelined stage for chunk k+1: seeding + chaining AND the
+        speculative extension wave set, so every device round trip of
+        the next chunk overlaps the current chunk's host finalize.
+        Returns (chains, cache) — align_batch unpacks it."""
+        chains = self.chain_batch(opt, reads)
+        cache = None
+        if SPECULATE:
+            cache = self._speculate_extensions(opt, bns, pac, reads,
+                                               chains)
+        return (chains, cache)
 
     def warm_shapes(self, opt):
         """Pre-compile every fixed dispatch shape (all extension LT
