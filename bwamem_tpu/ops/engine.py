@@ -37,6 +37,11 @@ LT_BUCKETS = tuple(int(x) for x in _os.environ.get(
     "BWAMEM_TPU_LT_BUCKETS", "160,320,544").split(","))
 
 
+def _pack4(buf: np.ndarray) -> np.ndarray:
+    """Two bases per byte for the host->device hop (values 0..4)."""
+    return buf[:, 0::2] | (buf[:, 1::2] << 4)
+
+
 class JaxSeedingEngine:
     def __init__(self, fm_host, max_len: int = 128, sa_max_steps: int = 1024,
                  ext_lq: int = 128, ext_lt: int = 544):
@@ -179,31 +184,31 @@ class JaxSeedingEngine:
         pend = []
         for LT in LT_BUCKETS:
             B = WAVE_EXT
-            z8 = jnp.full((B, LQ), 4, jnp.int8)
-            t8 = jnp.full((B, LT), 4, jnp.int8)
+            z8 = jnp.full((B, LQ // 2), 0x44, jnp.int8)
+            t8 = jnp.full((B, LT // 2), 0x44, jnp.int8)
             zi = jnp.zeros(B, jnp.int32)
             z6 = jnp.zeros(B, jnp.int64)
             pend.append(ksw_extend_lr_batched(
                 z8, t8, zi, zi, z8, t8, zi, zi, self._mat_i32(opt),
                 opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
                 opt.w, opt.pen_clip5, opt.pen_clip3, opt.zdrop,
-                zi, zi, z6, z6, zi + 1, zi, LQ=LQ, LT=LT))
+                zi, zi, z6, z6, zi + 1, zi, LQ=LQ, LT=LT, packed=True))
         B = WAVE
-        z8 = jnp.full((B, LQ), 4, jnp.int8)
-        t8 = jnp.full((B, self._ext_lt), 4, jnp.int8)
+        z8 = jnp.full((B, LQ // 2), 0x44, jnp.int8)
+        t8 = jnp.full((B, self._ext_lt // 2), 0x44, jnp.int8)
         zi = jnp.zeros(B, jnp.int32)
         pend.append(ksw_extend2_batched(
             z8, t8, zi, zi, self._mat_i32(opt), opt.o_del, opt.e_del,
             opt.o_ins, opt.e_ins, zi + 1, zi, opt.zdrop, zi,
-            LQ=LQ, LT=self._ext_lt))
+            LQ=LQ, LT=self._ext_lt, packed=True))
         B = WAVE_GLO
-        z8 = jnp.full((B, self._glo_lq), 4, jnp.int8)
-        t8 = jnp.full((B, self._glo_lt), 4, jnp.int8)
+        z8 = jnp.full((B, self._glo_lq // 2), 0x44, jnp.int8)
+        t8 = jnp.full((B, self._glo_lt // 2), 0x44, jnp.int8)
         zi = jnp.zeros(B, jnp.int32)
         pend.append(ksw_global2_batched(
             z8, t8, zi + 1, zi, self._mat_i32(opt), opt.o_del,
             opt.e_del, opt.o_ins, opt.e_ins, zi + 1,
-            LQ=self._glo_lq, LT=self._glo_lt))
+            LQ=self._glo_lq, LT=self._glo_lt, packed=True))
         jax.block_until_ready(pend)
 
     @staticmethod
@@ -362,11 +367,12 @@ class JaxSeedingEngine:
                 qlen[bi], tlen[bi] = len(qs), len(rs)
                 wv[bi], ebv[bi], h0v[bi] = w, pen, h0
             dev = ksw_extend2_batched(
-                jnp.asarray(qb), jnp.asarray(tb), jnp.asarray(qlen),
+                jnp.asarray(_pack4(qb)), jnp.asarray(_pack4(tb)),
+                jnp.asarray(qlen),
                 jnp.asarray(tlen), self._mat_i32(opt),
                 opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
                 jnp.asarray(wv), jnp.asarray(ebv), opt.zdrop,
-                jnp.asarray(h0v), LQ=LQ, LT=LT)
+                jnp.asarray(h0v), LQ=LQ, LT=LT, packed=True)
             pend.append((grp, dev))
         for grp, dev in pend:
             res = self._timed(lambda dev=dev: jax.device_get(dev),
@@ -434,16 +440,16 @@ class JaxSeedingEngine:
                 scs[bi], sqb[bi], srb[bi] = sc_seed, s_qbeg, s_rbeg
                 rm0[bi], lqv[bi], slv[bi] = rmax0, l_query, s_len
             dev = ksw_extend_lr_batched(
-                jnp.asarray(lqb), jnp.asarray(ltb),
+                jnp.asarray(_pack4(lqb)), jnp.asarray(_pack4(ltb)),
                 jnp.asarray(llq), jnp.asarray(llt),
-                jnp.asarray(rqb), jnp.asarray(rtb),
+                jnp.asarray(_pack4(rqb)), jnp.asarray(_pack4(rtb)),
                 jnp.asarray(rlq), jnp.asarray(rlt),
                 self._mat_i32(opt),
                 opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
                 opt.w, opt.pen_clip5, opt.pen_clip3, opt.zdrop,
                 jnp.asarray(scs), jnp.asarray(sqb), jnp.asarray(srb),
                 jnp.asarray(rm0), jnp.asarray(lqv), jnp.asarray(slv),
-                LQ=LQ, LT=LT)
+                LQ=LQ, LT=LT, packed=True)
             pend.append((grp, dev))
         for grp, dev in pend:
             res = self._timed(lambda dev=dev: jax.device_get(dev),
@@ -484,10 +490,11 @@ class JaxSeedingEngine:
                 qlen[bi], tlen[bi] = len(qs), len(rs)
                 wv[bi] = w
             dev = ksw_global2_batched(
-                jnp.asarray(qb), jnp.asarray(tb), jnp.asarray(qlen),
+                jnp.asarray(_pack4(qb)), jnp.asarray(_pack4(tb)),
+                jnp.asarray(qlen),
                 jnp.asarray(tlen), self._mat_i32(opt),
                 opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-                jnp.asarray(wv), LQ=LQ, LT=LT)
+                jnp.asarray(wv), LQ=LQ, LT=LT, packed=True)
             pend.append((grp, dev))
         for grp, dev in pend:
             score, ops, n_ops, ri, rk = self._timed(

@@ -92,7 +92,7 @@ def cigars_from_tracebacks(ops: np.ndarray, n_ops: np.ndarray,
 
 
 @partial(jax.jit, static_argnames=("LQ", "LT", "o_del", "e_del",
-                                   "o_ins", "e_ins", "zdrop"))
+                                   "o_ins", "e_ins", "zdrop", "packed"))
 def ksw_extend2_batched(
         query: jnp.ndarray,    # int32[B, LQ] nt4 (pad 4)
         target: jnp.ndarray,   # int32[B, LT] nt4 (pad 4)
@@ -104,11 +104,24 @@ def ksw_extend2_batched(
         end_bonus: jnp.ndarray,  # int32[B]
         zdrop: int,
         h0: jnp.ndarray,       # int32[B]
-        LQ: int, LT: int):
+        LQ: int, LT: int, packed: bool = False):
     """Returns (best, qle, tle, gtle, gscore, max_off), each int32[B]."""
+    if packed:
+        query = _unpack4(query, LQ)
+        target = _unpack4(target, LT)
     return _extend_impl(query, target, qlen, tlen, mat, o_del, e_del,
                         o_ins, e_ins, w_in, end_bonus, zdrop, h0,
                         LQ, LT, None)
+
+
+def _unpack4(p: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Expand the 4-bit-packed wire format (two bases per byte, values
+    0..4 so the byte stays < 0x7F) back to one int8 base per column —
+    the SW waves are upload-bound over the ~35ms/20-70MB/s host link,
+    so sequences ship at 2 bases/byte."""
+    lo = (p & 0xF).astype(jnp.int8)
+    hi = ((p >> 4) & 0xF).astype(jnp.int8)
+    return jnp.stack([lo, hi], axis=-1).reshape(p.shape[0], L)
 
 
 def _use_pallas_extend() -> bool:
@@ -306,7 +319,7 @@ def _extend_impl(query, target, qlen, tlen, mat,
 
 
 @partial(jax.jit, static_argnames=("LQ", "LT", "o_del", "e_del",
-                                   "o_ins", "e_ins"))
+                                   "o_ins", "e_ins", "packed"))
 def ksw_global2_batched(
         query: jnp.ndarray,    # int32[B, LQ] nt4 (pad 4)
         target: jnp.ndarray,   # int32[B, LT] nt4 (pad 4)
@@ -315,7 +328,7 @@ def ksw_global2_batched(
         mat: jnp.ndarray,      # int32[25]
         o_del: int, e_del: int, o_ins: int, e_ins: int,
         w_in: jnp.ndarray,     # int32[B] band width per lane
-        LQ: int, LT: int):
+        LQ: int, LT: int, packed: bool = False):
     """Batched banded global alignment with on-device traceback
     (software/ksw.c:501-585).  Direction flags are stored at absolute
     query columns (the reference's banded z-matrix addressing collapses
@@ -330,6 +343,9 @@ def ksw_global2_batched(
     """
     B = query.shape[0]
     i32 = jnp.int32
+    if packed:
+        query = _unpack4(query, LQ)
+        target = _unpack4(target, LT)
     query = query.astype(i32)   # int8 on the wire (see ksw_extend2)
     target = target.astype(i32)
     oe_del = o_del + e_del
@@ -468,7 +484,7 @@ def ksw_global2_batched(
 
 @partial(jax.jit, static_argnames=("LQ", "LT", "o_del", "e_del",
                                    "o_ins", "e_ins", "w0", "pc5",
-                                   "pc3", "zdrop"))
+                                   "pc3", "zdrop", "packed"))
 def ksw_extend_lr_batched(
         lq, lt,                # int8[B, LQ]/[B, LT] left query/target
                                # (both pre-reversed, bwamem.c:1123-1128)
@@ -486,7 +502,7 @@ def ksw_extend_lr_batched(
         rmax0,                 # int64[B]
         l_query,               # int32[B]
         s_len,                 # int32[B]
-        LQ: int, LT: int):
+        LQ: int, LT: int, packed: bool = False):
     """One seed's whole left+right extension with the x2 band-doubling
     retries on device (the C logic around ksw_extend2,
     software/bwamem.c:1120-1176; scalar twin core.swdrive.extend_seed_lr)
@@ -497,6 +513,9 @@ def ksw_extend_lr_batched(
     genome coordinates, the rest int32[B]."""
     i32 = jnp.int32
     B = lq.shape[0]
+    if packed:
+        lq, rq = _unpack4(lq, LQ), _unpack4(rq, LQ)
+        lt, rt = _unpack4(lt, LT), _unpack4(rt, LT)
     w0v = jnp.full(B, w0, i32)
     w1v = jnp.full(B, w0 * 2, i32)
     pc5v = jnp.full(B, pc5, i32)
