@@ -48,7 +48,7 @@ _ALL1 = jnp.uint32(0xFFFFFFFF)
 
 # above this many rows the one-hot matmul's (lanes, n_blocks) operand
 # outgrows its usefulness and the plain gather wins
-_ONEHOT_MAX = int(os.environ.get("BWAMEM_TPU_ONEHOT_BLOCKS", "32768"))
+_ONEHOT_MAX = int(os.environ.get("BWAMEM_TPU_ONEHOT_BLOCKS", "16384"))
 
 
 def _gather_rows(blocks: jnp.ndarray, blk: jnp.ndarray) -> jnp.ndarray:
@@ -75,17 +75,24 @@ def _gather_rows(blocks: jnp.ndarray, blk: jnp.ndarray) -> jnp.ndarray:
             return gather_rows_onehot(onehot_table(blocks), blk)
     shp = blk.shape
     flat = blk.reshape(-1).astype(jnp.int32)
-    if flat.shape[0] * n_blocks > (1 << 24):
-        # the XLA one-hot operand would be tens of MB per lookup — the
-        # MXU win drowns in HBM traffic; keep the gather for wide batches
-        return blocks[blk]
+    # cost model: native gather ~ 40ns/row (serialized); one-hot matmul
+    # ~ n_blocks*2B of MXU traffic per row.  Crossover ~16K blocks
+    # INDEPENDENT of how many rows are gathered — wide gathers (the
+    # backward smem pass fetches 2*B*M = 65K rows/iteration) are chunked
+    # so the materialized one-hot stays ~50MB
     sh = jnp.arange(4, dtype=jnp.int64) * 8
     t8 = ((blocks.astype(jnp.int64)[:, :, None] >> sh) & 0xFF)
     t8 = t8.reshape(n_blocks, 4 * WORDS_PER_BLOCK).astype(jnp.bfloat16)
-    oh = (flat[:, None] == jnp.arange(n_blocks, dtype=jnp.int32)[None, :]
-          ).astype(jnp.bfloat16)
-    out = lax.dot_general(oh, t8, (((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.float32)
+    iot = jnp.arange(n_blocks, dtype=jnp.int32)[None, :]
+    CH = 1 << 14
+    outs = []
+    for lo in range(0, flat.shape[0], CH):   # static trip count
+        fl = flat[lo:lo + CH]
+        oh = (fl[:, None] == iot).astype(jnp.bfloat16)
+        outs.append(lax.dot_general(
+            oh, t8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     r8 = out.astype(jnp.int64).reshape(-1, WORDS_PER_BLOCK, 4)
     w = (r8[..., 0] | (r8[..., 1] << 8) | (r8[..., 2] << 16)
          | (r8[..., 3] << 24)).astype(jnp.uint32)
