@@ -135,7 +135,12 @@ def smem_superstep(blocks, primary, L2,
     jj = jnp.arange(M, dtype=i32)[None, :]
 
     def round_body(st):
-        (x, n_out, o0, o1, os_, oqb, oqe, over, done) = st
+        # over/done carried as int32: bool while-carries cost ~1ms/round
+        # in pred relayout copy-starts on TPU (xplane-measured 18ms of a
+        # 51ms superstep)
+        (x, n_out, o0, o1, os_, oqb, oqe, over_c, done_c) = st
+        over = over_c != 0
+        done = done_c != 0
         act = ~done
         ret, n_mem, m0, m1, ms, mqb, mqe, ov1 = _smem1_impl(
             blocks, primary, L2, q, qlen, x, min_intv, act, L, M, 0)
@@ -230,19 +235,21 @@ def smem_superstep(blocks, primary, L2,
         n_out = jnp.where(act & ~over_now, n_new, n_out)
         x = jnp.where(act, ret.astype(i32), x)
         done = done | over_now | (x >= qlen)
-        return (x, n_out, o0, o1, os_, oqb, oqe, over, done)
+        return (x, n_out, o0, o1, os_, oqb, oqe,
+                over.astype(i32), done.astype(i32))
 
     def round_cond(st):
-        return jnp.any(~st[-1])
+        return jnp.any(st[-1] == 0)
 
     x0 = jnp.zeros(B, i32)
     st = (x0, jnp.zeros(B, i32),
           jnp.zeros((B, OUT_CAP), cdt), jnp.zeros((B, OUT_CAP), cdt),
           jnp.zeros((B, OUT_CAP), cdt), jnp.zeros((B, OUT_CAP), i32),
           jnp.zeros((B, OUT_CAP), i32),
-          jnp.zeros(B, bool), ~active | (x0 >= qlen))
+          jnp.zeros(B, i32), (~active | (x0 >= qlen)).astype(i32))
     st = lax.while_loop(round_cond, round_body, st)
-    (_, n_out, o0, o1, os_, oqb, oqe, over, _) = st
+    (_, n_out, o0, o1, os_, oqb, oqe, over_c, _) = st
+    over = over_c != 0
     return (o0, o1, os_, oqb.astype(jnp.uint8), oqe.astype(jnp.uint8),
             n_out.astype(jnp.uint8), over)
 
@@ -296,7 +303,9 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
 
     # ---- forward extension (software/bwt.c:790-801) ----------------------
     def fwd_body(st):
-        (i, ik0, ik1, iks, ikend, c0, c1, cs, cend, n_curr, done) = st
+        (i, ik0, ik1, iks, ikend, c0, c1, cs, cend, n_curr,
+         done_c) = st
+        done = done_c != 0
         at_end = i >= qlen
         ii = jnp.minimum(i, qlen - 1)
         ii = jnp.clip(ii, 0, L - 1)
@@ -327,13 +336,14 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
         ikend = jnp.where(cont, i + 1, ikend)
         done = done | stop
         i = i + (~done).astype(i32)
-        return (i, ik0, ik1, iks, ikend, c0, c1, cs, cend, n_curr, done)
+        return (i, ik0, ik1, iks, ikend, c0, c1, cs, cend, n_curr,
+                done.astype(i32))
 
     def fwd_cond(st):
-        return jnp.any(~st[-1])
+        return jnp.any(st[-1] == 0)
 
     st = (x + 1, ik0, ik1, iks, ikend, zbufs["c0"], zbufs["c1"], zbufs["cs"],
-          zbufs["cend"], jnp.zeros(B, i32), bad)
+          zbufs["cend"], jnp.zeros(B, i32), bad.astype(i32))
     st = lax.while_loop(fwd_cond, unroll_body(fwd_body), st)
     (_, _, _, _, _, c0, c1, cs, cend, n_curr, _) = st
     overflow = n_curr > M
@@ -354,7 +364,8 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
     # ---- backward extension (software/bwt.c:808-831) ---------------------
     def bwd_body(st):
         (i, p0, p1, ps, pend, n_prev, m0, m1, ms, mqb, mqe, n_mem,
-         done) = st
+         done_c) = st
+        done = done_c != 0
         ii = jnp.clip(i, 0, L - 1)
         cb = _sel_col(q, ii)
         c = jnp.where((i < 0) | (cb > 3), -1, cb)                  # int32[B]
@@ -403,16 +414,16 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
         done = done | (n_curr_new == 0)
         i = i - (~done).astype(i32)
         return (i, nc0, nc1, ncs, ncend, n_curr_new, m0, m1, ms, mqb, mqe,
-                n_mem, done)
+                n_mem, done.astype(i32))
 
     def bwd_cond(st):
-        return jnp.any(~st[-1])
+        return jnp.any(st[-1] == 0)
 
     st = (x - 1, p0, p1, ps, pend, n_curr,
           jnp.zeros((B, M), cdt), jnp.zeros((B, M), cdt),
           jnp.zeros((B, M), cdt), jnp.zeros((B, M), i32),
           jnp.zeros((B, M), i32), jnp.zeros(B, i32),
-          bad | (n_curr == 0))
+          (bad | (n_curr == 0)).astype(i32))
     st = lax.while_loop(bwd_cond, unroll_body(bwd_body), st)
     (_, _, _, _, _, _, m0, m1, ms, mqb, mqe, n_mem, _) = st
 
