@@ -90,7 +90,10 @@ class JaxSeedingEngine:
         chains: List[list] = [[] for _ in reads]
         if dev_idx:
             queries = [reads[i].seq_nt4 for i in dev_idx]
-            streams = self.seeder.interval_streams(opt, queries)
+            # x1 is never consumed on the mem path (seed_positions reads
+            # x0/s/info only) — skip its download
+            streams = self.seeder.interval_streams(opt, queries,
+                                                   need_x1=False)
             seeds = self.seeder.seed_positions(self.fm_host, streams, opt)
             l_pac = self.fm_host.seq_len >> 1
             for bi, i in enumerate(dev_idx):

@@ -66,8 +66,8 @@ class BatchedSeeder:
         self.fm_host = fm_host  # host oracle for overflow fallback
         self.timer = timer      # engine's kernel-time accounting
 
-    def interval_streams(self, opt, queries: Sequence[np.ndarray]
-                         ) -> List[List[Intv]]:
+    def interval_streams(self, opt, queries: Sequence[np.ndarray],
+                         need_x1: bool = True) -> List[List[Intv]]:
         """Run the full iterator for every read (sliced into fixed-width
         lane groups); returns, per read, the concatenated interval lists
         of every iterator call, in call order (the exact stream
@@ -83,7 +83,8 @@ class BatchedSeeder:
         the overlap the reference gets from its manager thread running
         ahead of the FPGA (software/fastmap.c:320-429)."""
         if _os.environ.get("BWAMEM_TPU_SUPERSTEP", "1") != "0":
-            return self._streams_superstep(opt, queries)
+            return self._streams_superstep(opt, queries,
+                                           need_x1=need_x1)
         states = [
             _SliceRun(self, opt, queries[lo:lo + LANES], lo)
             for lo in range(0, len(queries), LANES)]
@@ -106,7 +107,8 @@ class BatchedSeeder:
             out.extend(st.out)
         return out
 
-    def _streams_superstep(self, opt, queries) -> List[List[Intv]]:
+    def _streams_superstep(self, opt, queries,
+                           need_x1: bool = True) -> List[List[Intv]]:
         """One smem_superstep dispatch per lane group; overflow lanes
         re-run entirely on the host oracle."""
         from .smem import smem_superstep
@@ -135,7 +137,7 @@ class BatchedSeeder:
                 jnp.full(B, start_width, dtype=self.dfm.L2.dtype),
                 jnp.asarray(active), jnp.asarray(slens),
                 jnp.full(B, opt.split_width, np.int32),
-                L=self.L, M=self.M, OUT_CAP=out_cap)
+                L=self.L, M=self.M, OUT_CAP=out_cap, NEED_X1=need_x1)
             pend.append((lo, grp, dev))
         out: List[List[Intv]] = []
         for lo, grp, dev in pend:
@@ -145,7 +147,9 @@ class BatchedSeeder:
                       if self.timer else get())
             # one C-level tolist per buffer instead of 4 int() calls
             # per interval (~0.3s of the bench was this unpacking)
-            o0l, o1l, osl = o0.tolist(), o1.tolist(), os_.tolist()
+            o0l, osl = o0.tolist(), os_.tolist()
+            o1l = (o1.tolist() if need_x1
+                   else [[0] * o0.shape[1]] * o0.shape[0])
             oqbl, oqel = oqb.tolist(), oqe.tolist()
             n_l, over_l = n_out.tolist(), over.tolist()
             for i, qq in enumerate(grp):

@@ -108,11 +108,12 @@ def _pack(r):
             mqb.astype(jnp.uint8), mqe.astype(jnp.uint8), over)
 
 
-@partial(jax.jit, static_argnames=("L", "M", "OUT_CAP"))
+@partial(jax.jit, static_argnames=("L", "M", "OUT_CAP", "NEED_X1"))
 def smem_superstep(blocks, primary, L2,
                    q, qlen, min_intv, active,
                    split_len, split_width,
-                   L: int, M: int, OUT_CAP: int):
+                   L: int, M: int, OUT_CAP: int,
+                   NEED_X1: bool = True):
     """The WHOLE per-read SMEM iterator fused into one dispatch: an
     outer while_loop advances every lane's iterator round in lock-step
     (pass1 + re-seed test + pass2 + ordered merge, software/
@@ -250,6 +251,11 @@ def smem_superstep(blocks, primary, L2,
     st = lax.while_loop(round_cond, round_body, st)
     (_, n_out, o0, o1, os_, oqb, oqe, over_c, _) = st
     over = over_c != 0
+    if not NEED_X1:
+        # the mem path only consumes (x0, s, qb, qe); skipping x1 cuts
+        # a third of the coordinate download (fastmap/tests pass
+        # NEED_X1=True for full-tuple parity)
+        o1 = jnp.zeros((1, 1), o0.dtype)
     return (o0, o1, os_, oqb.astype(jnp.uint8), oqe.astype(jnp.uint8),
             n_out.astype(jnp.uint8), over)
 
