@@ -39,7 +39,6 @@ def run_case(B, LQ, LT, seed):
         for j in range(4):
             mat[i * 5 + j] = a_ if i == j else -b_
     mat[4 * 5:] = -1
-    mat[:, None] if False else None
     for k in range(5):
         mat[k * 5 + 4] = -1
     act = rng.random(B) > 0.2
