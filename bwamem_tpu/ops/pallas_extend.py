@@ -25,7 +25,6 @@ Scoring matrix arrives as a (1, 32) int32 SMEM block read as scalars;
 o_del/e_del/o_ins/e_ins/zdrop are trace-time constants.
 """
 
-from functools import partial
 
 import os
 
