@@ -264,8 +264,13 @@ def _extend_impl(query, target, qlen, tlen, mat,
         h1_last = sel_col(h, jnp.clip(end - 1, 0, LQ - 1))
         at_q_end = run & (end == qlen)
         g_upd = at_q_end & (st["gscore"] <= h1_last)
-        max_ie = jnp.where(g_upd, i, st["max_ie"])
-        gscore = jnp.where(g_upd, h1_last, st["gscore"])
+        # a degenerate band (C's empty inner row, j stays at beg) still
+        # applies the j==qlen gscore update with the first-column h1
+        # before its m==0 break (software/ksw.c:450-456)
+        g_upd_d = alive & degen & (beg == qlen) & (st["gscore"] <= h1)
+        max_ie = jnp.where(g_upd | g_upd_d, i, st["max_ie"])
+        gscore = jnp.where(g_upd, h1_last,
+                           jnp.where(g_upd_d, h1, st["gscore"]))
 
         zero_brk = run & (mrow == 0)
         improved = run & ~zero_brk & (mrow > st["best"])

@@ -166,8 +166,13 @@ def _make_kernel(LQ, LT, blk, o_del, e_del, o_ins, e_ins, zdrop):
                               keepdims=True, dtype=i32)
             at_q_end = run & (end == qlen)
             g_upd = at_q_end & (gscore <= h1_last)
-            max_ie = jnp.where(g_upd, i, max_ie)
-            gscore = jnp.where(g_upd, h1_last, gscore)
+            # degenerate band: C's empty inner row still applies the
+            # j==qlen gscore update with the first-column h1 before its
+            # m==0 break (software/ksw.c:450-456)
+            g_upd_d = alive & degen & (beg == qlen) & (gscore <= h1)
+            max_ie = jnp.where(g_upd | g_upd_d, i, max_ie)
+            gscore = jnp.where(g_upd, h1_last,
+                               jnp.where(g_upd_d, h1, gscore))
 
             zero_brk = run & (mrow == 0)
             improved = run & ~zero_brk & (mrow > best)

@@ -33,6 +33,22 @@ KSW_XSTART = 0x80000
 
 MINUS_INF = -0x40000000
 
+_native_ok = None
+
+
+def _native() -> bool:
+    """True when the native scalar kernels (native/ksw.cpp, bit-identical
+    to the pure-Python specs below) are available and not disabled via
+    BWAMEM_TPU_NATIVE_KSW=0."""
+    global _native_ok
+    if _native_ok is None:
+        try:
+            from . import nksw
+            _native_ok = nksw.available()
+        except Exception:
+            _native_ok = False
+    return _native_ok
+
 
 # --------------------------------------------------------------------------
 # ksw_extend2
@@ -43,6 +59,19 @@ def ksw_extend2(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
                 end_bonus: int, zdrop: int, h0: int
                 ) -> Tuple[int, int, int, int, int, int]:
     """Returns (max, qle, tle, gtle, gscore, max_off)."""
+    if _native():
+        from . import nksw
+        return nksw.ksw_extend2(query, target, mat, o_del, e_del, o_ins,
+                                e_ins, w, end_bonus, zdrop, h0)
+    return ksw_extend2_py(query, target, mat, o_del, e_del, o_ins, e_ins,
+                          w, end_bonus, zdrop, h0)
+
+
+def ksw_extend2_py(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
+                   o_del: int, e_del: int, o_ins: int, e_ins: int, w: int,
+                   end_bonus: int, zdrop: int, h0: int
+                   ) -> Tuple[int, int, int, int, int, int]:
+    """Pure-Python spec (NumPy row-vectorized)."""
     qlen, tlen = len(query), len(target)
     m = 5
     if h0 < 0:
@@ -84,7 +113,11 @@ def ksw_extend2(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
         if end > qlen:
             end = qlen
         if beg >= end:
-            # degenerate band; C would loop zero times with m=0 -> break
+            # degenerate band: C runs the row with zero inner iterations
+            # (j stays at beg) and still applies the j==qlen gscore
+            # update before the m==0 break (software/ksw.c:450-456)
+            if beg == qlen and gscore <= h1:
+                max_ie, gscore = i, h1
             break
         js = np.arange(beg, end)
         hdiag = eh_h[beg:end].copy()
@@ -156,6 +189,18 @@ def ksw_global2(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
                 want_cigar: bool = True) -> Tuple[int, List[int]]:
     """Banded global alignment.  Returns (score, cigar) where cigar is a
     list of BAM-encoded ops (len<<4|op, op: 0=M 1=I 2=D)."""
+    if _native():
+        from . import nksw
+        return nksw.ksw_global2(query, target, mat, o_del, e_del, o_ins,
+                                e_ins, w, want_cigar)
+    return ksw_global2_py(query, target, mat, o_del, e_del, o_ins, e_ins,
+                          w, want_cigar)
+
+
+def ksw_global2_py(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
+                   o_del: int, e_del: int, o_ins: int, e_ins: int, w: int,
+                   want_cigar: bool = True) -> Tuple[int, List[int]]:
+    """Pure-Python spec of ksw_global2."""
     qlen, tlen = len(query), len(target)
     m = 5
     oe_del, oe_ins = o_del + e_del, o_ins + e_ins
@@ -344,6 +389,18 @@ def _ksw_core(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
 def ksw_align2(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
                o_del: int, e_del: int, o_ins: int, e_ins: int,
                xtra: int) -> KswR:
+    if _native():
+        from . import nksw
+        return nksw.ksw_align2(query, target, mat, o_del, e_del, o_ins,
+                               e_ins, xtra)
+    return ksw_align2_py(query, target, mat, o_del, e_del, o_ins, e_ins,
+                         xtra)
+
+
+def ksw_align2_py(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
+                  o_del: int, e_del: int, o_ins: int, e_ins: int,
+                  xtra: int) -> KswR:
+    """Pure-Python spec of ksw_align2 (striped-kernel emulation)."""
     size = 1 if (xtra & KSW_XBYTE) else 2
     r = _ksw_core(query, target, mat, o_del, e_del, o_ins, e_ins, xtra, size)
     if (xtra & KSW_XSTART) == 0 or ((xtra & KSW_XSUBO) and r.score < (xtra & 0xFFFF)):
