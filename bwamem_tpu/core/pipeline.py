@@ -122,6 +122,18 @@ def reg2sam_se_gen(opt, bns, pac, read, regs: List[AlnReg],
     read.sam = "".join(out)
 
 
+def _try_native_finalize_se(opt, bns, reads, regs, n_processed: int,
+                            rg_id: str) -> bool:
+    """Whole-chunk SE finalize in C++ (native/finalize.cpp) when the
+    library is available; byte-identical to the Python path below."""
+    try:
+        from .nfinalize import finalize_se_native
+        return finalize_se_native(opt, bns, reads, regs, n_processed,
+                                  rg_id)
+    except Exception:
+        return False
+
+
 def process_seqs(opt: MemOptions, fm, bns, pac, n_processed: int,
                  reads: List, pes0=None, rg_id: str = "",
                  engine=None, verbose: int = 3, pool=None,
@@ -202,6 +214,9 @@ def process_seqs(opt: MemOptions, fm, bns, pac, n_processed: int,
         if pool is not None:
             pool.finalize_se(opt, reads, regs,
                              [n_processed + i for i in range(n)], rg_id)
+        elif traces1 is None and _try_native_finalize_se(
+                opt, bns, reads, regs, n_processed, rg_id):
+            pass  # read.sam set by the native finalize
         else:
             for i in range(n):
                 mark_primary(opt, regs[i], n_processed + i)

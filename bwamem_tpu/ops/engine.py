@@ -23,8 +23,20 @@ from .seeding import BatchedSeeder
 import os as _os
 WAVE = int(_os.environ.get("BWAMEM_TPU_WAVE", "512"))
 # below this many live requests a dispatch round trip costs more than
-# the scalar oracle; the tail of the lock-step waves runs on the host
-MIN_WAVE = int(_os.environ.get("BWAMEM_TPU_MIN_WAVE", "8"))
+# the scalar oracle; the tail of the lock-step waves runs on the host.
+# The native C++ kernels (oracle/nksw.py, ~50us per scalar extension)
+# move the break-even far above the pure-Python oracle's (~35ms device
+# RTT buys ~hundreds of native scalar calls)
+def _default_min_wave() -> int:
+    try:
+        from ..oracle.ksw import _native
+        return 64 if _native() else 8
+    except Exception:
+        return 8
+
+
+MIN_WAVE = int(_os.environ.get("BWAMEM_TPU_MIN_WAVE", "0")) \
+    or _default_min_wave()
 # speculative up-front extension waves (A/B knob; default on)
 SPECULATE = _os.environ.get("BWAMEM_TPU_SPECULATE", "1") != "0"
 # per-stage wave widths: both SW waves are upload/RTT-bound now that

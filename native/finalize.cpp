@@ -1,0 +1,787 @@
+// Native single-end finalize for bwamem_tpu: alignment regions -> SAM
+// record text for a whole chunk in one call.
+//
+// Covers the serial per-read logic downstream of the extension waves
+// (behavioral spec: bwamem_tpu/core/{region,align,sam,pipeline}.py,
+// themselves transcriptions of software/bwamem.c:705-1553 and
+// software/bwa.c:96-229):
+//   mark_primary      secondary marking with hash_64 tie-breaks
+//   reg2sam_se        region filtering, supplementary flags, mapq caps
+//   reg2aln           fix_xref + banded global realign (band doubling)
+//                     + clip/NM/MD, via the native ksw_global2
+//   aln2sam           byte-exact SAM formatting incl. SA tags
+//
+// The banded global realignments run here on the host (the regions are
+// tiny; one scalar DP is ~50us) instead of as device waves — the TPU
+// keeps the seeding/SMEM/extension stages, mirroring the reference's
+// accelerator/CPU split (SURVEY.md §1).
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+// from ksw.cpp
+int32_t bm_ksw_global2(int qlen, const uint8_t* query, int tlen,
+                       const uint8_t* target, const int8_t* mat, int o_del,
+                       int e_del, int o_ins, int e_ins, int w,
+                       int want_cigar, uint32_t* out_cigar,
+                       int32_t* n_cigar);
+}
+
+namespace {
+
+constexpr int kMemFAll = 0x8;
+constexpr int kMemFNoMulti = 0x10;
+
+struct Opt {
+  int32_t a, b, o_del, e_del, o_ins, e_ins, w, T, flag, min_seed_len;
+  double mask_level, mapq_coef_len, mapq_coef_fac;
+};
+
+struct Reg {
+  int64_t rb, re;
+  int32_t qb, qe, score, truesc, sub, csub, sub_n, w, seedcov, secondary;
+  uint64_t hash;
+};
+
+struct Aln {
+  int64_t pos = 0;
+  int32_t rid = -1, flag = 0, is_rev = 0, mapq = 0, NM = 0, score = 0,
+          sub = 0;
+  std::vector<uint32_t> cigar;  // len<<4|op, MIDSH = 0..4
+  std::string MD;
+};
+
+struct Ref {
+  int64_t l_pac;
+  const uint8_t* pac;
+  int32_t n_anns;
+  const int64_t* ann_off;
+  const int32_t* ann_len;
+  std::vector<const char*> ann_name;
+};
+
+inline uint64_t hash64(uint64_t key) {
+  key = key + ~(key << 32);
+  key ^= key >> 22;
+  key = key + ~(key << 13);
+  key ^= key >> 8;
+  key = key + (key << 3);
+  key ^= key >> 15;
+  key = key + ~(key << 27);
+  key ^= key >> 31;
+  return key;
+}
+
+// ---- ks_introsort emulation (exact permutation; spec: utils/ksort.py) ----
+
+template <typename T, typename Lt>
+void insertsort(std::vector<T>& a, Lt lt, int s, int t) {
+  for (int i = s + 1; i < t; ++i)
+    for (int j = i; j > s && lt(a[j], a[j - 1]); --j) std::swap(a[j], a[j - 1]);
+}
+
+template <typename T, typename Lt>
+void combsort(std::vector<T>& a, Lt lt, int s, int n) {
+  const double shrink = 1.2473309501039786540366528676643;
+  int gap = n;
+  for (;;) {
+    if (gap > 2) {
+      gap = static_cast<int>(gap / shrink);
+      if (gap == 9 || gap == 10) gap = 11;
+    }
+    bool swapped = false;
+    for (int i = s; i < s + n - gap; ++i) {
+      int j = i + gap;
+      if (lt(a[j], a[i])) {
+        std::swap(a[i], a[j]);
+        swapped = true;
+      }
+    }
+    if (!(swapped || gap > 2)) break;
+  }
+  if (gap != 1) insertsort(a, lt, s, s + n);
+}
+
+template <typename T, typename Lt>
+void ks_introsort(std::vector<T>& a, Lt lt) {
+  int n = static_cast<int>(a.size());
+  if (n < 1) return;
+  if (n == 2) {
+    if (lt(a[1], a[0])) std::swap(a[0], a[1]);
+    return;
+  }
+  int d = 2;
+  while ((1 << d) < n) ++d;
+  struct Frame {
+    int s, t, d;
+  };
+  std::vector<Frame> stack;
+  int s = 0, t = n - 1;
+  d <<= 1;
+  for (;;) {
+    if (s < t) {
+      if (--d == 0) {
+        combsort(a, lt, s, t - s + 1);
+        t = s;
+        continue;
+      }
+      int i = s, j = t;
+      int k = i + ((j - i) >> 1) + 1;
+      if (lt(a[k], a[i])) {
+        if (lt(a[k], a[j])) k = j;
+      } else {
+        k = lt(a[j], a[i]) ? i : j;
+      }
+      T rp = a[k];
+      if (k != t) std::swap(a[k], a[t]);
+      for (;;) {
+        do ++i;
+        while (lt(a[i], rp));
+        do --j;
+        while (i <= j && lt(rp, a[j]));
+        if (j <= i) break;
+        std::swap(a[i], a[j]);
+      }
+      std::swap(a[i], a[t]);
+      if (i - s > t - i) {
+        if (i - s > 16) stack.push_back({s, i - 1, d});
+        s = t - i > 16 ? i + 1 : t;
+      } else {
+        if (t - i > 16) stack.push_back({i + 1, t, d});
+        t = i - s > 16 ? i - 1 : s;
+      }
+    } else {
+      if (stack.empty()) {
+        insertsort(a, lt, 0, n);
+        return;
+      }
+      s = stack.back().s;
+      t = stack.back().t;
+      d = stack.back().d;
+      stack.pop_back();
+    }
+  }
+}
+
+// ---- reference fetch (bns_get_seq; spec: index/bntseq.py get_seq) ----
+
+inline uint8_t pac_get(const uint8_t* pac, int64_t l) {
+  return (pac[l >> 2] >> ((~l & 3) << 1)) & 3;
+}
+
+// fetch [beg,end) of the logical doubled reference; empty on bridging
+std::vector<uint8_t> get_seq(const Ref& ref, int64_t beg, int64_t end) {
+  if (end < beg) std::swap(beg, end);
+  if (end > ref.l_pac << 1) end = ref.l_pac << 1;
+  if (beg < 0) beg = 0;
+  std::vector<uint8_t> out;
+  if (beg >= ref.l_pac || end <= ref.l_pac) {
+    out.resize(static_cast<size_t>(end - beg));
+    if (beg >= ref.l_pac) {  // reverse strand: complement, descending fwd
+      int64_t beg_f = (ref.l_pac << 1) - end;
+      for (int64_t k = 0; k < end - beg; ++k)
+        out[static_cast<size_t>(end - beg - 1 - k)] =
+            3 - pac_get(ref.pac, beg_f + k);
+    } else {
+      for (int64_t k = 0; k < end - beg; ++k)
+        out[static_cast<size_t>(k)] = pac_get(ref.pac, beg + k);
+    }
+  }
+  return out;
+}
+
+// bns_depos: doubled-reference position -> forward strand
+inline int64_t depos(const Ref& ref, int64_t pos, bool* is_rev) {
+  *is_rev = pos >= ref.l_pac;
+  return *is_rev ? (ref.l_pac << 1) - 1 - pos : pos;
+}
+
+// bns_pos2rid: forward position -> contig id (exact binary-search walk)
+int pos2rid(const Ref& ref, int64_t pos_f) {
+  if (pos_f >= ref.l_pac) return -1;
+  int left = 0, mid = 0, right = ref.n_anns;
+  while (left < right) {
+    mid = (left + right) >> 1;
+    if (pos_f >= ref.ann_off[mid]) {
+      if (mid == ref.n_anns - 1) break;
+      if (pos_f < ref.ann_off[mid + 1]) break;
+      left = mid + 1;
+    } else {
+      right = mid;
+    }
+  }
+  return mid;
+}
+
+// ---- mem_mark_primary_se (spec: core/region.py mark_primary) ----
+
+void mark_primary(const Opt& opt, std::vector<Reg>& regs, int64_t rid) {
+  if (regs.empty()) return;
+  for (size_t i = 0; i < regs.size(); ++i) {
+    regs[i].sub = 0;
+    regs[i].secondary = -1;
+    regs[i].hash = hash64(static_cast<uint64_t>(rid) + i);
+  }
+  ks_introsort(regs, [](const Reg& a, const Reg& b) {
+    return a.score > b.score || (a.score == b.score && a.hash < b.hash);
+  });
+  int tmp = opt.a + opt.b;
+  tmp = tmp > opt.o_del + opt.e_del ? tmp : opt.o_del + opt.e_del;
+  tmp = tmp > opt.o_ins + opt.e_ins ? tmp : opt.o_ins + opt.e_ins;
+  std::vector<int> z{0};
+  for (int i = 1; i < static_cast<int>(regs.size()); ++i) {
+    size_t k = 0;
+    for (; k < z.size(); ++k) {
+      int j = z[k];
+      int b_max = regs[j].qb > regs[i].qb ? regs[j].qb : regs[i].qb;
+      int e_min = regs[j].qe < regs[i].qe ? regs[j].qe : regs[i].qe;
+      if (e_min > b_max) {
+        int min_l = regs[i].qe - regs[i].qb < regs[j].qe - regs[j].qb
+                        ? regs[i].qe - regs[i].qb
+                        : regs[j].qe - regs[j].qb;
+        if (e_min - b_max >= min_l * opt.mask_level) {
+          if (regs[j].sub == 0) regs[j].sub = regs[i].score;
+          if (regs[j].score - regs[i].score <= tmp) ++regs[j].sub_n;
+          break;
+        }
+      }
+    }
+    if (k == z.size())
+      z.push_back(i);
+    else
+      regs[i].secondary = z[k];
+  }
+}
+
+// ---- mem_approx_mapq_se (spec: core/region.py approx_mapq_se) ----
+
+int approx_mapq_se(const Opt& opt, const Reg& a) {
+  int sub = a.sub ? a.sub : opt.min_seed_len * opt.a;
+  sub = a.csub > sub ? a.csub : sub;
+  if (sub >= a.score) return 0;
+  int64_t len_r = a.re - a.rb;
+  int length = a.qe - a.qb;
+  if (len_r > length) length = static_cast<int>(len_r);
+  double identity =
+      1.0 - static_cast<double>(static_cast<int64_t>(length) * opt.a -
+                                a.score) /
+                (opt.a + opt.b) / length;
+  int mapq;
+  if (a.score == 0) {
+    mapq = 0;
+  } else if (opt.mapq_coef_len > 0) {
+    double tmp = length < opt.mapq_coef_len
+                     ? 1.0
+                     : opt.mapq_coef_fac / std::log(length);
+    tmp *= identity * identity;
+    mapq = static_cast<int>(6.02 * (a.score - sub) / opt.a * tmp * tmp + .499);
+  } else {
+    mapq = static_cast<int>(
+        30.0 * (1.0 - static_cast<double>(sub) / a.score) *
+            std::log(a.seedcov) +
+        .499);
+    if (identity < 0.95)
+      mapq = static_cast<int>(mapq * identity * identity + .499);
+  }
+  if (a.sub_n > 0)
+    mapq -= static_cast<int>(4.343 * std::log(a.sub_n + 1.) + .499);
+  if (mapq > 60) mapq = 60;
+  if (mapq < 0) mapq = 0;
+  return mapq;
+}
+
+// ---- bwa_gen_cigar2 (spec: core/align.py gen_cigar_gen) ----
+
+int infer_bw(int l1, int l2, int score, int a, int q, int r) {
+  if (l1 == l2 && l1 * a - score < (q + r - a) * 2) return 0;
+  int w = static_cast<int>(
+      static_cast<double>((l1 < l2 ? l1 : l2) * a - score - q) / r + 2.0);
+  int d = l1 > l2 ? l1 - l2 : l2 - l1;
+  return w > d ? w : d;
+}
+
+// query is the nt4 slice [qb,qe); returns false when rejected (cigar
+// null in the spec).  On success fills cigar/MD/score/NM.
+bool gen_cigar(const Opt& opt, const int8_t* mat, int w_, const Ref& ref,
+               const uint8_t* query, int l_query, int64_t rb, int64_t re,
+               std::vector<uint32_t>* cigar, std::string* md,
+               int32_t* score_out, int32_t* nm_out) {
+  cigar->clear();
+  md->clear();
+  *score_out = 0;
+  *nm_out = -1;
+  if (l_query <= 0 || rb >= re || (rb < ref.l_pac && ref.l_pac < re))
+    return false;
+  std::vector<uint8_t> rseq = get_seq(ref, rb, re);
+  if (static_cast<int64_t>(rseq.size()) != re - rb) return false;
+  std::vector<uint8_t> qbuf(query, query + l_query);
+  if (rb >= ref.l_pac) {  // reverse both for leftmost indel placement
+    for (int i = 0; i < l_query / 2; ++i)
+      std::swap(qbuf[i], qbuf[l_query - 1 - i]);
+    for (size_t i = 0; i < rseq.size() / 2; ++i)
+      std::swap(rseq[i], rseq[rseq.size() - 1 - i]);
+  }
+  int32_t score;
+  if (l_query == re - rb && w_ == 0) {
+    cigar->push_back(static_cast<uint32_t>(l_query) << 4 | 0);
+    score = 0;
+    for (int i = 0; i < l_query; ++i) score += mat[rseq[i] * 5 + qbuf[i]];
+  } else {
+    int max_ins = static_cast<int>(
+        static_cast<double>(((l_query + 1) >> 1) * mat[0] - opt.o_ins) /
+            opt.e_ins +
+        1.0);
+    int max_del = static_cast<int>(
+        static_cast<double>(((l_query + 1) >> 1) * mat[0] - opt.o_del) /
+            opt.e_del +
+        1.0);
+    int max_gap = max_ins > max_del ? max_ins : max_del;
+    if (max_gap < 1) max_gap = 1;
+    int64_t tl = re - rb;
+    int w = static_cast<int>(
+        (max_gap + (tl > l_query ? tl - l_query : l_query - tl) + 1) >> 1);
+    if (w > w_) w = w_;
+    int min_w = static_cast<int>(tl > l_query ? tl - l_query : l_query - tl) + 3;
+    if (w < min_w) w = min_w;
+    std::vector<uint32_t> cbuf(l_query + rseq.size() + 4);
+    int32_t ncig = 0;
+    score = bm_ksw_global2(l_query, qbuf.data(),
+                           static_cast<int>(rseq.size()), rseq.data(), mat,
+                           opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, w, 1,
+                           cbuf.data(), &ncig);
+    cigar->assign(cbuf.begin(), cbuf.begin() + ncig);
+  }
+  // NM and MD over the (possibly reversed) sequences
+  static const char kBaseF[] = "ACGTN";
+  static const char kBaseR[] = "TGCAN";
+  const char* base_tab = rb < ref.l_pac ? kBaseF : kBaseR;
+  char num[16];
+  int x = 0, y = 0, u = 0, n_mm = 0, n_gap = 0;
+  const int n_cigar = static_cast<int>(cigar->size());
+  for (int ki = 0; ki < n_cigar; ++ki) {
+    int op = (*cigar)[ki] & 0xF;
+    int ln = (*cigar)[ki] >> 4;
+    if (op == 0) {
+      for (int i = 0; i < ln; ++i) {
+        if (qbuf[x + i] != rseq[y + i]) {
+          std::snprintf(num, sizeof num, "%d", u);
+          *md += num;
+          *md += base_tab[rseq[y + i]];
+          u = 0;
+          ++n_mm;
+        } else {
+          ++u;
+        }
+      }
+      x += ln;
+      y += ln;
+    } else if (op == 2) {
+      if (ki > 0 && ki < n_cigar - 1) {
+        std::snprintf(num, sizeof num, "%d", u);
+        *md += num;
+        *md += '^';
+        for (int i = 0; i < ln; ++i) *md += base_tab[rseq[y + i]];
+        u = 0;
+        n_gap += ln;
+      }
+      y += ln;
+    } else if (op == 1) {
+      x += ln;
+      n_gap += ln;
+    }
+  }
+  std::snprintf(num, sizeof num, "%d", u);
+  *md += num;
+  *score_out = score;
+  *nm_out = n_mm + n_gap;
+  return true;
+}
+
+// ---- bwa_fix_xref2 (spec: core/align.py fix_xref_gen) ----
+
+int fix_xref(const Opt& opt, const int8_t* mat, const Ref& ref,
+             const uint8_t* query, int* qb, int* qe, int64_t* rb,
+             int64_t* re) {
+  if (*rb < ref.l_pac && ref.l_pac < *re) return -1;
+  bool is_rev;
+  int64_t fm_pos = depos(ref, (*rb + *re) >> 1, &is_rev);
+  int rid = pos2rid(ref, fm_pos);
+  int64_t off = ref.ann_off[rid], len = ref.ann_len[rid];
+  int64_t cb = is_rev ? (ref.l_pac << 1) - (off + len) : off;
+  int64_t ce = cb + len;
+  if (cb > *rb || ce < *re) {
+    if (cb < *rb) cb = *rb;
+    if (ce > *re) ce = *re;
+    std::vector<uint32_t> cigar;
+    std::string md;
+    int32_t sc, nm;
+    bool ok = gen_cigar(opt, mat, opt.w, ref, query + *qb, *qe - *qb, *rb,
+                        *re, &cigar, &md, &sc, &nm);
+    int64_t x = *rb;
+    int y = *qb;
+    if (ok) {
+      for (uint32_t cg : cigar) {
+        int op = cg & 0xF;
+        int64_t ln = cg >> 4;
+        if (op == 0) {
+          if (x <= cb && cb < x + ln) {
+            *qb = y + static_cast<int>(cb - x);
+            *rb = cb;
+          }
+          if (x < ce && ce <= x + ln) {
+            *qe = y + static_cast<int>(ce - x);
+            *re = ce;
+            break;
+          }
+          x += ln;
+          y += static_cast<int>(ln);
+        } else if (op == 1) {
+          y += static_cast<int>(ln);
+        } else if (op == 2) {
+          if (x <= cb && cb < x + ln) {
+            *qb = y;
+            *rb = x + ln;
+          }
+          if (x < ce && ce <= x + ln) {
+            *qe = y;
+            *re = x;
+            break;
+          }
+          x += ln;
+        } else {
+          return -3;  // unexpected op (spec raises)
+        }
+      }
+    }
+  }
+  return (*qb == *qe || *rb == *re) ? -2 : 0;
+}
+
+// ---- mem_reg2aln (spec: core/align.py reg2aln_gen) ----
+
+// returns 0 ok, <0 unrecoverable (caller falls back to the Python path)
+int reg2aln(const Opt& opt, const int8_t* mat, const Ref& ref, int l_query,
+            const uint8_t* query, const Reg* ar, Aln* a) {
+  *a = Aln();
+  if (ar == nullptr || ar->rb < 0 || ar->re < 0) {
+    a->rid = -1;
+    a->pos = -1;
+    a->flag |= 0x4;
+    return 0;
+  }
+  int qb = ar->qb, qe = ar->qe;
+  int64_t rb = ar->rb, re = ar->re;
+  a->mapq = ar->secondary < 0 ? approx_mapq_se(opt, *ar) : 0;
+  if (ar->secondary >= 0) a->flag |= 0x100;
+  int st = fix_xref(opt, mat, ref, query, &qb, &qe, &rb, &re);
+  if (st < 0) return -1;
+  int tmp = infer_bw(qe - qb, static_cast<int>(re - rb), ar->truesc, opt.a,
+                     opt.o_del, opt.e_del);
+  int w2 = infer_bw(qe - qb, static_cast<int>(re - rb), ar->truesc, opt.a,
+                    opt.o_ins, opt.e_ins);
+  if (w2 < tmp) w2 = tmp;
+  if (w2 > opt.w) w2 = w2 < ar->w ? w2 : ar->w;
+  int i = 0;
+  int32_t last_sc = -(1 << 30);
+  std::vector<uint32_t> cigar;
+  std::string md;
+  int32_t score = 0, NM = -1;
+  for (;;) {
+    gen_cigar(opt, mat, w2, ref, query + qb, qe - qb, rb, re, &cigar, &md,
+              &score, &NM);
+    if (score == last_sc) break;
+    last_sc = score;
+    w2 <<= 1;
+    ++i;
+    if (!(i < 3 && score < ar->truesc - opt.a)) break;
+  }
+  a->NM = NM;
+  bool is_rev;
+  int64_t pos = depos(ref, rb < ref.l_pac ? rb : re - 1, &is_rev);
+  a->is_rev = is_rev ? 1 : 0;
+  if (!cigar.empty()) {  // squeeze out leading/trailing deletions
+    if ((cigar[0] & 0xF) == 2) {
+      pos += cigar[0] >> 4;
+      cigar.erase(cigar.begin());
+    } else if ((cigar.back() & 0xF) == 2) {
+      cigar.pop_back();
+    }
+  }
+  if (qb != 0 || qe != l_query) {  // soft clipping
+    int clip5 = is_rev ? l_query - qe : qb;
+    int clip3 = is_rev ? qb : l_query - qe;
+    if (clip5)
+      cigar.insert(cigar.begin(), static_cast<uint32_t>(clip5) << 4 | 3);
+    if (clip3) cigar.push_back(static_cast<uint32_t>(clip3) << 4 | 3);
+  }
+  a->cigar = std::move(cigar);
+  a->MD = std::move(md);
+  a->rid = pos2rid(ref, pos);
+  a->pos = pos - ref.ann_off[a->rid];
+  a->score = ar->score;
+  a->sub = ar->sub > ar->csub ? ar->sub : ar->csub;
+  return 0;
+}
+
+// ---- mem_aln2sam, single-end (spec: core/sam.py aln2sam, m=None) ----
+
+inline int64_t get_rlen(const std::vector<uint32_t>& cigar) {
+  int64_t l = 0;
+  for (uint32_t cg : cigar) {
+    int op = cg & 0xF;
+    if (op == 0 || op == 2) l += cg >> 4;
+  }
+  return l;
+}
+
+void append_int(std::string* out, int64_t v) {
+  char buf[24];
+  std::snprintf(buf, sizeof buf, "%lld", static_cast<long long>(v));
+  *out += buf;
+}
+
+void aln2sam_se(const Ref& ref, const char* name, const char* comment,
+                const char* qual, const uint8_t* seq, int l_seq, int n,
+                const std::vector<Aln>& alns, int which, const char* rg_id,
+                std::string* out) {
+  static const char kCig[] = "MIDSH";
+  static const char kSeqF[] = "ACGTN";
+  static const char kSeqR[] = "TGCAN";
+  const Aln& p = alns[which];
+  int flag = p.flag | (p.rid < 0 ? 0x4 : 0) | (p.is_rev ? 0x10 : 0);
+
+  *out += name;
+  *out += '\t';
+  append_int(out, (flag & 0xFFFF) | ((p.flag & 0x10000) ? 0x100 : 0));
+  *out += '\t';
+  if (p.rid >= 0) {
+    *out += ref.ann_name[p.rid];
+    *out += '\t';
+    append_int(out, p.pos + 1);
+    *out += '\t';
+    append_int(out, p.mapq);
+    *out += '\t';
+    if (!p.cigar.empty()) {
+      for (uint32_t cg : p.cigar) {
+        int c = cg & 0xF;
+        if (c == 3 || c == 4) c = which ? 4 : 3;  // hard-clip supplementary
+        append_int(out, cg >> 4);
+        *out += kCig[c];
+      }
+    } else {
+      *out += '*';
+    }
+  } else {
+    *out += "*\t0\t0\t*";
+  }
+  *out += "\t*\t0\t0\t";
+
+  // SEQ and QUAL
+  bool sec = (flag & 0x100) != 0;
+  if (sec) {
+    *out += "*\t*";
+  } else if (!p.is_rev) {
+    int qb = 0, qe = l_seq;
+    if (!p.cigar.empty() && which) {
+      int c0 = p.cigar.front() & 0xF, cl = p.cigar.back() & 0xF;
+      if (c0 == 3 || c0 == 4) qb += p.cigar.front() >> 4;
+      if (cl == 3 || cl == 4) qe -= p.cigar.back() >> 4;
+    }
+    for (int i = qb; i < qe; ++i) *out += kSeqF[seq[i]];
+    *out += '\t';
+    if (qual && qual[0])
+      out->append(qual + qb, qual + qe);
+    else
+      *out += '*';
+  } else {
+    int qb = 0, qe = l_seq;
+    if (!p.cigar.empty() && which) {
+      int c0 = p.cigar.front() & 0xF, cl = p.cigar.back() & 0xF;
+      if (c0 == 3 || c0 == 4) qe -= p.cigar.front() >> 4;
+      if (cl == 3 || cl == 4) qb += p.cigar.back() >> 4;
+    }
+    for (int i = qe - 1; i >= qb; --i) *out += kSeqR[seq[i]];
+    *out += '\t';
+    if (qual && qual[0]) {
+      for (int i = qe - 1; i >= qb; --i) *out += qual[i];
+    } else {
+      *out += '*';
+    }
+  }
+
+  if (!p.cigar.empty()) {
+    *out += "\tNM:i:";
+    append_int(out, p.NM);
+    *out += "\tMD:Z:";
+    *out += p.MD;
+  }
+  if (p.score >= 0) {
+    *out += "\tAS:i:";
+    append_int(out, p.score);
+  }
+  if (p.sub >= 0) {
+    *out += "\tXS:i:";
+    append_int(out, p.sub);
+  }
+  if (rg_id && rg_id[0]) {
+    *out += "\tRG:Z:";
+    *out += rg_id;
+  }
+  if (!(p.flag & 0x100)) {
+    bool any = false;
+    for (int i = 0; i < n; ++i)
+      if (i != which && !(alns[i].flag & 0x100)) any = true;
+    if (any) {
+      *out += "\tSA:Z:";
+      for (int i = 0; i < n; ++i) {
+        const Aln& r = alns[i];
+        if (i == which || (r.flag & 0x100)) continue;
+        *out += ref.ann_name[r.rid];
+        *out += ',';
+        append_int(out, r.pos + 1);
+        *out += ',';
+        *out += r.is_rev ? '-' : '+';
+        *out += ',';
+        for (uint32_t cg : r.cigar) {
+          append_int(out, cg >> 4);
+          *out += kCig[cg & 0xF];
+        }
+        *out += ',';
+        append_int(out, r.mapq);
+        *out += ',';
+        append_int(out, r.NM);
+        *out += ';';
+      }
+    }
+  }
+  if (comment && comment[0]) {
+    *out += '\t';
+    *out += comment;
+  }
+  *out += '\n';
+}
+
+}  // namespace
+
+extern "C" {
+
+// Finalize a whole single-end chunk.  Regions arrive flattened (SoA);
+// strings arrive concatenated with offset arrays (n_reads+1 entries).
+// On success returns a malloc'd buffer of concatenated SAM records
+// (caller frees with bm_free) and fills out_rec_off (n_reads+1).
+// Returns nullptr on any unrecoverable record (caller falls back to
+// the Python finalize for the chunk).
+char* bm_finalize_se(
+    // options
+    int32_t a, int32_t b, int32_t o_del, int32_t e_del, int32_t o_ins,
+    int32_t e_ins, int32_t w, int32_t T, int32_t flag,
+    int32_t min_seed_len, double mask_level, double mapq_coef_len,
+    double mapq_coef_fac, const int8_t* mat,
+    // reference
+    int64_t l_pac, const uint8_t* pac, int32_t n_anns,
+    const int64_t* ann_off, const int32_t* ann_len, const char* ann_names,
+    // reads
+    int32_t n_reads, int64_t n_processed, const uint8_t* seqs,
+    const int64_t* seq_off, const char* names, const int64_t* name_off,
+    const char* quals, const int64_t* qual_off, const char* comments,
+    const int64_t* comm_off, const char* rg_id,
+    // regions, flattened
+    const int64_t* reg_off, const int64_t* reg_rb, const int64_t* reg_re,
+    const int32_t* reg_qb, const int32_t* reg_qe, const int32_t* reg_score,
+    const int32_t* reg_truesc, const int32_t* reg_csub,
+    const int32_t* reg_w, const int32_t* reg_seedcov,
+    // out
+    int64_t* out_rec_off, int64_t* out_total_len) {
+  Opt opt{a, b, o_del, e_del, o_ins, e_ins, w, T, flag, min_seed_len,
+          mask_level, mapq_coef_len, mapq_coef_fac};
+  Ref ref;
+  ref.l_pac = l_pac;
+  ref.pac = pac;
+  ref.n_anns = n_anns;
+  ref.ann_off = ann_off;
+  ref.ann_len = ann_len;
+  ref.ann_name.resize(n_anns);
+  {
+    const char* pn = ann_names;
+    for (int i = 0; i < n_anns; ++i) {
+      ref.ann_name[i] = pn;
+      pn += std::strlen(pn) + 1;
+    }
+  }
+
+  std::string out;
+  out.reserve(static_cast<size_t>(n_reads) * 256);
+  std::vector<Reg> regs;
+  std::vector<Aln> aa;
+  for (int r = 0; r < n_reads; ++r) {
+    out_rec_off[r] = static_cast<int64_t>(out.size());
+    const uint8_t* seq = seqs + seq_off[r];
+    int l_seq = static_cast<int>(seq_off[r + 1] - seq_off[r]);
+    const char* name = names + name_off[r];
+    const char* qual = quals + qual_off[r];
+    const char* comment = comments + comm_off[r];
+
+    regs.clear();
+    for (int64_t k = reg_off[r]; k < reg_off[r + 1]; ++k) {
+      Reg g;
+      g.rb = reg_rb[k];
+      g.re = reg_re[k];
+      g.qb = reg_qb[k];
+      g.qe = reg_qe[k];
+      g.score = reg_score[k];
+      g.truesc = reg_truesc[k];
+      g.sub = 0;
+      g.csub = reg_csub[k];
+      g.sub_n = 0;
+      g.w = reg_w[k];
+      g.seedcov = reg_seedcov[k];
+      g.secondary = -1;
+      g.hash = 0;
+      regs.push_back(g);
+    }
+    mark_primary(opt, regs, n_processed + r);
+
+    // mem_reg2sam_se (spec: core/pipeline.py reg2sam_se_gen)
+    aa.clear();
+    for (size_t k = 0; k < regs.size(); ++k) {
+      const Reg& p = regs[k];
+      if (p.score < opt.T) continue;
+      if (p.secondary >= 0 && !(opt.flag & kMemFAll)) continue;
+      if (p.secondary >= 0 && p.score < regs[p.secondary].score * .5)
+        continue;
+      Aln q;
+      if (reg2aln(opt, mat, ref, l_seq, seq, &p, &q) < 0) return nullptr;
+      if (p.secondary >= 0) q.sub = -1;
+      if (k && p.secondary < 0)
+        q.flag |= (opt.flag & kMemFNoMulti) ? 0x10000 : 0x800;
+      if (k && q.mapq > aa[0].mapq) q.mapq = aa[0].mapq;
+      aa.push_back(std::move(q));
+    }
+    if (aa.empty()) {
+      Aln t;
+      reg2aln(opt, mat, ref, l_seq, seq, nullptr, &t);
+      aln2sam_se(ref, name, comment, qual, seq, l_seq, 1,
+                 std::vector<Aln>{t}, 0, rg_id, &out);
+    } else {
+      for (size_t k = 0; k < aa.size(); ++k)
+        aln2sam_se(ref, name, comment, qual, seq, l_seq,
+                   static_cast<int>(aa.size()), aa, static_cast<int>(k),
+                   rg_id, &out);
+    }
+  }
+  out_rec_off[n_reads] = static_cast<int64_t>(out.size());
+  *out_total_len = static_cast<int64_t>(out.size());
+  char* buf = static_cast<char*>(std::malloc(out.size() + 1));
+  std::memcpy(buf, out.data(), out.size());
+  buf[out.size()] = 0;
+  return buf;
+}
+
+void bm_free(void* p) { std::free(p); }
+
+}  // extern "C"
