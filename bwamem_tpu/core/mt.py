@@ -126,26 +126,42 @@ def _w_align(job):
 
 def _w_fin_se(job):
     opt, idxs, reads, regs, ids, rg_id = job
-    from .pipeline import reg2sam_se
-    from .region import mark_primary
     bns, pac = _G["bns"], _G["pac"]
-    sams = []
-    for r, rg, rid in zip(reads, regs, ids):
-        mark_primary(opt, rg, rid)
-        reg2sam_se(opt, bns, pac, r, rg, 0, None, rg_id)
-        sams.append(r.sam)
-    return idxs, sams
+    # the shard's ids are contiguous (see _shards), so the whole shard
+    # finalizes in one native call when the library is available
+    try:
+        from .nfinalize import finalize_se_native
+        native_ok = finalize_se_native(opt, bns, reads, regs, ids[0],
+                                       rg_id)
+    except Exception:
+        native_ok = False
+    if not native_ok:
+        from .pipeline import reg2sam_se
+        from .region import mark_primary
+        for r, rg, rid in zip(reads, regs, ids):
+            mark_primary(opt, rg, rid)
+            reg2sam_se(opt, bns, pac, r, rg, 0, None, rg_id)
+    return idxs, [r.sam for r in reads]
 
 
 def _w_fin_pe(job):
     opt, idxs, pairs, regpairs, pes, n_processed, rg_id = job
-    from .swdrive import drive_host
-    from . import pair as pe
     bns, pac = _G["bns"], _G["pac"]
-    sams = []
-    for i, pr, rr in zip(idxs, pairs, regpairs):
-        g = pe.sam_pe_gen(opt, bns, pac, pes, (n_processed >> 1) + i,
-                          pr, rr, rg_id)
-        drive_host(g, opt)
-        sams.append((pr[0].sam, pr[1].sam))
-    return idxs, sams
+    flat_reads = [r for pr in pairs for r in pr]
+    flat_regs = [g for rr in regpairs for g in rr]
+    try:
+        from .nfinalize import finalize_pe_native
+        # pair ids are (n_processed>>1)+i with contiguous shard i's
+        native_ok = finalize_pe_native(
+            opt, bns, pes, flat_reads, flat_regs,
+            (((n_processed >> 1) + idxs[0]) << 1), rg_id)
+    except Exception:
+        native_ok = False
+    if not native_ok:
+        from .swdrive import drive_host
+        from . import pair as pe
+        for i, pr, rr in zip(idxs, pairs, regpairs):
+            g = pe.sam_pe_gen(opt, bns, pac, pes, (n_processed >> 1) + i,
+                              pr, rr, rg_id)
+            drive_host(g, opt)
+    return idxs, [(pr[0].sam, pr[1].sam) for pr in pairs]

@@ -66,6 +66,24 @@ def _load() -> Optional[ctypes.CDLL]:
                 _I64P, _I64P]
             lib.bm_free.restype = None
             lib.bm_free.argtypes = [ctypes.c_void_p]
+            _DP = ctypes.POINTER(ctypes.c_double)
+            lib.bm_finalize_pe.restype = ctypes.c_void_p
+            lib.bm_finalize_pe.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+                ctypes.c_double, _I8P, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_double,
+                _I64P, _I64P, _I32P, _DP, _DP,
+                ctypes.c_int64, _U8P, ctypes.c_int32, _I64P, _I32P,
+                ctypes.c_char_p,
+                ctypes.c_int32, ctypes.c_int64, _U8P, _I64P,
+                ctypes.c_char_p, _I64P, ctypes.c_char_p, _I64P,
+                ctypes.c_char_p, _I64P, ctypes.c_char_p,
+                _I64P, _I64P, _I64P, _I32P, _I32P, _I32P, _I32P, _I32P,
+                _I32P, _I32P,
+                _I64P, _I64P]
         except (OSError, AttributeError):
             return None
         _lib = lib
@@ -111,17 +129,9 @@ def _concat_strs(items: List[str]):
     return b"".join(parts), off
 
 
-def finalize_se_native(opt, bns, reads, regs: List[list],
-                       n_processed: int, rg_id: str) -> bool:
-    """Run the whole chunk's SE finalize natively; sets read.sam.
-    Returns False when unavailable or when the native path bails
-    (caller must then run the Python finalize)."""
-    lib = _load()
-    if lib is None:
-        return False
+def _pack_chunk(reads, regs: List[list]):
+    """Flatten a chunk's reads + regions into the native-call arrays."""
     n = len(reads)
-    ann_off, ann_len, ann_names, pac = _pack_bns(bns)
-
     seq_off = np.zeros(n + 1, dtype=np.int64)
     for i, r in enumerate(reads):
         seq_off[i + 1] = seq_off[i] + len(r.seq_nt4)
@@ -153,26 +163,27 @@ def finalize_se_native(opt, bns, reads, regs: List[list],
             wv[k], sv[k] = p.w, p.seedcov
             k += 1
         reg_off[i + 1] = k
+    return (seqs, seq_off, names, name_off, quals, qual_off, comms,
+            comm_off, reg_off, rb, re_, qb, qe, sc, ts, cs, wv, sv)
 
-    mat = np.ascontiguousarray(np.asarray(opt.mat).reshape(-1),
-                               dtype=np.int8)
-    rec_off = np.zeros(n + 1, dtype=np.int64)
-    total = np.zeros(1, dtype=np.int64)
-    ptr = lib.bm_finalize_se(
-        opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-        opt.w, opt.T, opt.flag, opt.min_seed_len,
-        float(opt.mask_level), float(opt.mapQ_coef_len),
-        float(opt.mapQ_coef_fac), _ptr(mat, _I8P),
-        bns.l_pac, _ptr(pac, _U8P), len(bns.anns),
-        _ptr(ann_off, _I64P), _ptr(ann_len, _I32P), ann_names,
-        n, n_processed, _ptr(seqs, _U8P), _ptr(seq_off, _I64P),
-        names, _ptr(name_off, _I64P), quals, _ptr(qual_off, _I64P),
-        comms, _ptr(comm_off, _I64P), rg_id.encode("latin1"),
-        _ptr(reg_off, _I64P), _ptr(rb, _I64P), _ptr(re_, _I64P),
-        _ptr(qb, _I32P), _ptr(qe, _I32P), _ptr(sc, _I32P),
-        _ptr(ts, _I32P), _ptr(cs, _I32P), _ptr(wv, _I32P),
-        _ptr(sv, _I32P),
-        _ptr(rec_off, _I64P), _ptr(total, _I64P))
+
+def _common_args(opt, bns, packed, n, n_processed, rg_id):
+    ann_off, ann_len, ann_names, pac = _pack_bns(bns)
+    (seqs, seq_off, names, name_off, quals, qual_off, comms, comm_off,
+     reg_off, rb, re_, qb, qe, sc, ts, cs, wv, sv) = packed
+    return (
+        [bns.l_pac, _ptr(pac, _U8P), len(bns.anns),
+         _ptr(ann_off, _I64P), _ptr(ann_len, _I32P), ann_names,
+         n, n_processed, _ptr(seqs, _U8P), _ptr(seq_off, _I64P),
+         names, _ptr(name_off, _I64P), quals, _ptr(qual_off, _I64P),
+         comms, _ptr(comm_off, _I64P), rg_id.encode("latin1"),
+         _ptr(reg_off, _I64P), _ptr(rb, _I64P), _ptr(re_, _I64P),
+         _ptr(qb, _I32P), _ptr(qe, _I32P), _ptr(sc, _I32P),
+         _ptr(ts, _I32P), _ptr(cs, _I32P), _ptr(wv, _I32P),
+         _ptr(sv, _I32P)])
+
+
+def _collect(lib, ptr, rec_off, total, reads) -> bool:
     if not ptr:
         return False
     try:
@@ -183,3 +194,64 @@ def finalize_se_native(opt, bns, reads, regs: List[list],
     for i, r in enumerate(reads):
         r.sam = text[int(rec_off[i]):int(rec_off[i + 1])]
     return True
+
+
+def finalize_se_native(opt, bns, reads, regs: List[list],
+                       n_processed: int, rg_id: str) -> bool:
+    """Run the whole chunk's SE finalize natively; sets read.sam.
+    Returns False when unavailable or when the native path bails
+    (caller must then run the Python finalize)."""
+    lib = _load()
+    if lib is None:
+        return False
+    n = len(reads)
+    packed = _pack_chunk(reads, regs)
+    mat = np.ascontiguousarray(np.asarray(opt.mat).reshape(-1),
+                               dtype=np.int8)
+    rec_off = np.zeros(n + 1, dtype=np.int64)
+    total = np.zeros(1, dtype=np.int64)
+    args = [opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+            opt.w, opt.T, opt.flag, opt.min_seed_len,
+            float(opt.mask_level), float(opt.mapQ_coef_len),
+            float(opt.mapQ_coef_fac), _ptr(mat, _I8P)]
+    args += _common_args(opt, bns, packed, n, n_processed, rg_id)
+    args += [_ptr(rec_off, _I64P), _ptr(total, _I64P)]
+    ptr = lib.bm_finalize_se(*args)
+    return _collect(lib, ptr, rec_off, total, reads)
+
+
+def finalize_pe_native(opt, bns, pes, reads, regs: List[list],
+                       n_processed: int, rg_id: str) -> bool:
+    """Run the whole chunk's PE finalize natively (mate rescue, pairing,
+    MAPQ reconciliation, SAM); sets read.sam on the interleaved reads.
+    `pes` is the 4-orientation PeStat list from pestat()."""
+    lib = _load()
+    if lib is None:
+        return False
+    n = len(reads)
+    if n % 2:
+        return False
+    packed = _pack_chunk(reads, regs)
+    mat = np.ascontiguousarray(np.asarray(opt.mat).reshape(-1),
+                               dtype=np.int8)
+    pes_low = np.asarray([p.low for p in pes], dtype=np.int64)
+    pes_high = np.asarray([p.high for p in pes], dtype=np.int64)
+    pes_failed = np.asarray([p.failed for p in pes], dtype=np.int32)
+    pes_avg = np.asarray([p.avg for p in pes], dtype=np.float64)
+    pes_std = np.asarray([p.std for p in pes], dtype=np.float64)
+    rec_off = np.zeros(n + 1, dtype=np.int64)
+    total = np.zeros(1, dtype=np.int64)
+    _DP = ctypes.POINTER(ctypes.c_double)
+    args = [opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+            opt.w, opt.T, opt.flag, opt.min_seed_len,
+            float(opt.mask_level), float(opt.mapQ_coef_len),
+            float(opt.mapQ_coef_fac), _ptr(mat, _I8P),
+            opt.pen_unpaired, opt.max_matesw,
+            float(opt.mask_level_redun),
+            _ptr(pes_low, _I64P), _ptr(pes_high, _I64P),
+            _ptr(pes_failed, _I32P), _ptr(pes_avg, _DP),
+            _ptr(pes_std, _DP)]
+    args += _common_args(opt, bns, packed, n, n_processed, rg_id)
+    args += [_ptr(rec_off, _I64P), _ptr(total, _I64P)]
+    ptr = lib.bm_finalize_pe(*args)
+    return _collect(lib, ptr, rec_off, total, reads)

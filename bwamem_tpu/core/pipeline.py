@@ -134,6 +134,18 @@ def _try_native_finalize_se(opt, bns, reads, regs, n_processed: int,
         return False
 
 
+def _try_native_finalize_pe(opt, bns, pes, reads, regs, n_processed: int,
+                            rg_id: str) -> bool:
+    """Whole-chunk PE finalize in C++ (native/finalize.cpp): mate
+    rescue, pairing and SAM; byte-identical to the Python path."""
+    try:
+        from .nfinalize import finalize_pe_native
+        return finalize_pe_native(opt, bns, pes, reads, regs, n_processed,
+                                  rg_id)
+    except Exception:
+        return False
+
+
 def process_seqs(opt: MemOptions, fm, bns, pac, n_processed: int,
                  reads: List, pes0=None, rg_id: str = "",
                  engine=None, verbose: int = 3, pool=None,
@@ -190,6 +202,9 @@ def process_seqs(opt: MemOptions, fm, bns, pac, n_processed: int,
             pes = pe.pestat(opt, bns.l_pac, regs, verbose)
         if pool is not None:
             pool.finalize_pe(opt, pes, reads, regs, n_processed, rg_id)
+        elif traces1 is None and _try_native_finalize_pe(
+                opt, bns, pes, reads, regs, n_processed, rg_id):
+            pass  # read.sam set by the native finalize
         else:
             traces2 = ([TraceLog() for _ in range(n >> 1)]
                        if traces1 is not None else [None] * (n >> 1))
