@@ -84,6 +84,18 @@ def _load() -> Optional[ctypes.CDLL]:
                 _I64P, _I64P, _I64P, _I32P, _I32P, _I32P, _I32P, _I32P,
                 _I32P, _I32P,
                 _I64P, _I64P]
+            lib.bm_regions_batch.restype = ctypes.c_int64
+            lib.bm_regions_batch.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_double, ctypes.c_double, ctypes.c_double, _I8P,
+                ctypes.c_int64, _U8P,
+                ctypes.c_int32, _U8P, _I64P,
+                _I64P, _I64P, _I64P, _I32P, _I32P,
+                _I32P, _I32P, _I32P, _I64P, _I32P, _I64P, _I32P, _I32P,
+                ctypes.c_int64, _I64P, _I64P, _I64P, _I32P, _I32P, _I32P,
+                _I32P, _I32P, _I32P, _I32P]
         except (OSError, AttributeError):
             return None
         _lib = lib
@@ -218,6 +230,110 @@ def finalize_se_native(opt, bns, reads, regs: List[list],
     args += [_ptr(rec_off, _I64P), _ptr(total, _I64P)]
     ptr = lib.bm_finalize_se(*args)
     return _collect(lib, ptr, rec_off, total, reads)
+
+
+def regions_batch_native(opt, l_pac: int, pac_arr, reads, chains,
+                         ext_outs) -> Optional[List[list]]:
+    """Build every read's deduplicated AlnReg list natively from chains
+    plus the speculative extension wave's per-seed results (`ext_outs`,
+    one (score,truesc,qb,rb,qe,re,aw0,aw1) tuple per flattened seed in
+    (read, chain, seed) order).  Returns None when unavailable (caller
+    runs the Python generator machinery)."""
+    lib = _load()
+    if lib is None:
+        return None
+    from .region import AlnReg
+    n = len(reads)
+    pac = np.ascontiguousarray(pac_arr, dtype=np.uint8)
+
+    seq_off = np.zeros(n + 1, dtype=np.int64)
+    for i, r in enumerate(reads):
+        seq_off[i + 1] = seq_off[i] + len(r.seq_nt4)
+    seqs = np.empty(int(seq_off[-1]), dtype=np.uint8)
+    for i, r in enumerate(reads):
+        seqs[int(seq_off[i]):int(seq_off[i + 1])] = r.seq_nt4
+
+    n_chains = sum(len(c) for c in chains)
+    n_seeds = sum(ch.n for c in chains for ch in c)
+    if len(ext_outs) != n_seeds:
+        return None  # positional contract violated; play safe
+    chain_off = np.zeros(n + 1, dtype=np.int64)
+    seed_off = np.zeros(n_chains + 1, dtype=np.int64)
+    s_rbeg = np.zeros(n_seeds, dtype=np.int64)
+    s_qbeg = np.zeros(n_seeds, dtype=np.int32)
+    s_len = np.zeros(n_seeds, dtype=np.int32)
+    ci = 0
+    k = 0
+    for i, c in enumerate(chains):
+        for ch in c:
+            for (rbeg, qbeg, slen) in ch.seeds:
+                s_rbeg[k], s_qbeg[k], s_len[k] = rbeg, qbeg, slen
+                k += 1
+            seed_off[ci + 1] = k
+            ci += 1
+        chain_off[i + 1] = ci
+    e_sc = np.zeros(n_seeds, dtype=np.int32)
+    e_ts = np.zeros(n_seeds, dtype=np.int32)
+    e_qb = np.zeros(n_seeds, dtype=np.int32)
+    e_rb = np.zeros(n_seeds, dtype=np.int64)
+    e_qe = np.zeros(n_seeds, dtype=np.int32)
+    e_re = np.zeros(n_seeds, dtype=np.int64)
+    e_a0 = np.zeros(n_seeds, dtype=np.int32)
+    e_a1 = np.zeros(n_seeds, dtype=np.int32)
+    for k, o in enumerate(ext_outs):
+        (e_sc[k], e_ts[k], e_qb[k], e_rb[k], e_qe[k], e_re[k], e_a0[k],
+         e_a1[k]) = o
+
+    cap = n_seeds + n_chains + 8
+    reg_off = np.zeros(n + 1, dtype=np.int64)
+    o_rb = np.zeros(cap, dtype=np.int64)
+    o_re = np.zeros(cap, dtype=np.int64)
+    o_qb = np.zeros(cap, dtype=np.int32)
+    o_qe = np.zeros(cap, dtype=np.int32)
+    o_sc = np.zeros(cap, dtype=np.int32)
+    o_ts = np.zeros(cap, dtype=np.int32)
+    o_cs = np.zeros(cap, dtype=np.int32)
+    o_w = np.zeros(cap, dtype=np.int32)
+    o_sv = np.zeros(cap, dtype=np.int32)
+    mat = np.ascontiguousarray(np.asarray(opt.mat).reshape(-1),
+                               dtype=np.int8)
+    n_out = lib.bm_regions_batch(
+        opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+        opt.w, opt.min_seed_len, opt.flag,
+        float(opt.mask_level), float(opt.chain_drop_ratio),
+        float(opt.mask_level_redun), _ptr(mat, _I8P),
+        l_pac, _ptr(pac, _U8P),
+        n, _ptr(seqs, _U8P), _ptr(seq_off, _I64P),
+        _ptr(chain_off, _I64P), _ptr(seed_off, _I64P),
+        _ptr(s_rbeg, _I64P), _ptr(s_qbeg, _I32P), _ptr(s_len, _I32P),
+        _ptr(e_sc, _I32P), _ptr(e_ts, _I32P), _ptr(e_qb, _I32P),
+        _ptr(e_rb, _I64P), _ptr(e_qe, _I32P), _ptr(e_re, _I64P),
+        _ptr(e_a0, _I32P), _ptr(e_a1, _I32P),
+        cap, _ptr(reg_off, _I64P), _ptr(o_rb, _I64P), _ptr(o_re, _I64P),
+        _ptr(o_qb, _I32P), _ptr(o_qe, _I32P), _ptr(o_sc, _I32P),
+        _ptr(o_ts, _I32P), _ptr(o_cs, _I32P), _ptr(o_w, _I32P),
+        _ptr(o_sv, _I32P))
+    if n_out < 0:
+        return None
+    rb_l = o_rb.tolist()
+    re_l = o_re.tolist()
+    qb_l = o_qb.tolist()
+    qe_l = o_qe.tolist()
+    sc_l = o_sc.tolist()
+    ts_l = o_ts.tolist()
+    cs_l = o_cs.tolist()
+    w_l = o_w.tolist()
+    sv_l = o_sv.tolist()
+    off = reg_off.tolist()
+    regs: List[list] = []
+    for i in range(n):
+        lst = []
+        for k in range(off[i], off[i + 1]):
+            lst.append(AlnReg(rb=rb_l[k], re=re_l[k], qb=qb_l[k],
+                              qe=qe_l[k], score=sc_l[k], truesc=ts_l[k],
+                              csub=cs_l[k], w=w_l[k], seedcov=sv_l[k]))
+        regs.append(lst)
+    return regs
 
 
 def finalize_pe_native(opt, bns, pes, reads, regs: List[list],

@@ -54,6 +54,21 @@ def _pack4(buf: np.ndarray) -> np.ndarray:
     return buf[:, 0::2] | (buf[:, 1::2] << 4)
 
 
+class ExtCache(dict):
+    """Speculative extension results: content-keyed dict (consumed by
+    drive_waves) plus `.outs`, the same results positionally aligned
+    with the flattened (read, chain, seed) order (consumed by the
+    native region builder)."""
+    outs = None
+
+
+# native serial region construction (C++, core/nfinalize.py) — exact
+# replay of the chain-filter/containment bookkeeping consuming the
+# speculative wave's results; BWAMEM_TPU_NATIVE_REGIONS=0 forces the
+# Python generator machinery
+NATIVE_REGIONS = _os.environ.get("BWAMEM_TPU_NATIVE_REGIONS", "1") != "0"
+
+
 class JaxSeedingEngine:
     def __init__(self, fm_host, max_len: int = 128, sa_max_steps: int = 1024,
                  ext_lq: int = 128, ext_lt: int = 544):
@@ -169,6 +184,13 @@ class JaxSeedingEngine:
                 and traces is None):
             cache = self._speculate_extensions(opt, bns, pac, reads,
                                                chains)
+        if (NATIVE_REGIONS and traces is None and cache is not None
+                and getattr(cache, "outs", None) is not None):
+            from ..core.nfinalize import regions_batch_native
+            regs = regions_batch_native(opt, bns.l_pac, pac, reads,
+                                        chains, cache.outs)
+            if regs is not None:
+                return regs
         gens = [align1_core_gen(
                     opt, fm, bns, pac, r, chains=chains[i],
                     trace=traces[i] if traces is not None else None)
@@ -240,8 +262,11 @@ class JaxSeedingEngine:
     def _speculate_extensions(self, opt, bns, pac, reads, chains):
         """One batched wave set covering EVERY seed's fused extension
         (a superset of what the serial path will request); returns a
-        content-keyed result cache.  Chains so seed-rich that
-        speculation would waste the device fall back to live waves."""
+        content-keyed result cache whose `.outs` holds the results
+        positionally (one per flattened (read, chain, seed) — the
+        native region builder consumes them by index).  Chains so
+        seed-rich that speculation would waste the device fall back to
+        live waves."""
         from ..core.region import chain_rmax_rseq, seed_lr_request
         reqs = []
         budget = 16 * max(len(reads), 1)
@@ -257,9 +282,14 @@ class JaxSeedingEngine:
             if len(reqs) > budget:
                 return None
         if not reqs:
-            return {}
+            cache = ExtCache()
+            cache.outs = []
+            return cache
         outs = self._extend_lr_wave(opt, reqs)
-        return {self._lr_key(q): o for q, o in zip(reqs, outs)}
+        cache = ExtCache((self._lr_key(q), o)
+                         for q, o in zip(reqs, outs))
+        cache.outs = outs
+        return cache
 
     def drive_waves(self, opt, gens, cache=None) -> List:
         """Advance all generators in lock-step; every wave serves the
