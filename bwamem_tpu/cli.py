@@ -75,11 +75,12 @@ def main_mem(argv):
     pes0 = None
     verbose = 3
     engine_kind = "auto"
+    mesh_spec = None
     profile_dir = None
     try:
         opts, args = _getopt.getopt(
             argv, "epaMCSPHk:c:v:s:r:t:b:R:A:B:O:E:U:w:L:d:T:Q:D:m:I:",
-            ["engine=", "profile="])
+            ["engine=", "profile=", "mesh="])
     except _getopt.GetoptError as e:
         sys.stderr.write(str(e) + "\n")
         return 1
@@ -179,6 +180,8 @@ def main_mem(argv):
                     "max: %d, min: %d\n" % (p1.avg, p1.std, p1.high, p1.low))
         elif c == "engine":
             engine_kind = val
+        elif c == "mesh":
+            mesh_spec = val
         elif c == "profile":
             profile_dir = val
         elif c == "H":
@@ -211,7 +214,17 @@ def main_mem(argv):
     if engine_kind in ("auto", "tpu", "jax"):
         try:
             from .ops.engine import JaxSeedingEngine
-            engine = JaxSeedingEngine(fm)
+            mesh = None
+            if mesh_spec:  # --mesh N|auto: data-parallel over chips
+                import jax
+                from .parallel.mesh import make_mesh
+                n_dev = (len(jax.devices()) if mesh_spec == "auto"
+                         else int(mesh_spec))
+                if n_dev > 1:
+                    mesh = make_mesh(n_dev)
+                    sys.stderr.write("[M::main_mem] reads mesh over %d "
+                                     "devices\n" % n_dev)
+            engine = JaxSeedingEngine(fm, mesh=mesh)
         except Exception as ex:  # pragma: no cover
             if engine_kind != "auto":
                 raise

@@ -71,7 +71,7 @@ NATIVE_REGIONS = _os.environ.get("BWAMEM_TPU_NATIVE_REGIONS", "1") != "0"
 
 class JaxSeedingEngine:
     def __init__(self, fm_host, max_len: int = 128, sa_max_steps: int = 1024,
-                 ext_lq: int = 128, ext_lt: int = 544):
+                 ext_lq: int = 128, ext_lt: int = 544, mesh=None):
         # sa_max_steps: the psi-walk length to a sampled SA row is
         # ~geometric with mean sa_intv (32); the device loop exits at
         # the max LIVE walk (~32*ln(lanes) ~ 300), so a high cap is
@@ -79,9 +79,24 @@ class JaxSeedingEngine:
         # host walk (~1s+ of pure Python per bench run)
         self.fm_host = fm_host
         self.dfm = DeviceFmIndex.from_host(fm_host)
+        # data-parallel multi-chip: shard every dispatch's lane axis
+        # over the reads mesh, index tables replicated per chip
+        # (SURVEY.md §2.4); lane widths must divide evenly
+        self.kernels = None
+        if mesh is not None and mesh.devices.size > 1:
+            from ..parallel.mesh import ShardedKernels
+            n = mesh.devices.size
+            from .seeding import LANES, SA_SLICE
+            for width in (LANES, SA_SLICE, WAVE, WAVE_EXT, WAVE_GLO):
+                if width % n:
+                    raise ValueError(
+                        f"lane width {width} not divisible by mesh size "
+                        f"{n}; adjust BWAMEM_TPU_LANES/WAVE")
+            self.kernels = ShardedKernels(mesh)
         self.seeder = BatchedSeeder(self.dfm, max_len=max_len,
                                     sa_max_steps=sa_max_steps,
-                                    fm_host=fm_host, timer=self)
+                                    fm_host=fm_host, timer=self,
+                                    kernels=self.kernels)
         self.max_len = max_len
         self._ext_lq = ext_lq
         self._ext_lt = ext_lt
@@ -217,6 +232,10 @@ class JaxSeedingEngine:
         import jax.numpy as jnp
         from .ksw import ksw_extend_lr_batched, ksw_extend2_batched, \
             ksw_global2_batched
+        if self.kernels is not None:
+            ksw_extend_lr_batched = self.kernels.extend_lr
+            ksw_extend2_batched = self.kernels.extend2
+            ksw_global2_batched = self.kernels.global2
         LQ = self._ext_lq
         pend = []
         for LT in LT_BUCKETS:
@@ -411,7 +430,9 @@ class JaxSeedingEngine:
                 tb[bi, :len(rs)] = rs
                 qlen[bi], tlen[bi] = len(qs), len(rs)
                 wv[bi], ebv[bi], h0v[bi] = w, pen, h0
-            dev = ksw_extend2_batched(
+            fn = (self.kernels.extend2 if self.kernels is not None
+                  else ksw_extend2_batched)
+            dev = fn(
                 jnp.asarray(_pack4(qb)), jnp.asarray(_pack4(tb)),
                 jnp.asarray(qlen),
                 jnp.asarray(tlen), self._mat_i32(opt),
@@ -484,7 +505,9 @@ class JaxSeedingEngine:
                 rlq[bi], rlt[bi] = len(qrt), len(rrt)
                 scs[bi], sqb[bi], srb[bi] = sc_seed, s_qbeg, s_rbeg
                 rm0[bi], lqv[bi], slv[bi] = rmax0, l_query, s_len
-            dev = ksw_extend_lr_batched(
+            fn = (self.kernels.extend_lr if self.kernels is not None
+                  else ksw_extend_lr_batched)
+            dev = fn(
                 jnp.asarray(_pack4(lqb)), jnp.asarray(_pack4(ltb)),
                 jnp.asarray(llq), jnp.asarray(llt),
                 jnp.asarray(_pack4(rqb)), jnp.asarray(_pack4(rtb)),
@@ -534,7 +557,9 @@ class JaxSeedingEngine:
                 tb[bi, :len(rs)] = rs
                 qlen[bi], tlen[bi] = len(qs), len(rs)
                 wv[bi] = w
-            dev = ksw_global2_batched(
+            fn = (self.kernels.global2 if self.kernels is not None
+                  else ksw_global2_batched)
+            dev = fn(
                 jnp.asarray(_pack4(qb)), jnp.asarray(_pack4(tb)),
                 jnp.asarray(qlen),
                 jnp.asarray(tlen), self._mat_i32(opt),

@@ -47,7 +47,11 @@ class BatchedSeeder:
 
     def __init__(self, dfm: DeviceFmIndex, max_len: int = 128,
                  sa_max_steps: int = 128, fm_host=None, m_out: int = None,
-                 timer=None):
+                 timer=None, kernels=None):
+        # `kernels`: parallel.mesh.ShardedKernels — when set, the
+        # superstep and SA dispatches run shard_map'd over the reads
+        # mesh (data-parallel multi-chip; index replicated per chip)
+        self.kernels = kernels
         self.dfm = dfm
         self.L = int(max_len)
         # interval-buffer width: the backward pass costs O(M) occ
@@ -131,7 +135,9 @@ class BatchedSeeder:
                 slens[i] = min(sl_init, len(qq))
             active = np.zeros(B, dtype=bool)
             active[:len(grp)] = True
-            dev = smem_superstep(
+            step_fn = (self.kernels.superstep if self.kernels is not None
+                       else smem_superstep)
+            dev = step_fn(
                 self.dfm.blocks, self.dfm.primary, self.dfm.L2,
                 jnp.asarray(qpad), jnp.asarray(qlen),
                 jnp.full(B, start_width, dtype=self.dfm.L2.dtype),
@@ -233,9 +239,16 @@ class BatchedSeeder:
             sl = karr[lo:lo + SA_SLICE]
             pad = np.zeros(SA_SLICE, dtype=kdt)
             pad[:len(sl)] = sl
-            dev = sa_lookup_batched(
-                d.blocks, d.primary, d.L2, d.seq_len, d.sa, d.sa_intv,
-                jnp.asarray(pad), max_steps=self.sa_max_steps)
+            if self.kernels is not None:
+                dev = self.kernels.sa_lookup(
+                    d.blocks, d.primary, d.L2, d.seq_len, d.sa,
+                    d.sa_intv, jnp.asarray(pad),
+                    max_steps=self.sa_max_steps)
+            else:
+                dev = sa_lookup_batched(
+                    d.blocks, d.primary, d.L2, d.seq_len, d.sa,
+                    d.sa_intv, jnp.asarray(pad),
+                    max_steps=self.sa_max_steps)
             pend.append((lo, len(sl), dev))
         for lo, n_sl, dev in pend:
             fn = lambda dev=dev: jax.device_get(dev)

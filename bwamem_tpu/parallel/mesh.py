@@ -111,6 +111,122 @@ def pestat_histograms(mesh: Mesh):
     return jax.jit(fn)
 
 
+class ShardedKernels:
+    """Data-parallel (reads-axis) shard_map wrappers for every device
+    entry point the mem engine dispatches: the fused SMEM superstep, the
+    batched SA lookup, and the three SW waves.  Index tables are
+    replicated per chip (the SPL_BWT_ref analog); every per-lane array
+    is split across the mesh.  Engine lane widths (LANES/WAVE_*) must be
+    divisible by the mesh size — shapes are fixed per process, so this
+    is checked once at construction.
+
+    The engine built with `mesh=` runs the whole pipeline data-parallel
+    with byte-identical output (reference parallelism mapping,
+    SURVEY.md §2.4); on one chip the wrappers are never constructed."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self.n = mesh.devices.size
+        self._cache = {}
+
+    def _wrap(self, key, fn, n_rep: int, n_dyn: int, n_out: int,
+              static_kw):
+        """shard_map fn with the first n_rep args replicated and the
+        next n_dyn sharded on the reads axis; all outputs sharded."""
+        ck = (key, tuple(sorted(static_kw.items())))
+        got = self._cache.get(ck)
+        if got is not None:
+            return got
+        rep, shr = P(), P(READS_AXIS)
+
+        def body(*args):
+            return fn(*args, **static_kw)
+
+        wrapped = jax.jit(shard_map(
+            body, mesh=self.mesh,
+            in_specs=(rep,) * n_rep + (shr,) * n_dyn,
+            out_specs=(shr,) * n_out, check_vma=False))
+        self._cache[ck] = wrapped
+        return wrapped
+
+    def superstep(self, blocks, primary, L2, q, qlen, mi, active, slens,
+                  swid, *, L, M, OUT_CAP, NEED_X1):
+        from ..ops.smem import smem_superstep
+        fn = self._wrap("superstep", smem_superstep.__wrapped__, 3, 6, 7,
+                        dict(L=L, M=M, OUT_CAP=OUT_CAP, NEED_X1=NEED_X1))
+        return fn(blocks, primary, L2, q, qlen, mi, active, slens, swid)
+
+    def sa_lookup(self, blocks, primary, L2, seq_len, sa, sa_intv, k, *,
+                  max_steps):
+        from ..ops.fm import sa_lookup_batched
+
+        def body(b, p, l2, s, kk, **kw):
+            # seq_len/sa_intv are captured constants; the matching keys
+            # in the static dict exist only for cache identity
+            kw.pop("_seq_len")
+            kw.pop("_intv")
+            return sa_lookup_batched.__wrapped__(
+                b, p, l2, seq_len, s, sa_intv, kk, **kw)
+
+        fn = self._wrap("sa", body, 4, 1, 2,
+                        dict(max_steps=max_steps,
+                             _seq_len=int(seq_len), _intv=int(sa_intv)))
+        return fn(blocks, primary, L2, sa, k)
+
+    def extend_lr(self, *args, **static_kw):
+        from ..ops.ksw import ksw_extend_lr_batched
+        # signature: (lq, lt, llq, llt, rq, rt, rlq, rlt, mat,
+        #             o_del..zdrop statics.., scs, sqb, srb, rm0, lqv,
+        #             slv, LQ=, LT=, packed=)
+        dyn_a = args[:8]
+        mat = args[8]
+        scal = args[9:17]   # o_del e_del o_ins e_ins w pc5 pc3 zdrop
+        dyn_b = args[17:]
+        st = dict(static_kw)
+        st["_scal"] = tuple(int(x) for x in scal)
+
+        def body(m, *arr, **kw):
+            kw2 = dict(kw)
+            sc = kw2.pop("_scal")
+            return ksw_extend_lr_batched.__wrapped__(
+                *arr[:8], m, *sc, *arr[8:], **kw2)
+
+        fn = self._wrap("extlr", body, 1, len(dyn_a) + len(dyn_b),
+                        8, st)
+        return fn(mat, *dyn_a, *dyn_b)
+
+    def extend2(self, qs, ts, qlen, tlen, mat, o_del, e_del, o_ins,
+                e_ins, wv, ebv, zdrop, h0v, *, LQ, LT, packed):
+        from ..ops.ksw import ksw_extend2_batched
+
+        def body(m, q, t, ql, tl, w_, eb, h0, **kw):
+            sc = kw.pop("_scal")
+            return ksw_extend2_batched.__wrapped__(
+                q, t, ql, tl, m, sc[0], sc[1], sc[2], sc[3], w_, eb,
+                sc[4], h0, **kw)
+
+        fn = self._wrap("ext2", body, 1, 7, 6,
+                        dict(LQ=LQ, LT=LT, packed=packed,
+                             _scal=(int(o_del), int(e_del), int(o_ins),
+                                    int(e_ins), int(zdrop))))
+        return fn(mat, qs, ts, qlen, tlen, wv, ebv, h0v)
+
+    def global2(self, qs, ts, qlen, tlen, mat, o_del, e_del, o_ins,
+                e_ins, wv, *, LQ, LT, packed):
+        from ..ops.ksw import ksw_global2_batched
+
+        def body(m, q, t, ql, tl, w_, **kw):
+            sc = kw.pop("_scal")
+            return ksw_global2_batched.__wrapped__(
+                q, t, ql, tl, m, sc[0], sc[1], sc[2], sc[3], w_, **kw)
+
+        fn = self._wrap("glo2", body, 1, 5, 5,
+                        dict(LQ=LQ, LT=LT, packed=packed,
+                             _scal=(int(o_del), int(e_del), int(o_ins),
+                                    int(e_ins))))
+        return fn(mat, qs, ts, qlen, tlen, wv)
+
+
 def pad_to_shards(arr: np.ndarray, n_shards: int, fill) -> np.ndarray:
     """Pad the leading dim to a multiple of the shard count."""
     n = arr.shape[0]
