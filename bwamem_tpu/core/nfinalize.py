@@ -84,6 +84,11 @@ def _load() -> Optional[ctypes.CDLL]:
                 _I64P, _I64P, _I64P, _I32P, _I32P, _I32P, _I32P, _I32P,
                 _I32P, _I32P,
                 _I64P, _I64P]
+            lib.bm_chain_batch.restype = ctypes.c_int64
+            lib.bm_chain_batch.argtypes = [
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, _I64P, _I64P, _I32P, _I32P,
+                _I64P, _I64P, _I64P, _I32P, _I32P]
             lib.bm_regions_batch.restype = ctypes.c_int64
             lib.bm_regions_batch.argtypes = [
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -230,6 +235,35 @@ def finalize_se_native(opt, bns, reads, regs: List[list],
     args += [_ptr(rec_off, _I64P), _ptr(total, _I64P)]
     ptr = lib.bm_finalize_se(*args)
     return _collect(lib, ptr, rec_off, total, reads)
+
+
+def chain_batch_native(l_pac: int, w: int, max_chain_gap: int,
+                       n_reads: int, read_off, rbeg, qbeg, slen):
+    """Native kbtree-insertion chaining over a chunk's flat seed
+    arrays; returns (chain_off, seed_off, rbeg, qbeg, len) flat arrays
+    or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_seeds = len(rbeg)
+    read_off = np.ascontiguousarray(read_off, dtype=np.int64)
+    rbeg = np.ascontiguousarray(rbeg, dtype=np.int64)
+    qbeg = np.ascontiguousarray(qbeg, dtype=np.int32)
+    slen = np.ascontiguousarray(slen, dtype=np.int32)
+    chain_off = np.zeros(n_reads + 1, dtype=np.int64)
+    seed_off = np.zeros(n_seeds + 2, dtype=np.int64)
+    o_rbeg = np.zeros(n_seeds, dtype=np.int64)
+    o_qbeg = np.zeros(n_seeds, dtype=np.int32)
+    o_len = np.zeros(n_seeds, dtype=np.int32)
+    n_chains = lib.bm_chain_batch(
+        l_pac, w, max_chain_gap, n_reads,
+        _ptr(read_off, _I64P), _ptr(rbeg, _I64P), _ptr(qbeg, _I32P),
+        _ptr(slen, _I32P),
+        _ptr(chain_off, _I64P), _ptr(seed_off, _I64P),
+        _ptr(o_rbeg, _I64P), _ptr(o_qbeg, _I32P), _ptr(o_len, _I32P))
+    if n_chains < 0:
+        return None
+    return (chain_off, seed_off[:n_chains + 1], o_rbeg, o_qbeg, o_len)
 
 
 def regions_batch_native(opt, l_pac: int, pac_arr, reads, chains,

@@ -136,8 +136,43 @@ class JaxSeedingEngine:
             # x0/s/info only) — skip its download
             streams = self.seeder.interval_streams(opt, queries,
                                                    need_x1=False)
-            seeds = self.seeder.seed_positions(self.fm_host, streams, opt)
             l_pac = self.fm_host.seq_len >> 1
+            if NATIVE_REGIONS and traces is None:
+                # flat-array seeds -> native kbtree chaining (one C
+                # call for the chunk); falls through to the per-seed
+                # Python loop when the library is unavailable
+                from ..core.nfinalize import chain_batch_native
+                rid, s_rb, s_qb, s_ln = \
+                    self.seeder.seed_positions_arrays(
+                        self.fm_host, streams, opt)
+                counts = np.bincount(rid, minlength=len(dev_idx)) \
+                    if len(rid) else np.zeros(len(dev_idx), np.int64)
+                read_off = np.zeros(len(dev_idx) + 1, dtype=np.int64)
+                np.cumsum(counts, out=read_off[1:])
+                out = chain_batch_native(l_pac, opt.w,
+                                         opt.max_chain_gap,
+                                         len(dev_idx), read_off,
+                                         s_rb, s_qb, s_ln)
+                if out is not None:
+                    from ..core.chain import Chain
+                    c_off, sd_off, o_rb, o_qb, o_ln = out
+                    rb_l, qb_l, ln_l = (o_rb.tolist(), o_qb.tolist(),
+                                        o_ln.tolist())
+                    c_off_l, sd_off_l = c_off.tolist(), sd_off.tolist()
+                    for bi, i in enumerate(dev_idx):
+                        lst = []
+                        for c in range(c_off_l[bi], c_off_l[bi + 1]):
+                            lo, hi = sd_off_l[c], sd_off_l[c + 1]
+                            seeds_c = list(zip(rb_l[lo:hi],
+                                               qb_l[lo:hi],
+                                               ln_l[lo:hi]))
+                            lst.append(Chain(pos=seeds_c[0][0],
+                                             seeds=seeds_c))
+                        chains[i] = lst
+                    dev_idx = []  # handled
+            if dev_idx:
+                seeds = self.seeder.seed_positions(self.fm_host,
+                                                   streams, opt)
             for bi, i in enumerate(dev_idx):
                 tree = ChainTree()
                 for s in seeds[bi]:

@@ -265,6 +265,68 @@ class BatchedSeeder:
                 oi.append((vals_l[off + k], qb, slen))
         return out
 
+    def seed_positions_arrays(self, fm_host, intervals_per_read, opt):
+        """seed_positions with flat-array output for the native chain
+        builder: (read_ids, rbeg, qbeg, len) int arrays in the exact
+        per-read, per-interval, per-occurrence order of the list form
+        (the insertion order determines chain identity)."""
+        keys: List[int] = []
+        lay_i = []
+        lay_qb = []
+        lay_len = []
+        lay_n = []
+        for i, intervals in enumerate(intervals_per_read):
+            for p in intervals:
+                slen = (p[3] & 0xFFFFFFFF) - (p[3] >> 32)
+                if slen < opt.min_seed_len or p[2] > opt.max_occ:
+                    continue
+                lay_i.append(i)
+                lay_qb.append(p[3] >> 32)
+                lay_len.append(slen)
+                lay_n.append(p[2])
+                keys.extend(range(p[0], p[0] + p[2]))
+        n_seeds = len(keys)
+        if n_seeds == 0:
+            z32 = np.zeros(0, np.int32)
+            return z32, np.zeros(0, np.int64), z32, z32
+        d = self.dfm
+        kdt = np.int32 if d.sa.dtype == jnp.int32 else np.int64
+        karr = np.asarray(keys, dtype=kdt)
+        vals = np.empty(len(karr), dtype=np.int64)
+        over = np.empty(len(karr), dtype=bool)
+        import jax
+        pend = []
+        for lo in range(0, len(karr), SA_SLICE):
+            sl = karr[lo:lo + SA_SLICE]
+            pad = np.zeros(SA_SLICE, dtype=kdt)
+            pad[:len(sl)] = sl
+            if self.kernels is not None:
+                dev = self.kernels.sa_lookup(
+                    d.blocks, d.primary, d.L2, d.seq_len, d.sa,
+                    d.sa_intv, jnp.asarray(pad),
+                    max_steps=self.sa_max_steps)
+            else:
+                dev = sa_lookup_batched(
+                    d.blocks, d.primary, d.L2, d.seq_len, d.sa,
+                    d.sa_intv, jnp.asarray(pad),
+                    max_steps=self.sa_max_steps)
+            pend.append((lo, len(sl), dev))
+        for lo, n_sl, dev in pend:
+            fn = lambda dev=dev: jax.device_get(dev)
+            v, o = (self.timer._timed(fn, _tag="sa")
+                    if self.timer else fn())
+            vals[lo:lo + n_sl] = v[:n_sl]
+            over[lo:lo + n_sl] = o[:n_sl]
+        for idx in np.nonzero(over)[0]:  # host fallback
+            vals[idx] = fm_host.sa_lookup(int(karr[idx]))
+        n_occ = np.asarray(lay_n, dtype=np.int64)
+        read_ids = np.repeat(np.asarray(lay_i, np.int32), n_occ)
+        qbeg = np.repeat(np.asarray(lay_qb, np.int64), n_occ) \
+            .astype(np.int32)
+        slen_a = np.repeat(np.asarray(lay_len, np.int64), n_occ) \
+            .astype(np.int32)
+        return read_ids, vals, qbeg, slen_a
+
 
 class _SliceRun:
     """Iterator state for one fixed-width lane group (see
