@@ -24,6 +24,8 @@
 #include <string>
 #include <vector>
 
+#include "common.h"
+
 extern "C" {
 // from ksw.cpp
 int32_t bm_ksw_global2(int qlen, const uint8_t* query, int tlen,
@@ -37,6 +39,9 @@ void bm_ksw_align2(int qlen, const uint8_t* query, int tlen,
 }
 
 namespace {
+
+using bm::hash64;
+using bm::ks_introsort;
 
 constexpr int kMemFAll = 0x8;
 constexpr int kMemFNoMulti = 0x10;
@@ -69,134 +74,11 @@ struct Ref {
   std::vector<const char*> ann_name;
 };
 
-inline uint64_t hash64(uint64_t key) {
-  key = key + ~(key << 32);
-  key ^= key >> 22;
-  key = key + ~(key << 13);
-  key ^= key >> 8;
-  key = key + (key << 3);
-  key ^= key >> 15;
-  key = key + ~(key << 27);
-  key ^= key >> 31;
-  return key;
-}
-
-// ---- ks_introsort emulation (exact permutation; spec: utils/ksort.py) ----
-
-template <typename T, typename Lt>
-void insertsort(std::vector<T>& a, Lt lt, int s, int t) {
-  for (int i = s + 1; i < t; ++i)
-    for (int j = i; j > s && lt(a[j], a[j - 1]); --j) std::swap(a[j], a[j - 1]);
-}
-
-template <typename T, typename Lt>
-void combsort(std::vector<T>& a, Lt lt, int s, int n) {
-  const double shrink = 1.2473309501039786540366528676643;
-  int gap = n;
-  for (;;) {
-    if (gap > 2) {
-      gap = static_cast<int>(gap / shrink);
-      if (gap == 9 || gap == 10) gap = 11;
-    }
-    bool swapped = false;
-    for (int i = s; i < s + n - gap; ++i) {
-      int j = i + gap;
-      if (lt(a[j], a[i])) {
-        std::swap(a[i], a[j]);
-        swapped = true;
-      }
-    }
-    if (!(swapped || gap > 2)) break;
-  }
-  if (gap != 1) insertsort(a, lt, s, s + n);
-}
-
-template <typename T, typename Lt>
-void ks_introsort(std::vector<T>& a, Lt lt) {
-  int n = static_cast<int>(a.size());
-  if (n < 1) return;
-  if (n == 2) {
-    if (lt(a[1], a[0])) std::swap(a[0], a[1]);
-    return;
-  }
-  int d = 2;
-  while ((1 << d) < n) ++d;
-  struct Frame {
-    int s, t, d;
-  };
-  std::vector<Frame> stack;
-  int s = 0, t = n - 1;
-  d <<= 1;
-  for (;;) {
-    if (s < t) {
-      if (--d == 0) {
-        combsort(a, lt, s, t - s + 1);
-        t = s;
-        continue;
-      }
-      int i = s, j = t;
-      int k = i + ((j - i) >> 1) + 1;
-      if (lt(a[k], a[i])) {
-        if (lt(a[k], a[j])) k = j;
-      } else {
-        k = lt(a[j], a[i]) ? i : j;
-      }
-      T rp = a[k];
-      if (k != t) std::swap(a[k], a[t]);
-      for (;;) {
-        do ++i;
-        while (lt(a[i], rp));
-        do --j;
-        while (i <= j && lt(rp, a[j]));
-        if (j <= i) break;
-        std::swap(a[i], a[j]);
-      }
-      std::swap(a[i], a[t]);
-      if (i - s > t - i) {
-        if (i - s > 16) stack.push_back({s, i - 1, d});
-        s = t - i > 16 ? i + 1 : t;
-      } else {
-        if (t - i > 16) stack.push_back({i + 1, t, d});
-        t = i - s > 16 ? i - 1 : s;
-      }
-    } else {
-      if (stack.empty()) {
-        insertsort(a, lt, 0, n);
-        return;
-      }
-      s = stack.back().s;
-      t = stack.back().t;
-      d = stack.back().d;
-      stack.pop_back();
-    }
-  }
-}
-
 // ---- reference fetch (bns_get_seq; spec: index/bntseq.py get_seq) ----
 
-inline uint8_t pac_get(const uint8_t* pac, int64_t l) {
-  return (pac[l >> 2] >> ((~l & 3) << 1)) & 3;
-}
-
-// fetch [beg,end) of the logical doubled reference; empty on bridging
-std::vector<uint8_t> get_seq(const Ref& ref, int64_t beg, int64_t end) {
-  if (end < beg) std::swap(beg, end);
-  if (end > ref.l_pac << 1) end = ref.l_pac << 1;
-  if (beg < 0) beg = 0;
-  std::vector<uint8_t> out;
-  if (beg >= ref.l_pac || end <= ref.l_pac) {
-    out.resize(static_cast<size_t>(end - beg));
-    if (beg >= ref.l_pac) {  // reverse strand: complement, descending fwd
-      int64_t beg_f = (ref.l_pac << 1) - end;
-      for (int64_t k = 0; k < end - beg; ++k)
-        out[static_cast<size_t>(end - beg - 1 - k)] =
-            3 - pac_get(ref.pac, beg_f + k);
-    } else {
-      for (int64_t k = 0; k < end - beg; ++k)
-        out[static_cast<size_t>(k)] = pac_get(ref.pac, beg + k);
-    }
-  }
-  return out;
+inline std::vector<uint8_t> get_seq(const Ref& ref, int64_t beg,
+                                   int64_t end) {
+  return bm::get_seq(ref.l_pac, ref.pac, beg, end);
 }
 
 // bns_depos: doubled-reference position -> forward strand
