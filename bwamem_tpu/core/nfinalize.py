@@ -89,6 +89,20 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, _I64P, _I64P, _I32P, _I32P,
                 _I64P, _I64P, _I64P, _I32P, _I32P]
+            lib.bm_pack_extlr.restype = None
+            lib.bm_pack_extlr.argtypes = [
+                _I8P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int64, _U8P,
+                _U8P, _I64P,
+                ctypes.c_int64, _I32P, _I64P, _I64P, _I32P, _I32P,
+                _U8P, _I32P,
+                _I32P, _I32P, _I32P, _I32P,
+                _I32P, _I32P, _I64P, _I64P, _I32P, _I32P,
+                _I8P, _I8P, _I8P, _I8P,
+                _I32P, _I32P, _I32P, _I64P, _I32P, _I64P, _I32P, _I32P]
             lib.bm_regions_batch.restype = ctypes.c_int64
             lib.bm_regions_batch.argtypes = [
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -266,31 +280,24 @@ def chain_batch_native(l_pac: int, w: int, max_chain_gap: int,
     return (chain_off, seed_off[:n_chains + 1], o_rbeg, o_qbeg, o_len)
 
 
-def regions_batch_native(opt, l_pac: int, pac_arr, reads, chains,
-                         ext_outs) -> Optional[List[list]]:
-    """Build every read's deduplicated AlnReg list natively from chains
-    plus the speculative extension wave's per-seed results (`ext_outs`,
-    one (score,truesc,qb,rb,qe,re,aw0,aw1) tuple per flattened seed in
-    (read, chain, seed) order).  Returns None when unavailable (caller
-    runs the Python generator machinery)."""
-    lib = _load()
-    if lib is None:
-        return None
-    from .region import AlnReg
+def pack_seqs(reads):
+    """Concatenated nt4 queries + int64 offsets."""
     n = len(reads)
-    pac = np.ascontiguousarray(pac_arr, dtype=np.uint8)
-
     seq_off = np.zeros(n + 1, dtype=np.int64)
     for i, r in enumerate(reads):
         seq_off[i + 1] = seq_off[i] + len(r.seq_nt4)
     seqs = np.empty(int(seq_off[-1]), dtype=np.uint8)
     for i, r in enumerate(reads):
         seqs[int(seq_off[i]):int(seq_off[i + 1])] = r.seq_nt4
+    return seqs, seq_off
 
+
+def flatten_chains(chains):
+    """(chain_off, seed_off, rbeg, qbeg, len) flat arrays from per-read
+    Chain-object lists, in (read, chain, seed) order."""
+    n = len(chains)
     n_chains = sum(len(c) for c in chains)
     n_seeds = sum(ch.n for c in chains for ch in c)
-    if len(ext_outs) != n_seeds:
-        return None  # positional contract violated; play safe
     chain_off = np.zeros(n + 1, dtype=np.int64)
     seed_off = np.zeros(n_chains + 1, dtype=np.int64)
     s_rbeg = np.zeros(n_seeds, dtype=np.int64)
@@ -306,6 +313,88 @@ def regions_batch_native(opt, l_pac: int, pac_arr, reads, chains,
             seed_off[ci + 1] = k
             ci += 1
         chain_off[i + 1] = ci
+    return chain_off, seed_off, s_rbeg, s_qbeg, s_len
+
+
+def pack_extlr_native(opt, l_pac: int, pac_arr, reads, flat,
+                      LQ: int, LT_max: int):
+    """Pack every seed's fused-extension request natively: returns a
+    dict of per-seed arrays — 4-bit-packed device rows + lane scalars
+    for in-cap seeds, scalar-computed results for oversize seeds
+    (served=1).  None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pac = np.ascontiguousarray(pac_arr, dtype=np.uint8)
+    seqs, seq_off = pack_seqs(reads)
+    chain_off, seed_off, s_rbeg, s_qbeg, s_len = flat
+    n_chains = len(seed_off) - 1
+    n_seeds = len(s_rbeg)
+    # per-chain read index from chain_off
+    counts = np.diff(np.ascontiguousarray(chain_off, np.int64))
+    chain_read = np.repeat(np.arange(len(reads), dtype=np.int32),
+                           counts)
+    seed_off = np.ascontiguousarray(seed_off, np.int64)
+    s_rbeg = np.ascontiguousarray(s_rbeg, np.int64)
+    s_qbeg = np.ascontiguousarray(s_qbeg, np.int32)
+    s_len = np.ascontiguousarray(s_len, np.int32)
+    mat = np.ascontiguousarray(np.asarray(opt.mat).reshape(-1),
+                               dtype=np.int8)
+    out = dict(
+        served=np.zeros(n_seeds, np.uint8),
+        lt_need=np.zeros(n_seeds, np.int32),
+        llq=np.zeros(n_seeds, np.int32), llt=np.zeros(n_seeds, np.int32),
+        rlq=np.zeros(n_seeds, np.int32), rlt=np.zeros(n_seeds, np.int32),
+        scs=np.zeros(n_seeds, np.int32), sqb=np.zeros(n_seeds, np.int32),
+        srb=np.zeros(n_seeds, np.int64), rmax0=np.zeros(n_seeds, np.int64),
+        lqv=np.zeros(n_seeds, np.int32), slv=np.zeros(n_seeds, np.int32),
+        lq_pk=np.zeros((n_seeds, LQ // 2), np.int8),
+        lt_pk=np.zeros((n_seeds, LT_max // 2), np.int8),
+        rq_pk=np.zeros((n_seeds, LQ // 2), np.int8),
+        rt_pk=np.zeros((n_seeds, LT_max // 2), np.int8),
+        r_score=np.zeros(n_seeds, np.int32),
+        r_truesc=np.zeros(n_seeds, np.int32),
+        r_qb=np.zeros(n_seeds, np.int32), r_rb=np.zeros(n_seeds, np.int64),
+        r_qe=np.zeros(n_seeds, np.int32), r_re=np.zeros(n_seeds, np.int64),
+        r_aw0=np.zeros(n_seeds, np.int32),
+        r_aw1=np.zeros(n_seeds, np.int32),
+    )
+    if n_seeds == 0:
+        return out
+    lib.bm_pack_extlr(
+        _ptr(mat, _I8P), opt.a, opt.o_del, opt.e_del, opt.o_ins,
+        opt.e_ins, opt.w, opt.pen_clip5, opt.pen_clip3, opt.zdrop,
+        LQ, LT_max,
+        l_pac, _ptr(pac, _U8P),
+        _ptr(seqs, _U8P), _ptr(seq_off, _I64P),
+        n_chains, _ptr(chain_read, _I32P), _ptr(seed_off, _I64P),
+        _ptr(s_rbeg, _I64P), _ptr(s_qbeg, _I32P), _ptr(s_len, _I32P),
+        _ptr(out["served"], _U8P), _ptr(out["lt_need"], _I32P),
+        _ptr(out["llq"], _I32P), _ptr(out["llt"], _I32P),
+        _ptr(out["rlq"], _I32P), _ptr(out["rlt"], _I32P),
+        _ptr(out["scs"], _I32P), _ptr(out["sqb"], _I32P),
+        _ptr(out["srb"], _I64P), _ptr(out["rmax0"], _I64P),
+        _ptr(out["lqv"], _I32P), _ptr(out["slv"], _I32P),
+        _ptr(out["lq_pk"], _I8P), _ptr(out["lt_pk"], _I8P),
+        _ptr(out["rq_pk"], _I8P), _ptr(out["rt_pk"], _I8P),
+        _ptr(out["r_score"], _I32P), _ptr(out["r_truesc"], _I32P),
+        _ptr(out["r_qb"], _I32P), _ptr(out["r_rb"], _I64P),
+        _ptr(out["r_qe"], _I32P), _ptr(out["r_re"], _I64P),
+        _ptr(out["r_aw0"], _I32P), _ptr(out["r_aw1"], _I32P))
+    return out
+
+
+def regions_batch_native(opt, l_pac: int, pac_arr, reads, chains,
+                         ext_outs) -> Optional[List[list]]:
+    """Build every read's deduplicated AlnReg list natively from chains
+    plus the speculative extension wave's per-seed results (`ext_outs`,
+    one (score,truesc,qb,rb,qe,re,aw0,aw1) tuple per flattened seed in
+    (read, chain, seed) order).  Returns None when unavailable (caller
+    runs the Python generator machinery)."""
+    flat = flatten_chains(chains)
+    n_seeds = len(flat[2])
+    if len(ext_outs) != n_seeds:
+        return None  # positional contract violated; play safe
     e_sc = np.zeros(n_seeds, dtype=np.int32)
     e_ts = np.zeros(n_seeds, dtype=np.int32)
     e_qb = np.zeros(n_seeds, dtype=np.int32)
@@ -317,6 +406,32 @@ def regions_batch_native(opt, l_pac: int, pac_arr, reads, chains,
     for k, o in enumerate(ext_outs):
         (e_sc[k], e_ts[k], e_qb[k], e_rb[k], e_qe[k], e_re[k], e_a0[k],
          e_a1[k]) = o
+    return regions_batch_native_flat(
+        opt, l_pac, pac_arr, reads, flat,
+        (e_sc, e_ts, e_qb, e_rb, e_qe, e_re, e_a0, e_a1))
+
+
+def regions_batch_native_flat(opt, l_pac: int, pac_arr, reads, flat,
+                              ext_arrays) -> Optional[List[list]]:
+    """regions_batch_native with flat chain arrays + per-seed extension
+    result arrays (no Chain objects or result tuples)."""
+    lib = _load()
+    if lib is None:
+        return None
+    from .region import AlnReg
+    n = len(reads)
+    pac = np.ascontiguousarray(pac_arr, dtype=np.uint8)
+    seqs, seq_off = pack_seqs(reads)
+    chain_off, seed_off, s_rbeg, s_qbeg, s_len = flat
+    chain_off = np.ascontiguousarray(chain_off, dtype=np.int64)
+    seed_off = np.ascontiguousarray(seed_off, dtype=np.int64)
+    s_rbeg = np.ascontiguousarray(s_rbeg, dtype=np.int64)
+    s_qbeg = np.ascontiguousarray(s_qbeg, dtype=np.int32)
+    s_len = np.ascontiguousarray(s_len, dtype=np.int32)
+    n_chains = len(seed_off) - 1
+    n_seeds = len(s_rbeg)
+    e_sc, e_ts, e_qb, e_rb, e_qe, e_re, e_a0, e_a1 = [
+        np.ascontiguousarray(a) for a in ext_arrays]
 
     cap = n_seeds + n_chains + 8
     reg_off = np.zeros(n + 1, dtype=np.int64)

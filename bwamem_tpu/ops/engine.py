@@ -62,6 +62,35 @@ class ExtCache(dict):
     outs = None
 
 
+class ChainBatch(list):
+    """chain_batch's result: per-read Chain-object lists (list API, for
+    the Python paths) plus `.flat` — the same chains as flat arrays
+    (chain_off, seed_off, rbeg, qbeg, len) over the WHOLE chunk, the
+    zero-object currency of the native align path."""
+    flat = None
+
+
+def _chains_from_flat(flat, n_reads):
+    """Materialize per-read Chain-object lists from flat arrays (the
+    Python fallback path's input format)."""
+    from ..core.chain import Chain
+    chain_off, seed_off, s_rbeg, s_qbeg, s_len = flat
+    rb_l, qb_l, ln_l = (np.asarray(s_rbeg).tolist(),
+                        np.asarray(s_qbeg).tolist(),
+                        np.asarray(s_len).tolist())
+    c_off_l = np.asarray(chain_off).tolist()
+    sd_off_l = np.asarray(seed_off).tolist()
+    out = []
+    for i in range(n_reads):
+        lst = []
+        for c in range(c_off_l[i], c_off_l[i + 1]):
+            lo, hi = sd_off_l[c], sd_off_l[c + 1]
+            seeds_c = list(zip(rb_l[lo:hi], qb_l[lo:hi], ln_l[lo:hi]))
+            lst.append(Chain(pos=seeds_c[0][0], seeds=seeds_c))
+        out.append(lst)
+    return out
+
+
 # native serial region construction (C++, core/nfinalize.py) — exact
 # replay of the chain-filter/containment bookkeeping consuming the
 # speculative wave's results; BWAMEM_TPU_NATIVE_REGIONS=0 forces the
@@ -154,8 +183,21 @@ class JaxSeedingEngine:
                                          len(dev_idx), read_off,
                                          s_rb, s_qb, s_ln)
                 if out is not None:
-                    from ..core.chain import Chain
                     c_off, sd_off, o_rb, o_qb, o_ln = out
+                    if not host_idx:
+                        # pure-native fast path: no Chain objects at
+                        # all — the align path consumes the flat arrays
+                        full_counts = np.zeros(len(reads), np.int64)
+                        full_counts[np.asarray(dev_idx, np.int64)] = \
+                            np.diff(c_off)
+                        chain_off_full = np.zeros(len(reads) + 1,
+                                                  np.int64)
+                        np.cumsum(full_counts, out=chain_off_full[1:])
+                        cb = ChainBatch()
+                        cb.flat = (chain_off_full, sd_off, o_rb, o_qb,
+                                   o_ln)
+                        return cb
+                    from ..core.chain import Chain
                     rb_l, qb_l, ln_l = (o_rb.tolist(), o_qb.tolist(),
                                         o_ln.tolist())
                     c_off_l, sd_off_l = c_off.tolist(), sd_off.tolist()
@@ -230,6 +272,17 @@ class JaxSeedingEngine:
         if chains is None:
             chains = self.chain_batch(opt, reads, traces=traces,
                                       trace_seeds=trace_seeds)
+        if (isinstance(chains, ChainBatch) and chains.flat is not None
+                and traces is None and SPECULATE and cache is None):
+            # fully-native path: pack + device extension waves +
+            # region construction all on flat arrays (zero per-seed
+            # Python); falls through on any unavailability
+            regs = self._align_batch_native(opt, bns, pac, reads,
+                                            chains.flat)
+            if regs is not None:
+                return regs
+        if isinstance(chains, ChainBatch):
+            chains = _chains_from_flat(chains.flat, len(reads))
         if (cache is None and not prefetched and SPECULATE
                 and traces is None):
             cache = self._speculate_extensions(opt, bns, pac, reads,
@@ -247,6 +300,79 @@ class JaxSeedingEngine:
                 for i, r in enumerate(reads)]
         return self.drive_waves(opt, gens, cache=cache)
 
+    def _align_batch_native(self, opt, bns, pac, reads, flat):
+        """Flat-array align path: native pack (+ scalar oversize
+        fallback), grouped device extend_lr waves, native region
+        construction.  Returns per-read AlnReg lists, or None when the
+        native library is unavailable / speculation is over budget."""
+        import jax
+        import jax.numpy as jnp
+        from ..core.nfinalize import (pack_extlr_native,
+                                      regions_batch_native_flat)
+        from .ksw import ksw_extend_lr_batched
+        n_seeds = len(flat[2])
+        if n_seeds > 16 * max(len(reads), 1):
+            return None  # seed-rich chunk: speculation would waste the
+            #              device (same budget as the Python path)
+        LQ, LT_max = self._ext_lq, self._ext_lt
+        pk = pack_extlr_native(opt, bns.l_pac, pac, reads, flat, LQ,
+                               LT_max)
+        if pk is None:
+            return None
+        # device waves over the in-cap lanes, size-sorted and LT-bucketed
+        dev = np.nonzero(pk["served"] == 0)[0]
+        order = dev[np.argsort(pk["lt_need"][dev], kind="stable")]
+        fn = (self.kernels.extend_lr if self.kernels is not None
+              else ksw_extend_lr_batched)
+        mat = self._mat_i32(opt)
+        pend = []
+        for lo in range(0, len(order), WAVE_EXT):
+            grp = order[lo:lo + WAVE_EXT]
+            g = len(grp)
+            B = WAVE_EXT
+            gmax = int(pk["lt_need"][grp].max()) if g else 0
+            LT = next(b for b in LT_BUCKETS if b >= gmax)
+
+            def rows(key, width):
+                buf = np.full((B, width >> 1), 0x44, np.int8)
+                buf[:g] = pk[key][grp][:, :width >> 1]
+                return jnp.asarray(buf)
+
+            def scal(key, dt, fill=0):
+                a = np.full(B, fill, dt)
+                a[:g] = pk[key][grp]
+                return jnp.asarray(a)
+
+            dev_out = fn(
+                rows("lq_pk", LQ), rows("lt_pk", LT),
+                scal("llq", np.int32), scal("llt", np.int32),
+                rows("rq_pk", LQ), rows("rt_pk", LT),
+                scal("rlq", np.int32), scal("rlt", np.int32),
+                mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                opt.w, opt.pen_clip5, opt.pen_clip3, opt.zdrop,
+                scal("scs", np.int32), scal("sqb", np.int32),
+                scal("srb", np.int64), scal("rmax0", np.int64),
+                scal("lqv", np.int32, fill=1), scal("slv", np.int32),
+                LQ=LQ, LT=LT, packed=True)
+            pend.append((grp, dev_out))
+        e_sc, e_ts = pk["r_score"], pk["r_truesc"]
+        e_qb, e_rb = pk["r_qb"], pk["r_rb"]
+        e_qe, e_re = pk["r_qe"], pk["r_re"]
+        e_a0, e_a1 = pk["r_aw0"], pk["r_aw1"]
+        for grp, dev_out in pend:
+            res = self._timed(lambda d=dev_out: jax.device_get(d),
+                              _tag="extend_lr")
+            g = len(grp)
+            (e_sc[grp], e_ts[grp], e_qb[grp], e_rb[grp], e_qe[grp],
+             e_re[grp], e_a0[grp], e_a1[grp]) = (
+                np.asarray(res[0])[:g], np.asarray(res[1])[:g],
+                np.asarray(res[2])[:g], np.asarray(res[3])[:g],
+                np.asarray(res[4])[:g], np.asarray(res[5])[:g],
+                np.asarray(res[6])[:g], np.asarray(res[7])[:g])
+        return regions_batch_native_flat(
+            opt, bns.l_pac, pac, reads, flat,
+            (e_sc, e_ts, e_qb, e_rb, e_qe, e_re, e_a0, e_a1))
+
     def prefetch_batch(self, opt, bns, pac, reads):
         """The pipelined stage for chunk k+1: seeding + chaining AND the
         speculative extension wave set, so every device round trip of
@@ -254,7 +380,7 @@ class JaxSeedingEngine:
         Returns (chains, cache) — align_batch unpacks it."""
         chains = self.chain_batch(opt, reads)
         cache = None
-        if SPECULATE:
+        if SPECULATE and not isinstance(chains, ChainBatch):
             cache = self._speculate_extensions(opt, bns, pac, reads,
                                                chains)
         return (chains, cache)

@@ -8,6 +8,7 @@
 #ifndef BWAMEM_NATIVE_COMMON_H_
 #define BWAMEM_NATIVE_COMMON_H_
 
+#include <cstddef>
 #include <cstdint>
 #include <utility>
 #include <vector>

@@ -31,6 +31,9 @@ def test_chain_batch_parity(ref_index, data_dir):
     try:
         eng.NATIVE_REGIONS = True
         c1 = engine.chain_batch(opt, [copy.copy(r) for r in reads])
+        if isinstance(c1, eng.ChainBatch):  # flat-only fast path
+            assert c1.flat is not None
+            c1 = eng._chains_from_flat(c1.flat, len(reads))
         eng.NATIVE_REGIONS = False
         c2 = engine.chain_batch(opt, [copy.copy(r) for r in reads])
     finally:

@@ -34,7 +34,7 @@ def test_regions_batch_parity(ref_index, data_dir):
     engine = eng.JaxSeedingEngine(fm)
 
     calls = {"n": 0}
-    orig = nf.regions_batch_native
+    orig = engine._align_batch_native
 
     def probe(*a, **kw):
         out = orig(*a, **kw)
@@ -44,17 +44,15 @@ def test_regions_batch_parity(ref_index, data_dir):
 
     old_flag = eng.NATIVE_REGIONS
     try:
-        nf_mod_attr = nf.regions_batch_native
-        import bwamem_tpu.core.nfinalize as nfi
-        nfi.regions_batch_native = probe
+        engine._align_batch_native = probe
         eng.NATIVE_REGIONS = True
         r1 = [copy.copy(r) for r in reads]
         regs1 = engine.align_batch(opt, fm, bns, bns.pac, r1)
-        assert calls["n"] == 1, "native regions path did not run"
-        nfi.regions_batch_native = nf_mod_attr
+        assert calls["n"] == 1, "fully-native align path did not run"
         eng.NATIVE_REGIONS = False
         r2 = [copy.copy(r) for r in reads]
         regs2 = engine.align_batch(opt, fm, bns, bns.pac, r2)
     finally:
         eng.NATIVE_REGIONS = old_flag
+        engine._align_batch_native = orig
     assert _fields(regs1) == _fields(regs2)
