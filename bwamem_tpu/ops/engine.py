@@ -161,19 +161,20 @@ class JaxSeedingEngine:
         chains: List[list] = [[] for _ in reads]
         if dev_idx:
             queries = [reads[i].seq_nt4 for i in dev_idx]
-            # x1 is never consumed on the mem path (seed_positions reads
-            # x0/s/info only) — skip its download
-            streams = self.seeder.interval_streams(opt, queries,
-                                                   need_x1=False)
             l_pac = self.fm_host.seq_len >> 1
-            if NATIVE_REGIONS and traces is None:
-                # flat-array seeds -> native kbtree chaining (one C
+            streams = None
+            if (NATIVE_REGIONS and traces is None
+                    and _os.environ.get("BWAMEM_TPU_SUPERSTEP",
+                                        "1") != "0"
+                    and self._native_ok()):
+                # arrays end-to-end: superstep intervals -> vectorized
+                # SA-resolved seeds -> native kbtree chaining (one C
                 # call for the chunk); falls through to the per-seed
                 # Python loop when the library is unavailable
                 from ..core.nfinalize import chain_batch_native
-                rid, s_rb, s_qb, s_ln = \
-                    self.seeder.seed_positions_arrays(
-                        self.fm_host, streams, opt)
+                iv = self.seeder.interval_arrays(opt, queries)
+                rid, s_rb, s_qb, s_ln = self.seeder.seeds_from_arrays(
+                    self.fm_host, iv, opt)
                 counts = np.bincount(rid, minlength=len(dev_idx)) \
                     if len(rid) else np.zeros(len(dev_idx), np.int64)
                 read_off = np.zeros(len(dev_idx) + 1, dtype=np.int64)
@@ -213,6 +214,11 @@ class JaxSeedingEngine:
                         chains[i] = lst
                     dev_idx = []  # handled
             if dev_idx:
+                if streams is None:
+                    # x1 is never consumed on the mem path — skip its
+                    # download
+                    streams = self.seeder.interval_streams(
+                        opt, queries, need_x1=False)
                 seeds = self.seeder.seed_positions(self.fm_host,
                                                    streams, opt)
             for bi, i in enumerate(dev_idx):
@@ -542,6 +548,15 @@ class JaxSeedingEngine:
             for i, out in zip(order, outs):
                 advance(i, out)
         return results
+
+    def _native_ok(self) -> bool:
+        if not hasattr(self, "_native_lib_ok"):
+            try:
+                from ..core.nfinalize import available
+                self._native_lib_ok = available()
+            except Exception:
+                self._native_lib_ok = False
+        return self._native_lib_ok
 
     def _timed(self, fn, *args, _tag="other", **kw):
         import time

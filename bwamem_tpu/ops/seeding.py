@@ -265,6 +265,155 @@ class BatchedSeeder:
                 oi.append((vals_l[off + k], qb, slen))
         return out
 
+    def interval_arrays(self, opt, queries: Sequence[np.ndarray]):
+        """interval_streams with flat-array output (the native chain
+        path's input): per-interval (x0, size, qb, qe) int arrays +
+        read_off, in the exact per-read stream order of the list form.
+        Overflow lanes re-run on the host oracle and are spliced back
+        in place."""
+        from .smem import smem_superstep
+        from ..config import MEM_F_NO_EXACT
+        import jax
+        import jax.numpy as jnp
+        start_width = 2 if (opt.flag & MEM_F_NO_EXACT) else 1
+        sl_init = int(opt.min_seed_len * opt.split_factor + .499)
+        out_cap = int(_os.environ.get("BWAMEM_TPU_OUT_CAP", "48"))
+        pend = []
+        for lo in range(0, len(queries), LANES):
+            grp = queries[lo:lo + LANES]
+            B = LANES
+            qpad = np.full((B, self.L), 4, dtype=np.int8)
+            qlen = np.zeros(B, dtype=np.int32)
+            slens = np.zeros(B, dtype=np.int32)
+            for i, qq in enumerate(grp):
+                qlen[i] = len(qq)
+                qpad[i, :len(qq)] = qq
+                slens[i] = min(sl_init, len(qq))
+            active = np.zeros(B, dtype=bool)
+            active[:len(grp)] = True
+            step_fn = (self.kernels.superstep if self.kernels is not None
+                       else smem_superstep)
+            dev = step_fn(
+                self.dfm.blocks, self.dfm.primary, self.dfm.L2,
+                jnp.asarray(qpad), jnp.asarray(qlen),
+                jnp.full(B, start_width, dtype=self.dfm.L2.dtype),
+                jnp.asarray(active), jnp.asarray(slens),
+                jnp.full(B, opt.split_width, np.int32),
+                L=self.L, M=self.M, OUT_CAP=out_cap, NEED_X1=False)
+            pend.append((lo, grp, dev))
+        xs, szs, qbs, qes, cnts = [], [], [], [], []
+        for lo, grp, dev in pend:
+            get = lambda dev=dev: jax.device_get(dev)
+            (o0, _o1, os_, oqb, oqe, n_out,
+             over) = (self.timer._timed(get, _tag="smem")
+                      if self.timer else get())
+            ng = len(grp)
+            o0 = np.asarray(o0)[:ng]
+            os_ = np.asarray(os_)[:ng]
+            oqb = np.asarray(oqb)[:ng].astype(np.int64)
+            oqe = np.asarray(oqe)[:ng].astype(np.int64)
+            n_l = np.asarray(n_out)[:ng].astype(np.int64)
+            over_l = np.asarray(over)[:ng]
+            n_l = np.where(over_l, 0, n_l)
+            cap = o0.shape[1]
+            mask = np.arange(cap)[None, :] < n_l[:, None]
+            # row-major selection == per-read stream order
+            gx, gs = o0[mask], os_[mask]
+            gqb, gqe = oqb[mask], oqe[mask]
+            if over_l.any():
+                # splice host-oracle streams into the overflow rows
+                px = np.split(gx, np.cumsum(n_l)[:-1])
+                ps = np.split(gs, np.cumsum(n_l)[:-1])
+                pqb = np.split(gqb, np.cumsum(n_l)[:-1])
+                pqe = np.split(gqe, np.cumsum(n_l)[:-1])
+                for i in np.nonzero(over_l)[0]:
+                    lst: List[Intv] = []
+                    self._oracle_finish(opt, grp[i], 0, start_width,
+                                        min(sl_init, len(grp[i])),
+                                        opt.split_width, lst)
+                    px[i] = np.asarray([p[0] for p in lst], np.int64)
+                    ps[i] = np.asarray([p[2] for p in lst], np.int64)
+                    pqb[i] = np.asarray([p[3] >> 32 for p in lst],
+                                        np.int64)
+                    pqe[i] = np.asarray([p[3] & 0xFFFFFFFF for p in lst],
+                                        np.int64)
+                    n_l[i] = len(lst)
+                gx = np.concatenate(px) if px else gx
+                gs = np.concatenate(ps) if ps else gs
+                gqb = np.concatenate(pqb) if pqb else gqb
+                gqe = np.concatenate(pqe) if pqe else gqe
+            xs.append(gx)
+            szs.append(gs)
+            qbs.append(gqb)
+            qes.append(gqe)
+            cnts.append(n_l)
+        x0 = np.concatenate(xs) if xs else np.zeros(0, np.int64)
+        sz = np.concatenate(szs) if szs else np.zeros(0, np.int64)
+        qb = np.concatenate(qbs) if qbs else np.zeros(0, np.int64)
+        qe = np.concatenate(qes) if qes else np.zeros(0, np.int64)
+        counts = (np.concatenate(cnts) if cnts
+                  else np.zeros(0, np.int64))
+        read_off = np.zeros(len(queries) + 1, dtype=np.int64)
+        np.cumsum(counts, out=read_off[1:])
+        return (x0.astype(np.int64), sz.astype(np.int64),
+                qb.astype(np.int64), qe.astype(np.int64), read_off)
+
+    def seeds_from_arrays(self, fm_host, iv, opt):
+        """Vectorized seed_positions over interval_arrays output:
+        returns (read_ids, rbeg, qbeg, len) flat arrays in the exact
+        (read, interval, occurrence) order."""
+        x0, sz, qb, qe, read_off = iv
+        n_reads = len(read_off) - 1
+        slen = qe - qb
+        keep = (slen >= opt.min_seed_len) & (sz <= opt.max_occ)
+        iv_read = np.repeat(np.arange(n_reads, dtype=np.int32),
+                            np.diff(read_off))
+        x0k, szk = x0[keep], sz[keep]
+        qbk, slk = qb[keep], slen[keep]
+        rdk = iv_read[keep]
+        total = int(szk.sum())
+        if total == 0:
+            z32 = np.zeros(0, np.int32)
+            return z32, np.zeros(0, np.int64), z32, z32
+        base = np.repeat(x0k, szk)
+        excl = np.concatenate([[0], np.cumsum(szk)[:-1]])
+        ramp = np.arange(total, dtype=np.int64) - np.repeat(excl, szk)
+        keys = base + ramp
+        d = self.dfm
+        kdt = np.int32 if d.sa.dtype == jnp.int32 else np.int64
+        karr = keys.astype(kdt)
+        vals = np.empty(total, dtype=np.int64)
+        over = np.empty(total, dtype=bool)
+        import jax
+        pend = []
+        for lo in range(0, total, SA_SLICE):
+            sl = karr[lo:lo + SA_SLICE]
+            pad = np.zeros(SA_SLICE, dtype=kdt)
+            pad[:len(sl)] = sl
+            if self.kernels is not None:
+                dev = self.kernels.sa_lookup(
+                    d.blocks, d.primary, d.L2, d.seq_len, d.sa,
+                    d.sa_intv, jnp.asarray(pad),
+                    max_steps=self.sa_max_steps)
+            else:
+                dev = sa_lookup_batched(
+                    d.blocks, d.primary, d.L2, d.seq_len, d.sa,
+                    d.sa_intv, jnp.asarray(pad),
+                    max_steps=self.sa_max_steps)
+            pend.append((lo, len(sl), dev))
+        for lo, n_sl, dev in pend:
+            fn = lambda dev=dev: jax.device_get(dev)
+            v, o = (self.timer._timed(fn, _tag="sa")
+                    if self.timer else fn())
+            vals[lo:lo + n_sl] = v[:n_sl]
+            over[lo:lo + n_sl] = o[:n_sl]
+        for idx in np.nonzero(over)[0]:  # host fallback
+            vals[idx] = fm_host.sa_lookup(int(karr[idx]))
+        read_ids = np.repeat(rdk, szk).astype(np.int32)
+        qbeg = np.repeat(qbk, szk).astype(np.int32)
+        slen_a = np.repeat(slk, szk).astype(np.int32)
+        return read_ids, vals, qbeg, slen_a
+
     def seed_positions_arrays(self, fm_host, intervals_per_read, opt):
         """seed_positions with flat-array output for the native chain
         builder: (read_ids, rbeg, qbeg, len) int arrays in the exact
