@@ -302,15 +302,21 @@ def process_chunk_stream(opt: MemOptions, fm, bns, pac, chunks, pes0=None,
             chains = None
             nxt = None
             if pipelined:
-                # NOTE: pipelining the speculative extension waves too
-                # (engine.prefetch_batch) measured ~20% WORSE here —
-                # the prefetch thread's Python packing fights the main
-                # thread's finalize for the GIL; opt back in with
-                # BWAMEM_TPU_PREFETCH_SPEC=1 on hosts with spare cores
+                # Pipelining the speculative extension waves
+                # (engine.prefetch_batch) used to measure ~20% WORSE:
+                # the prefetch thread's Python packing fought the main
+                # thread's finalize for the GIL.  With the native C++
+                # pack (GIL released) it is the default whenever the
+                # native library is available; BWAMEM_TPU_PREFETCH_SPEC
+                # still forces it on (=1) or off (=0).
                 import os as _o
-                stage = (engine.prefetch_batch
-                         if _o.environ.get("BWAMEM_TPU_PREFETCH_SPEC")
-                         else None)
+                _ps = _o.environ.get("BWAMEM_TPU_PREFETCH_SPEC")
+                if _ps is None:
+                    use_prefetch = getattr(engine, "_native_ok",
+                                           lambda: False)()
+                else:
+                    use_prefetch = _ps != "0"
+                stage = engine.prefetch_batch if use_prefetch else None
                 if stage is not None:
                     chains = (fut.result() if fut is not None
                               else stage(opt, bns, pac, reads))

@@ -279,16 +279,23 @@ class JaxSeedingEngine:
             chains = self.chain_batch(opt, reads, traces=traces,
                                       trace_seeds=trace_seeds)
         if (isinstance(chains, ChainBatch) and chains.flat is not None
-                and traces is None and SPECULATE and cache is None):
+                and traces is None and SPECULATE):
             # fully-native path: pack + device extension waves +
             # region construction all on flat arrays (zero per-seed
-            # Python); falls through on any unavailability
+            # Python); falls through on any unavailability.  `cache`
+            # may carry the prefetched (pk, pend) from the pipeline's
+            # helper thread.
+            packed = (cache[1] if isinstance(cache, tuple)
+                      and len(cache) == 2 and cache[0] == "native_pend"
+                      else None)
             regs = self._align_batch_native(opt, bns, pac, reads,
-                                            chains.flat)
+                                            chains.flat, packed=packed)
             if regs is not None:
                 return regs
         if isinstance(chains, ChainBatch):
             chains = _chains_from_flat(chains.flat, len(reads))
+        if isinstance(cache, tuple):  # native prefetch sentinel: not a
+            cache = None              # content-keyed dict; drop it
         if (cache is None and not prefetched and SPECULATE
                 and traces is None):
             cache = self._speculate_extensions(opt, bns, pac, reads,
@@ -306,15 +313,13 @@ class JaxSeedingEngine:
                 for i, r in enumerate(reads)]
         return self.drive_waves(opt, gens, cache=cache)
 
-    def _align_batch_native(self, opt, bns, pac, reads, flat):
-        """Flat-array align path: native pack (+ scalar oversize
-        fallback), grouped device extend_lr waves, native region
-        construction.  Returns per-read AlnReg lists, or None when the
-        native library is unavailable / speculation is over budget."""
-        import jax
+    def _pack_and_dispatch(self, opt, bns, pac, reads, flat):
+        """First half of the native align path: C++ pack (+ scalar
+        oversize fallback) and the grouped device extend_lr dispatches.
+        Returns (pk, pend) or None; safe to run on the pipeline's
+        helper thread (the pack releases the GIL inside C++)."""
         import jax.numpy as jnp
-        from ..core.nfinalize import (pack_extlr_native,
-                                      regions_batch_native_flat)
+        from ..core.nfinalize import pack_extlr_native
         from .ksw import ksw_extend_lr_batched
         n_seeds = len(flat[2])
         if n_seeds > 16 * max(len(reads), 1):
@@ -361,6 +366,13 @@ class JaxSeedingEngine:
                 scal("lqv", np.int32, fill=1), scal("slv", np.int32),
                 LQ=LQ, LT=LT, packed=True)
             pend.append((grp, dev_out))
+        return pk, pend
+
+    def _collect_and_regions(self, opt, bns, pac, reads, flat, pk, pend):
+        """Second half: collect the extension waves and build regions
+        natively.  Returns per-read AlnReg lists or None."""
+        import jax
+        from ..core.nfinalize import regions_batch_native_flat
         e_sc, e_ts = pk["r_score"], pk["r_truesc"]
         e_qb, e_rb = pk["r_qb"], pk["r_rb"]
         e_qe, e_re = pk["r_qe"], pk["r_re"]
@@ -379,6 +391,21 @@ class JaxSeedingEngine:
             opt, bns.l_pac, pac, reads, flat,
             (e_sc, e_ts, e_qb, e_rb, e_qe, e_re, e_a0, e_a1))
 
+    def _align_batch_native(self, opt, bns, pac, reads, flat,
+                            packed=None):
+        """Flat-array align path: native pack (+ scalar oversize
+        fallback), grouped device extend_lr waves, native region
+        construction.  Returns per-read AlnReg lists, or None when the
+        native library is unavailable / speculation is over budget.
+        `packed` may carry a prefetched (pk, pend) pair."""
+        if packed is None:
+            packed = self._pack_and_dispatch(opt, bns, pac, reads, flat)
+        if packed is None:
+            return None
+        pk, pend = packed
+        return self._collect_and_regions(opt, bns, pac, reads, flat, pk,
+                                         pend)
+
     def prefetch_batch(self, opt, bns, pac, reads):
         """The pipelined stage for chunk k+1: seeding + chaining AND the
         speculative extension wave set, so every device round trip of
@@ -386,7 +413,16 @@ class JaxSeedingEngine:
         Returns (chains, cache) — align_batch unpacks it."""
         chains = self.chain_batch(opt, reads)
         cache = None
-        if SPECULATE and not isinstance(chains, ChainBatch):
+        if isinstance(chains, ChainBatch):
+            if SPECULATE and chains.flat is not None:
+                # pack + dispatch ahead: the C++ pack releases the GIL,
+                # and the device extension waves upload while the main
+                # thread finalizes the previous chunk
+                packed = self._pack_and_dispatch(opt, bns, pac, reads,
+                                                 chains.flat)
+                if packed is not None:
+                    cache = ("native_pend", packed)
+        elif SPECULATE:
             cache = self._speculate_extensions(opt, bns, pac, reads,
                                                chains)
         return (chains, cache)
