@@ -76,11 +76,14 @@ def main_mem(argv):
     verbose = 3
     engine_kind = "auto"
     mesh_spec = None
+    shard_spec = None
+    dist_spec = None
     profile_dir = None
     try:
         opts, args = _getopt.getopt(
             argv, "epaMCSPHk:c:v:s:r:t:b:R:A:B:O:E:U:w:L:d:T:Q:D:m:I:",
-            ["engine=", "profile=", "mesh="])
+            ["engine=", "profile=", "mesh=", "shard=",
+             "distributed="])
     except _getopt.GetoptError as e:
         sys.stderr.write(str(e) + "\n")
         return 1
@@ -182,6 +185,12 @@ def main_mem(argv):
             engine_kind = val
         elif c == "mesh":
             mesh_spec = val
+        elif c == "shard":  # i/n: process chunks i, i+n, ... of the input
+            parts = val.split("/")
+            shard_spec = (int(parts[0]), int(parts[1]))
+        elif c == "distributed":  # coord_addr,num_processes,process_id
+            parts = val.split(",")
+            dist_spec = (parts[0], int(parts[1]), int(parts[2]))
         elif c == "profile":
             profile_dir = val
         elif c == "H":
@@ -205,6 +214,16 @@ def main_mem(argv):
     if opt.n_threads > 1:
         from .core.mt import WorkerPool
         pool = WorkerPool(fm, bns, pac, opt.n_threads)
+
+    if dist_spec is not None:
+        # multi-host pod slice: jax.distributed rendezvous before any
+        # backend init; --shard defaults to this process's stripe
+        from .parallel import multihost
+        multihost.initialize(dist_spec[0], dist_spec[1], dist_spec[2])
+        if shard_spec is None:
+            shard_spec = (dist_spec[2], dist_spec[1])
+        sys.stderr.write("[M::main_mem] distributed: process %d of %d\n"
+                         % (dist_spec[2], dist_spec[1]))
 
     engine = None
     if engine_kind not in ("auto", "tpu", "jax", "host"):
@@ -248,10 +267,22 @@ def main_mem(argv):
         prof = jax.profiler.trace(profile_dir)
         prof.__enter__()
     def chunk_iter():
+        # --shard i/n: this process owns chunks i, i+n, i+2n, ... of
+        # the input stream (multi-host data parallelism; output is
+        # shard-local and deterministic — the per-shard n_processed
+        # numbering keys the hash tie-breaks, SURVEY.md §3.5)
+        import os as _o
+        chunk_bp = int(_o.environ.get("BWAMEM_TPU_CHUNK_BP", "0")) \
+            or opt.chunk_size * opt.n_threads
+        chunk_no = -1
         while True:
-            reads = reader.read_chunk(opt.chunk_size * opt.n_threads)
+            reads = reader.read_chunk(chunk_bp)
             if not reads:
                 return
+            chunk_no += 1
+            if shard_spec is not None \
+                    and chunk_no % shard_spec[1] != shard_spec[0]:
+                continue
             if (opt.flag & MEM_F_PE) and len(reads) % 2 == 1:
                 if verbose >= 2:
                     sys.stderr.write("[W::main_mem] odd number of reads in"
