@@ -27,7 +27,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_READS_PER_S = 1199.0  # 512 reads / 0.427 s, 4 CPU threads
 
 
+def _wait_for_device(max_tries: int = 10) -> None:
+    """The axon device claim occasionally wedges relay-side for long
+    stretches (every claiming process then hangs indefinitely).  Probe
+    the claim in a killable subprocess and wait it out instead of
+    hanging the bench; after a successful probe, pause before claiming
+    from this process (back-to-back claims also wedge)."""
+    import subprocess
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return  # CPU run: nothing to claim
+    for attempt in range(max_tries):
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices()"],
+                check=True, timeout=150, capture_output=True)
+            sys.stderr.write("[bench] device claim healthy\n")
+            time.sleep(45)  # let the probe's claim fully release
+            return
+        except Exception:
+            sys.stderr.write(
+                "[bench] device claim probe %d/%d failed (pool wedged?);"
+                " retrying in 60s\n" % (attempt + 1, max_tries))
+            sys.stderr.flush()
+            time.sleep(60)
+    sys.stderr.write("[bench] proceeding without a healthy probe\n")
+
+
 def main():
+    _wait_for_device()
     # alternate dataset (e.g. the large-genome set from
     # tools/make_biggenome.py) via BWAMEM_TPU_BENCH_DATA
     data = os.environ.get("BWAMEM_TPU_BENCH_DATA") or os.path.join(
