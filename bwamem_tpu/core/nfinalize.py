@@ -94,7 +94,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 _I8P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-                ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int64, _U8P,
                 _U8P, _I64P,
                 ctypes.c_int64, _I32P, _I64P, _I64P, _I32P, _I32P,
@@ -277,7 +277,12 @@ def chain_batch_native(l_pac: int, w: int, max_chain_gap: int,
         _ptr(o_rbeg, _I64P), _ptr(o_qbeg, _I32P), _ptr(o_len, _I32P))
     if n_chains < 0:
         return None
-    return (chain_off, seed_off[:n_chains + 1], o_rbeg, o_qbeg, o_len)
+    # trim to the seeds actually chained (bridging/contained seeds are
+    # dropped by the insertion; untrimmed tails would become junk
+    # device lanes downstream)
+    n_out = int(seed_off[n_chains])
+    return (chain_off, seed_off[:n_chains + 1], o_rbeg[:n_out],
+            o_qbeg[:n_out], o_len[:n_out])
 
 
 def pack_seqs(reads):
@@ -317,7 +322,7 @@ def flatten_chains(chains):
 
 
 def pack_extlr_native(opt, l_pac: int, pac_arr, reads, flat,
-                      LQ: int, LT_max: int):
+                      LQ: int, LT_max: int, force_scalar: bool = False):
     """Pack every seed's fused-extension request natively: returns a
     dict of per-seed arrays — 4-bit-packed device rows + lane scalars
     for in-cap seeds, scalar-computed results for oversize seeds
@@ -364,7 +369,7 @@ def pack_extlr_native(opt, l_pac: int, pac_arr, reads, flat,
     lib.bm_pack_extlr(
         _ptr(mat, _I8P), opt.a, opt.o_del, opt.e_del, opt.o_ins,
         opt.e_ins, opt.w, opt.pen_clip5, opt.pen_clip3, opt.zdrop,
-        LQ, LT_max,
+        LQ, LT_max, 1 if force_scalar else 0,
         l_pac, _ptr(pac, _U8P),
         _ptr(seqs, _U8P), _ptr(seq_off, _I64P),
         n_chains, _ptr(chain_read, _I32P), _ptr(seed_off, _I64P),

@@ -387,6 +387,28 @@ class JaxSeedingEngine:
                 np.asarray(res[2])[:g], np.asarray(res[3])[:g],
                 np.asarray(res[4])[:g], np.asarray(res[5])[:g],
                 np.asarray(res[6])[:g], np.asarray(res[7])[:g])
+        if _os.environ.get("BWAMEM_TPU_VERIFY"):
+            # the reference's USE_SW_VERIFY role (SURVEY.md §4.3): run
+            # the software twin of the whole wave and compare
+            from ..core.nfinalize import pack_extlr_native
+            ref = pack_extlr_native(opt, bns.l_pac, pac, reads, flat,
+                                    self._ext_lq, self._ext_lt,
+                                    force_scalar=True)
+            n_bad = 0
+            for key, dev_arr in (("r_score", e_sc), ("r_truesc", e_ts),
+                                 ("r_qb", e_qb), ("r_rb", e_rb),
+                                 ("r_qe", e_qe), ("r_re", e_re),
+                                 ("r_aw0", e_a0), ("r_aw1", e_a1)):
+                n_bad += int((dev_arr != ref[key]).sum())
+            import sys as _sys
+            if n_bad:
+                _sys.stderr.write(
+                    "[E::verify] device/software extension mismatch in "
+                    "%d fields over %d seeds\n" % (n_bad, len(e_sc)))
+            else:
+                _sys.stderr.write(
+                    "[M::verify] extension wave verified: %d seeds "
+                    "device==software\n" % len(e_sc))
         return regions_batch_native_flat(
             opt, bns.l_pac, pac, reads, flat,
             (e_sc, e_ts, e_qb, e_rb, e_qe, e_re, e_a0, e_a1))

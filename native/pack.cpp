@@ -144,8 +144,10 @@ void bm_pack_extlr(
     const int8_t* mat, int32_t a, int32_t o_del, int32_t e_del,
     int32_t o_ins, int32_t e_ins, int32_t w, int32_t pen_clip5,
     int32_t pen_clip3, int32_t zdrop,
-    // device caps
-    int32_t LQ, int32_t LT_max,
+    // device caps; force_scalar=1 computes EVERY seed on the scalar
+    // kernels (the reference's USE_SW_VERIFY role: a full software
+    // twin of the device wave for comparison)
+    int32_t LQ, int32_t LT_max, int32_t force_scalar,
     // reference
     int64_t l_pac, const uint8_t* pac,
     // reads
@@ -228,8 +230,9 @@ void bm_pack_extlr(
       o_slv[k] = ln;
       int32_t ltn = o_llt[k] > o_rlt[k] ? o_llt[k] : o_rlt[k];
       lt_need[k] = ltn;
-      bool fits = o_llq[k] <= LQ && o_llt[k] <= LT_max &&
-                  o_rlq[k] <= LQ && o_rlt[k] <= LT_max;
+      bool fits = !force_scalar && o_llq[k] <= LQ &&
+                  o_llt[k] <= LT_max && o_rlq[k] <= LQ &&
+                  o_rlt[k] <= LT_max;
       if (fits) {
         served[k] = 0;
         pack_row(qs.data(), static_cast<int>(qs.size()), LQ,
