@@ -10,8 +10,55 @@
 
 #include <cstddef>
 #include <cstdint>
+#include <atomic>
+#include <cstdlib>
+#include <thread>
 #include <utility>
 #include <vector>
+
+// Team size for the embarrassingly-parallel chunk loops
+// (deterministic output regardless; BWAMEM_TPU_NATIVE_THREADS caps it)
+inline int bm_nthreads() {
+  static int n = [] {
+    const char* e = std::getenv("BWAMEM_TPU_NATIVE_THREADS");
+    if (e && *e) {
+      int v = std::atoi(e);
+      return v > 0 ? v : 1;
+    }
+    unsigned hc = std::thread::hardware_concurrency();
+    return hc ? static_cast<int>(hc) : 1;
+  }();
+  return n;
+}
+
+// Fork-safe parallel for: fresh std::threads per call, joined before
+// returning, so no thread-pool state survives into a fork (the -t
+// worker pool forks the process between native calls; a persistent
+// OpenMP pool deadlocks its children).  Work is claimed dynamically
+// in `grain`-sized blocks.
+template <typename F>
+inline void bm_parallel_for(int n, int grain, F f) {
+  int nt = bm_nthreads();
+  if (nt > n / grain) nt = n / grain;
+  if (nt <= 1) {
+    for (int i = 0; i < n; ++i) f(i);
+    return;
+  }
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int lo = next.fetch_add(grain);
+      if (lo >= n) break;
+      int hi = lo + grain < n ? lo + grain : n;
+      for (int i = lo; i < hi; ++i) f(i);
+    }
+  };
+  std::vector<std::thread> ts;
+  ts.reserve(nt - 1);
+  for (int t = 0; t < nt - 1; ++t) ts.emplace_back(worker);
+  worker();
+  for (auto& t : ts) t.join();
+}
 
 namespace bm {
 

@@ -17,6 +17,7 @@
 // accelerator/CPU split (SURVEY.md §1).
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -1043,18 +1044,20 @@ char* bm_finalize_se(
     }
   }
 
-  std::string out;
-  out.reserve(static_cast<size_t>(n_reads) * 256);
-  std::vector<Reg> regs;
-  for (int r = 0; r < n_reads; ++r) {
-    out_rec_off[r] = static_cast<int64_t>(out.size());
+  // reads are independent: parallelize across them, then join the
+  // per-read buffers in order (deterministic output regardless of the
+  // thread count; BWAMEM_TPU_NATIVE_THREADS caps the team)
+  std::vector<std::string> outs(n_reads);
+  std::atomic<bool> failed{false};
+  bm_parallel_for(n_reads, 16, [&](int r) {
+    if (failed.load(std::memory_order_relaxed)) return;
     const uint8_t* seq = seqs + seq_off[r];
     int l_seq = static_cast<int>(seq_off[r + 1] - seq_off[r]);
     const char* name = names + name_off[r];
     const char* qual = quals + qual_off[r];
     const char* comment = comments + comm_off[r];
 
-    regs.clear();
+    std::vector<Reg> regs;
     for (int64_t k = reg_off[r]; k < reg_off[r + 1]; ++k) {
       Reg g;
       g.rb = reg_rb[k];
@@ -1074,8 +1077,16 @@ char* bm_finalize_se(
     }
     mark_primary(opt, regs, n_processed + r);
     ReadView rd{name, comment, qual, seq, l_seq};
-    if (!reg2sam_se(opt, mat, ref, rd, regs, 0, nullptr, rg_id, &out))
-      return nullptr;
+    if (!reg2sam_se(opt, mat, ref, rd, regs, 0, nullptr, rg_id,
+                    &outs[r]))
+      failed.store(true, std::memory_order_relaxed);
+  });
+  if (failed.load()) return nullptr;
+  std::string out;
+  out.reserve(static_cast<size_t>(n_reads) * 256);
+  for (int r = 0; r < n_reads; ++r) {
+    out_rec_off[r] = static_cast<int64_t>(out.size());
+    out += outs[r];
   }
   out_rec_off[n_reads] = static_cast<int64_t>(out.size());
   *out_total_len = static_cast<int64_t>(out.size());
@@ -1139,9 +1150,15 @@ char* bm_finalize_pe(
     }
   }
 
-  std::string out;
-  out.reserve(static_cast<size_t>(n_reads) * 256);
-  for (int r = 0; r + 1 < n_reads; r += 2) {
+  // pairs are independent (pestat was computed chunk-wide upstream):
+  // parallelize across pairs, join per-pair buffers in order
+  const int n_pairs = n_reads >> 1;
+  std::vector<std::string> outs(n_pairs);
+  std::vector<size_t> splits(n_pairs, 0);
+  std::atomic<bool> failed{false};
+  bm_parallel_for(n_pairs, 8, [&](int p) {
+    if (failed.load(std::memory_order_relaxed)) return;
+    int r = p << 1;
     ReadView rv[2];
     std::vector<Reg> regs[2];
     for (int e = 0; e < 2; ++e) {
@@ -1167,13 +1184,21 @@ char* bm_finalize_pe(
         regs[e].push_back(g);
       }
     }
-    out_rec_off[r] = static_cast<int64_t>(out.size());
-    size_t split = out.size();
-    int64_t pair_id = (n_processed >> 1) + (r >> 1);
+    size_t split = 0;
+    int64_t pair_id = (n_processed >> 1) + p;
     if (!sam_pe(opt, ope, mat, ref, pes, pair_id, rv[0], rv[1], &regs[0],
-                &regs[1], rg_id, &out, &split))
-      return nullptr;
-    out_rec_off[r + 1] = static_cast<int64_t>(split);
+                &regs[1], rg_id, &outs[p], &split))
+      failed.store(true, std::memory_order_relaxed);
+    splits[p] = split;
+  });
+  if (failed.load()) return nullptr;
+  std::string out;
+  out.reserve(static_cast<size_t>(n_reads) * 256);
+  for (int p = 0; p < n_pairs; ++p) {
+    int r = p << 1;
+    out_rec_off[r] = static_cast<int64_t>(out.size());
+    out_rec_off[r + 1] = static_cast<int64_t>(out.size() + splits[p]);
+    out += outs[p];
   }
   out_rec_off[n_reads] = static_cast<int64_t>(out.size());
   *out_total_len = static_cast<int64_t>(out.size());
