@@ -165,8 +165,10 @@ void bm_pack_extlr(
     int32_t* r_score, int32_t* r_truesc, int32_t* r_qb, int64_t* r_rb,
     int32_t* r_qe, int64_t* r_re, int32_t* r_aw0, int32_t* r_aw1) {
   const int lq_half = LQ >> 1, lt_half = LT_max >> 1;
-  std::vector<uint8_t> qs, rs, qrt, rrt;
-  for (int64_t c = 0; c < n_chains; ++c) {
+  // chains are independent and write disjoint per-seed slots
+  bm_parallel_for(static_cast<int>(n_chains), 32, [&](int ci) {
+    const int64_t c = ci;
+    std::vector<uint8_t> qs, rs, qrt, rrt;
     const int r = chain_read[c];
     const uint8_t* query = seqs + seq_off[r];
     const int l_query = static_cast<int>(seq_off[r + 1] - seq_off[r]);
@@ -259,7 +261,7 @@ void bm_pack_extlr(
         r_aw1[k] = o.aw1;
       }
     }
-  }
+  });
 }
 
 }  // extern "C"

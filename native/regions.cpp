@@ -387,9 +387,8 @@ int64_t bm_regions_batch(
   Opt opt{a,           b,          o_del,        e_del,
           o_ins,       e_ins,      w,            min_seed_len,
           flag,        mask_level, chain_drop_ratio, mask_level_redun};
-  int64_t n_out = 0;
-  for (int r = 0; r < n_reads; ++r) {
-    out_reg_off[r] = n_out;
+  std::vector<std::vector<RegO>> per_read(n_reads);
+  bm_parallel_for(n_reads, 16, [&](int r) {
     const uint8_t* query = seqs + seq_off[r];
     int l_query = static_cast<int>(seq_off[r + 1] - seq_off[r]);
 
@@ -432,8 +431,14 @@ int64_t bm_regions_batch(
     if ((opt.flag & kMemFNoExact) && !av.empty() &&
         av[0].truesc == static_cast<int64_t>(l_query) * opt.a)
       av.erase(av.begin());
-    if (n_out + static_cast<int64_t>(av.size()) > out_cap) return -1;
-    for (const RegO& g : av) {
+    per_read[r] = std::move(av);
+  });
+  int64_t n_out = 0;
+  for (int r = 0; r < n_reads; ++r) {
+    out_reg_off[r] = n_out;
+    if (n_out + static_cast<int64_t>(per_read[r].size()) > out_cap)
+      return -1;
+    for (const RegO& g : per_read[r]) {
       out_rb[n_out] = g.rb;
       out_re[n_out] = g.re;
       out_qb[n_out] = g.qb;
