@@ -8,6 +8,7 @@ bwtupdate, bwt2sa — the reference's complete command set
 """
 
 import math
+import os
 import sys
 
 PACKAGE_VERSION = "0.7.8-r455"  # output-compat version (top.c:10)
@@ -83,7 +84,7 @@ def main_mem(argv):
         opts, args = _getopt.getopt(
             argv, "epaMCSPHk:c:v:s:r:t:b:R:A:B:O:E:U:w:L:d:T:Q:D:m:I:",
             ["engine=", "profile=", "mesh=", "shard=",
-             "distributed="])
+             "distributed=", "shard-tables"])
     except _getopt.GetoptError as e:
         sys.stderr.write(str(e) + "\n")
         return 1
@@ -185,6 +186,10 @@ def main_mem(argv):
             engine_kind = val
         elif c == "mesh":
             mesh_spec = val
+        elif c == "shard-tables":
+            # HBM capacity mode: row-shard the occ/SA tables over the
+            # --mesh axis (gathers become ICI collectives, ops/fm.py)
+            os.environ["BWAMEM_TPU_SHARD_TABLES"] = "1"
         elif c == "shard":  # i/n: process chunks i, i+n, ... of the input
             parts = val.split("/")
             shard_spec = (int(parts[0]), int(parts[1]))

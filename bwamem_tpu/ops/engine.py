@@ -113,7 +113,7 @@ class JaxSeedingEngine:
         # (SURVEY.md §2.4); lane widths must divide evenly
         self.kernels = None
         if mesh is not None and mesh.devices.size > 1:
-            from ..parallel.mesh import ShardedKernels
+            from ..parallel.mesh import ShardedKernels, READS_AXIS
             n = mesh.devices.size
             from .seeding import LANES, SA_SLICE
             for width in (LANES, SA_SLICE, WAVE, WAVE_EXT, WAVE_GLO):
@@ -121,7 +121,26 @@ class JaxSeedingEngine:
                     raise ValueError(
                         f"lane width {width} not divisible by mesh size "
                         f"{n}; adjust BWAMEM_TPU_LANES/WAVE")
-            self.kernels = ShardedKernels(mesh)
+            # BWAMEM_TPU_SHARD_TABLES=1: row-shard the occ-block table
+            # and the sampled SA across the mesh (HBM capacity mode for
+            # references that don't fit per-chip; gathers become ICI
+            # collectives — ops/fm.py table_axis)
+            shard_tables = _os.environ.get(
+                "BWAMEM_TPU_SHARD_TABLES", "0") != "0"
+            self.kernels = ShardedKernels(mesh, shard_tables=shard_tables)
+            if shard_tables:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel.mesh import pad_to_shards
+
+                def put(a, spec):
+                    return jax.device_put(a, NamedSharding(mesh, spec))
+                self.dfm.blocks = put(
+                    pad_to_shards(np.asarray(self.dfm.blocks), n, 0),
+                    PartitionSpec(READS_AXIS, None))
+                self.dfm.sa = put(
+                    pad_to_shards(np.asarray(self.dfm.sa), n, 0),
+                    PartitionSpec(READS_AXIS))
         self.seeder = BatchedSeeder(self.dfm, max_len=max_len,
                                     sa_max_steps=sa_max_steps,
                                     fm_host=fm_host, timer=self,

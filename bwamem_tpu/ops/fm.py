@@ -22,6 +22,7 @@ the reference's cnt_table byte LUT (software/bwt.c:60-69,183-185) — the
 VPU has a native popcount, the LUT was a CPU/RTL trick.
 """
 
+from contextlib import contextmanager
 from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
@@ -50,6 +51,60 @@ _ALL1 = jnp.uint32(0xFFFFFFFF)
 # outgrows its usefulness and the plain gather wins
 _ONEHOT_MAX = int(os.environ.get("BWAMEM_TPU_ONEHOT_BLOCKS", "16384"))
 
+# when tracing inside a shard_map whose index tables are row-sharded
+# over a mesh axis (genomes too big for one chip's HBM — the analog of
+# the reference's host-DRAM-resident 3 GB table fetched per-step over
+# CCI-P, software/HelloALINLB.cpp:59-63), this names that axis and
+# every table gather becomes all_gather(indices) -> local gather ->
+# psum_scatter(rows).  Set via the table_axis() context manager by
+# parallel/mesh.py ShardedKernels(shard_tables=True).
+_TABLE_AXIS = None
+
+
+@contextmanager
+def table_axis(name):
+    """Trace-time context: gathers against mesh-axis-sharded tables."""
+    global _TABLE_AXIS
+    prev = _TABLE_AXIS
+    _TABLE_AXIS = name
+    try:
+        yield
+    finally:
+        _TABLE_AXIS = prev
+
+
+def _sharded_lookup(local_rows_fn, idx: jnp.ndarray, axis: str,
+                    local_n: int):
+    """Generic sharded-table gather: every shard holds `local_n`
+    consecutive rows of the global table and 1/n of the lanes.  The
+    lanes' global indices ride an all_gather; each shard answers the
+    rows it owns (zeros elsewhere); one psum_scatter returns each
+    shard its own lanes' rows — both collectives ride ICI.
+
+    local_rows_fn(rel, ok) -> rows for in-range rel (masked to zero
+    where ~ok); idx any integer shape."""
+    shp = idx.shape
+    flat = idx.reshape(-1).astype(jnp.int32)
+    i = lax.axis_index(axis)
+    g = lax.all_gather(flat, axis)                    # (n, L)
+    rel = g - i * local_n
+    ok = (rel >= 0) & (rel < local_n)
+    rows = local_rows_fn(jnp.where(ok, rel, 0), ok)   # (n, L[, W])
+    summed = lax.psum_scatter(
+        rows, axis, scatter_dimension=0, tiled=False)  # (L[, W])
+    return summed.reshape(shp + summed.shape[1:])
+
+
+def global_any(x: jnp.ndarray) -> jnp.ndarray:
+    """jnp.any(), made uniform across table shards.  Every while_loop
+    whose body gathers from a sharded table MUST use this in its cond:
+    the gathers are collectives, so all shards have to agree on the
+    trip count or the all_gather deadlocks mid-loop."""
+    v = jnp.any(x)
+    if _TABLE_AXIS is not None:
+        v = lax.psum(v.astype(jnp.int32), _TABLE_AXIS) > 0
+    return v
+
 
 def _gather_rows(blocks: jnp.ndarray, blk: jnp.ndarray) -> jnp.ndarray:
     """Row gather from the (n_blocks, 16) uint32 occ-block table.
@@ -64,6 +119,18 @@ def _gather_rows(blocks: jnp.ndarray, blk: jnp.ndarray) -> jnp.ndarray:
     smem while_loop by XLA.  Large references keep the gather (the
     pallas DMA path is the long-term answer there)."""
     n_blocks = blocks.shape[0]
+    if _TABLE_AXIS is not None:
+        # table rows sharded over the mesh: collective gather; the
+        # local per-shard gather re-enters this function with the
+        # context cleared so small local tables still ride the MXU
+        axis, local_n = _TABLE_AXIS, n_blocks
+
+        def local(rel, ok):
+            with table_axis(None):
+                rows = _gather_rows(blocks, rel)
+            return jnp.where(ok[..., None], rows, jnp.uint32(0))
+
+        return _sharded_lookup(local, blk, axis, local_n)
     if n_blocks > _ONEHOT_MAX or _ONEHOT_MAX <= 0:
         return blocks[blk]
     if os.environ.get("BWAMEM_TPU_PALLAS_GATHER"):
@@ -295,12 +362,19 @@ def sa_lookup_batched(blocks, primary, L2, seq_len, sa, sa_intv: int,
 
     def cond(state):
         k, _, it = state
-        return jnp.any((k & mask) != 0) & (it < max_steps)
+        return global_any((k & mask) != 0) & (it < max_steps)
 
     from .loops import unroll_body
     k = k.astype(cdt)
     state = (k, jnp.zeros_like(k), jnp.int32(0))
     k_fin, steps, _ = lax.while_loop(cond, unroll_body(body), state)
     over = (k_fin & mask) != 0
-    vals = steps + sa[(k_fin >> int(np.log2(sa_intv))).astype(jnp.int32)]
+    si = (k_fin >> int(np.log2(sa_intv))).astype(jnp.int32)
+    if _TABLE_AXIS is not None:
+        # sampled-SA table sharded over the mesh like the occ blocks
+        vals = steps + _sharded_lookup(
+            lambda rel, ok: jnp.where(ok, sa[rel], jnp.zeros((), cdt)),
+            si, _TABLE_AXIS, sa.shape[0])
+    else:
+        vals = steps + sa[si]
     return jnp.where(over, jnp.asarray(-1, cdt), vals), over

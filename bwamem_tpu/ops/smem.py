@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import fm
 from .fm import extend
 from .loops import unroll_body
 from .select import (sel_col as _sel_col, set_col as _set_col,
@@ -240,7 +241,9 @@ def smem_superstep(blocks, primary, L2,
                 over.astype(i32), done.astype(i32))
 
     def round_cond(st):
-        return jnp.any(st[-1] == 0)
+        # global across table shards: the body's gathers are
+        # collectives when the index is mesh-sharded (fm.global_any)
+        return fm.global_any(st[-1] == 0)
 
     x0 = jnp.zeros(B, i32)
     st = (x0, jnp.zeros(B, i32),
@@ -346,7 +349,9 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
                 done.astype(i32))
 
     def fwd_cond(st):
-        return jnp.any(st[-1] == 0)
+        # global across table shards: the body's gathers are
+        # collectives when the index is mesh-sharded (fm.global_any)
+        return fm.global_any(st[-1] == 0)
 
     st = (x + 1, ik0, ik1, iks, ikend, zbufs["c0"], zbufs["c1"], zbufs["cs"],
           zbufs["cend"], jnp.zeros(B, i32), bad.astype(i32))
@@ -423,7 +428,9 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
                 n_mem, done.astype(i32))
 
     def bwd_cond(st):
-        return jnp.any(st[-1] == 0)
+        # global across table shards: the body's gathers are
+        # collectives when the index is mesh-sharded (fm.global_any)
+        return fm.global_any(st[-1] == 0)
 
     st = (x - 1, p0, p1, ps, pend, n_curr,
           jnp.zeros((B, M), cdt), jnp.zeros((B, M), cdt),

@@ -122,29 +122,46 @@ class ShardedKernels:
 
     The engine built with `mesh=` runs the whole pipeline data-parallel
     with byte-identical output (reference parallelism mapping,
-    SURVEY.md §2.4); on one chip the wrappers are never constructed."""
+    SURVEY.md §2.4); on one chip the wrappers are never constructed.
 
-    def __init__(self, mesh: Mesh):
+    With `shard_tables=True` the occ-block table and the sampled SA are
+    additionally ROW-SHARDED over the same mesh axis (for genomes whose
+    tables exceed one chip's HBM — the analog of the reference keeping
+    the 3 GB BWT in host DRAM and fetching blocks per-step over CCI-P,
+    SURVEY.md §2.4); every table gather inside the seeding/SA kernels
+    then runs as all_gather(indices) -> local gather -> psum_scatter
+    (ops/fm.py table_axis), byte-identical to the replicated path."""
+
+    def __init__(self, mesh: Mesh, shard_tables: bool = False):
         self.mesh = mesh
         self.n = mesh.devices.size
+        self.shard_tables = shard_tables
         self._cache = {}
 
     def _wrap(self, key, fn, n_rep: int, n_dyn: int, n_out: int,
-              static_kw):
+              static_kw, rep_specs=None):
         """shard_map fn with the first n_rep args replicated and the
-        next n_dyn sharded on the reads axis; all outputs sharded."""
+        next n_dyn sharded on the reads axis; all outputs sharded.
+        rep_specs overrides the specs of the first n_rep args (used by
+        the table-sharded mode); table-touching kernels then trace
+        under the fm.table_axis context."""
         ck = (key, tuple(sorted(static_kw.items())))
         got = self._cache.get(ck)
         if got is not None:
             return got
         rep, shr = P(), P(READS_AXIS)
+        table_sharded = rep_specs is not None
 
         def body(*args):
+            if table_sharded:
+                with fm_mod.table_axis(READS_AXIS):
+                    return fn(*args, **static_kw)
             return fn(*args, **static_kw)
 
         wrapped = jax.jit(shard_map(
             body, mesh=self.mesh,
-            in_specs=(rep,) * n_rep + (shr,) * n_dyn,
+            in_specs=(tuple(rep_specs) if rep_specs is not None
+                      else (rep,) * n_rep) + (shr,) * n_dyn,
             out_specs=(shr,) * n_out, check_vma=False))
         self._cache[ck] = wrapped
         return wrapped
@@ -152,8 +169,10 @@ class ShardedKernels:
     def superstep(self, blocks, primary, L2, q, qlen, mi, active, slens,
                   swid, *, L, M, OUT_CAP, NEED_X1):
         from ..ops.smem import smem_superstep
+        rs = (P(READS_AXIS, None), P(), P()) if self.shard_tables else None
         fn = self._wrap("superstep", smem_superstep.__wrapped__, 3, 6, 7,
-                        dict(L=L, M=M, OUT_CAP=OUT_CAP, NEED_X1=NEED_X1))
+                        dict(L=L, M=M, OUT_CAP=OUT_CAP, NEED_X1=NEED_X1),
+                        rep_specs=rs)
         return fn(blocks, primary, L2, q, qlen, mi, active, slens, swid)
 
     def sa_lookup(self, blocks, primary, L2, seq_len, sa, sa_intv, k, *,
@@ -168,9 +187,12 @@ class ShardedKernels:
             return sa_lookup_batched.__wrapped__(
                 b, p, l2, seq_len, s, sa_intv, kk, **kw)
 
+        rs = (P(READS_AXIS, None), P(), P(), P(READS_AXIS)) \
+            if self.shard_tables else None
         fn = self._wrap("sa", body, 4, 1, 2,
                         dict(max_steps=max_steps,
-                             _seq_len=int(seq_len), _intv=int(sa_intv)))
+                             _seq_len=int(seq_len), _intv=int(sa_intv)),
+                        rep_specs=rs)
         return fn(blocks, primary, L2, sa, k)
 
     def extend_lr(self, *args, **static_kw):
