@@ -19,8 +19,12 @@ import time
 os.environ.setdefault("BWAMEM_TPU_LANES", "2048")
 # wider SW waves = fewer ~35ms-RTT dispatch round trips; affordable
 # now that the Pallas extension kernel compiles in ~1s (A/B: 512 ->
-# 1024 lifted 1.58x -> 1.72x; 2048 regressed while global2 is XLA)
-os.environ.setdefault("BWAMEM_TPU_WAVE", "1024")
+# 1024 lifted 1.58x -> 1.72x; 1024 -> 2048 measured 12,957 -> 13,529
+# reads/s now that the XLA global2 stage is gone — the old 2048
+# regression was that stage's compile; LANES=4096 regressed 31%: the
+# superstep's loop trip count is the max over all lanes in the group,
+# so wider groups accumulate more straggler iterations)
+os.environ.setdefault("BWAMEM_TPU_WAVE", "2048")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
