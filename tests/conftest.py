@@ -17,6 +17,15 @@ os.environ.setdefault("JAX_ENABLE_X64", "1")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+# The axon sitecustomize imports jax at interpreter startup (before this
+# conftest runs), so jax's config has already latched JAX_PLATFORMS=axon
+# from the env — the os.environ override above is too late for it.
+# Force the platform through the live config object instead; the CPU
+# backend itself initializes lazily, so XLA_FLAGS above still applies.
+if "jax" in sys.modules:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402

@@ -38,16 +38,16 @@ def main():
         nbytes = int(mb * (1 << 20))
         host = np.zeros(nbytes, np.uint8)
         up = timeit(lambda: jax.device_put(host, dev).block_until_ready())
-        print(f"upload {mb:5.2f} MB: {up*1e3:7.2f} ms "
-              f"({nbytes/up/1e6:8.1f} MB/s)")
+        print(f"upload {mb:5.2f} MiB: {up*1e3:7.2f} ms "
+              f"({nbytes/up/(1 << 20):8.1f} MiB/s)")
 
     for mb in (0.25, 1.0, 4.0):
         nbytes = int(mb * (1 << 20))
         darr = jnp.zeros(nbytes, jnp.uint8)
         darr.block_until_ready()
         down = timeit(lambda: jax.device_get(darr))
-        print(f"download {mb:5.2f} MB: {down*1e3:7.2f} ms "
-              f"({nbytes/down/1e6:8.1f} MB/s)")
+        print(f"download {mb:5.2f} MiB: {down*1e3:7.2f} ms "
+              f"({nbytes/down/(1 << 20):8.1f} MiB/s)")
 
     # the extend wave's actual shape: packed query+target + params up,
     # 8 rows of int32 down
@@ -58,7 +58,10 @@ def main():
 
     @jax.jit
     def fake_wave(q, t, p):
-        return (q.astype(jnp.int32).sum(1)[None, :] * 0
+        # output must consume both uploaded operands, or XLA folds the
+        # reads away and the hop understates a real wave's latency
+        return (q.astype(jnp.int32).sum(1)[None, :]
+                + t.astype(jnp.int32).sum(1)[None, :]
                 + jnp.zeros((8, B), jnp.int32) + p.sum())
 
     def run():
