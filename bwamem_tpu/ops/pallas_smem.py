@@ -1,0 +1,754 @@
+"""Pallas TPU kernels for the batched SMEM search (bwt_smem1).
+
+The TPU-native equivalent of the reference's 16-PE SMEM engine
+(hardware/afu_core.v:4371-5402, software oracle software/bwt.c:299-414)
+with the ENTIRE search inside Mosaic kernels.  The XLA twin
+(ops.smem._smem1_impl / smem_superstep) pays tens of microseconds of
+while-loop scheduling plus relayout copy-starts per extension step, and
+a Mosaic<->XLA transition penalty per pass when the two are mixed in
+one program; in-kernel, a pass over 2048 lanes measures ~0.2-0.4 ms vs
+~35 ms for the XLA pass on v5e — so the full iterator (superstep_pallas)
+runs rounds, the re-seed second pass, the ordered merge, and the output
+stream append in ONE kernel per lane block.
+
+Data path per extension step (= the FPGA's two occ-line fetches per PE
+step, hardware/afu_core.v:1428-1432):
+  * the occ-block table lives in VMEM as bf16 BYTE PLANES: row
+    p*12 + t holds byte p of word WL[t] of every block, where
+    WL = [ck_lo0..ck_lo3, bwt0..bwt7] (the int32-coordinate subset of
+    the 16-word block; bytes are exact in bf16, so a one-hot matmul
+    reconstructs rows exactly),
+  * gather = one-hot(block_idx) ridden over the MXU:
+    (48, NBP) @ (NBP, C) -> the occ rows for every lane,
+  * popcounts are SWAR int32 (the VPU equivalent of the reference's
+    cnt_table LUT, software/bwt.c:60-69).
+
+Layout is TRANSPOSED like ops.pallas_extend: lanes ride the 128-wide
+lane axis, per-lane scalars are (1, blk) rows, the interval buffers are
+(M, blk) tiles, and every per-lane "dynamic index" is a masked
+compare+sum over a small static sublane axis (the RTL's one-hot BRAM
+word-enables, hardware/afu_core.v:5946-5969).  The per-lane output
+cursor is applied with a variable circular roll (log2 static-roll
+stages selected by the cursor's bits).
+
+int32 coordinates only (genomes whose doubled pack fits 31 bits — far
+above the VMEM table cap anyway); callers gate with
+smem1_pallas_available() and fall back to the XLA twin.
+"""
+
+import os
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+# int32 constants (python ints become weak i64 under x64 and Mosaic
+# cannot legalize them)
+Z = np.int32(0)
+ONE = np.int32(1)
+M55 = np.int32(0x55555555)
+M33 = np.int32(0x33333333)
+M0F = np.int32(0x0F0F0F0F)
+ALL1 = np.int32(-1)
+BIG = np.int32(1 << 30)
+
+BLK = int(os.environ.get("BWAMEM_TPU_PALLAS_SMEM_BLK", "128"))
+# VMEM cap on the byte-plane table: NBP blocks * 96 B + the per-step
+# one-hot (NBP, 2*blk) bf16; 8192 blocks = 1 Mbp doubled pack
+MAX_BLOCKS = int(os.environ.get("BWAMEM_TPU_PALLAS_SMEM_BLOCKS", "8192"))
+# output-stream rows carried in-kernel (power of two for the variable
+# roll); OUT_CAP must be <= _OC2
+_OC2 = 64
+
+# byte-plane word order: checkpoint lo words (bases 0..3) then the 8
+# packed bwt words; the hi checkpoint words are zero for int32 genomes
+_WL = [0, 2, 4, 6, 8, 9, 10, 11, 12, 13, 14, 15]
+
+
+def smem1_pallas_available(n_blocks: int, cdt, L: int, M: int,
+                           out_cap: int = 48) -> bool:
+    if not _HAVE_PALLAS:
+        return False
+    flag = os.environ.get("BWAMEM_TPU_PALLAS_SMEM", "1")
+    if flag == "0":
+        return False
+    # interpret mode is correct but slow: off-TPU only under "force"
+    # (the parity tests call the kernels directly with interpret=True)
+    if jax.default_backend() != "tpu" and flag != "force":
+        return False
+    if cdt != jnp.int32:
+        return False
+    if n_blocks > MAX_BLOCKS:
+        return False
+    return (L % 32 == 0 and L <= 512 and M <= 32
+            and 2 * M <= _OC2 and out_cap <= _OC2)
+
+
+def prep_table(blocks: jnp.ndarray) -> jnp.ndarray:
+    """(n_blocks, 16) uint32 occ table -> (48, NBP) bf16 byte planes
+    (NBP padded to a lane-axis multiple of 128).  Runs in XLA once per
+    dispatch, outside the extension loops."""
+    nb = blocks.shape[0]
+    nbp = -(-nb // 128) * 128
+    w = blocks[:, _WL].astype(jnp.uint32)            # (nb, 12)
+    planes = [((w >> np.uint32(8 * p)) & np.uint32(0xFF)) for p in range(4)]
+    t = jnp.concatenate(planes, axis=1)              # (nb, 48)
+    t = t.astype(jnp.bfloat16).T                     # (48, nb)
+    if nbp != nb:
+        t = jnp.concatenate(
+            [t, jnp.zeros((48, nbp - nb), jnp.bfloat16)], axis=1)
+    return t
+
+
+def _popc(v):
+    """SWAR popcount of int32 bit patterns (sign-safe: logical shifts)."""
+    v = v - (lax.shift_right_logical(v, ONE) & M55)
+    v = (v & M33) + (lax.shift_right_logical(v, np.int32(2)) & M33)
+    v = (v + lax.shift_right_logical(v, np.int32(4))) & M0F
+    v = v + lax.shift_right_logical(v, np.int32(8))
+    v = v + lax.shift_right_logical(v, np.int32(16))
+    return v & np.int32(63)
+
+
+def _build_smem1(L, M, blk, NBP, primary, L2, q, tbl_ref):
+    """Shared tracer for one smem1 pass (fwd + bwd) over a lane block.
+    Returns smem1_sub(x, min_iv, act) -> (ret, n_mem, m0, m1, ms, mqb,
+    mqe, over) with act/over as int32 (1, blk) rows.  Exact port of
+    ops.smem._smem1_impl (software/bwt.c:776-835)."""
+    i32 = jnp.int32
+    MC = max(1, min(M, (4 << 20) // (NBP * 2 * blk * 2)))
+    while M % MC:
+        MC -= 1
+
+    jvL = lax.broadcasted_iota(i32, (L, blk), 0)
+    jvM = lax.broadcasted_iota(i32, (M, blk), 0)
+    j4 = lax.broadcasted_iota(i32, (4, blk), 0)
+    zM = jnp.zeros((M, blk), i32)
+
+    def excl_prefix(v):
+        """Exclusive prefix sum along the M sublanes (static loop —
+        Mosaic has no cumsum)."""
+        rows = []
+        acc = jnp.zeros((1, blk), i32)
+        for m in range(M):
+            rows.append(acc)
+            acc = acc + v[m:m + 1]
+        return jnp.concatenate(rows, axis=0)
+
+    def sel_q(ii):
+        return jnp.sum(jnp.where(jvL == ii, q, Z), axis=0, keepdims=True)
+
+    def sel_rowM(a, idx):
+        return jnp.sum(jnp.where(jvM == idx, a, Z), axis=0, keepdims=True)
+
+    def set_rowM(a, idx, v):
+        return jnp.where(jvM == idx, v, a)
+
+    def row0(a, m):
+        # row m rebased to sublane offset 0: Mosaic cannot lane-concat
+        # slices whose layouts carry their source sublane offsets
+        return jnp.sum(jnp.where(jvM == np.int32(m), a, Z), axis=0,
+                       keepdims=True)
+
+    def rev_rows(a, n, valid_rows=None):
+        """prev[j] = a[n-1-j] (garbage rows allowed unless masked)."""
+        src = n - ONE - jvM
+        out = jnp.zeros((M, blk), i32)
+        for k in range(M):
+            out = out + jnp.where(src == np.int32(k), a[k:k + 1, :], Z)
+        if valid_rows is not None:
+            out = jnp.where(valid_rows, out, Z)
+        return out
+
+    def occ4T(k2):
+        """Batched bwt_occ4 over (1, C) coordinates: the one-hot MXU
+        row gather + SWAR popcounts (software/bwt.c:187-204; RTL
+        BWT_OCC4 hardware/afu_core.v:5653-5897).  Returns (4, C)."""
+        C = k2.shape[1]
+        ioh = lax.broadcasted_iota(i32, (NBP, C), 0)
+        j8w = lax.broadcasted_iota(i32, (8, C), 0)
+        valid = k2 >= Z
+        kk = k2 - jnp.where(k2 >= primary, ONE, Z)
+        kk = jnp.where(valid, kk, Z)
+        blkidx = lax.shift_right_logical(kk, np.int32(7))
+        oh = (ioh == blkidx).astype(jnp.bfloat16)
+        rows = lax.dot_general(
+            tbl_ref[:, :], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(i32)
+        w = (rows[0:12] | lax.shift_left(rows[12:24], np.int32(8))
+             | lax.shift_left(rows[24:36], np.int32(16))
+             | lax.shift_left(rows[36:48], np.int32(24)))
+        ck = w[0:4]
+        words = w[4:12]
+        off = kk & np.int32(127)
+        wi = lax.shift_right_logical(off, np.int32(4))
+        r = (~off) & np.int32(15)
+        pmask = ~(lax.shift_left(ONE, r + r) - ONE)
+        wmask = jnp.where(j8w < wi, ALL1,
+                          jnp.where(j8w == wi, pmask, Z))
+        wv = words & wmask
+        hb = lax.shift_right_logical(wv, ONE) & M55
+        lb = wv & M55
+        c3 = jnp.sum(_popc(hb & lb), axis=0, keepdims=True)
+        c2 = jnp.sum(_popc(hb & ~lb), axis=0, keepdims=True)
+        c1 = jnp.sum(_popc(lb & ~hb), axis=0, keepdims=True)
+        c0 = (off + ONE) - c1 - c2 - c3
+        within = jnp.concatenate([c0, c1, c2, c3], axis=0)
+        return jnp.where(valid, ck + within, Z)
+
+    def extendT(x0, x1, s, is_back):
+        """Batched bwt_extend (software/bwt.c:416-429): (1, C)
+        intervals -> (4, C) candidates per base."""
+        C = x0.shape[1]
+        fwd = x0 if is_back else x1
+        k2 = jnp.concatenate([fwd - ONE, fwd - ONE + s], axis=1)
+        both = occ4T(k2)
+        tk, tl = both[:, :C], both[:, C:]
+        l2r = jnp.concatenate(
+            [jnp.zeros((1, C), i32) + L2[c] for c in range(4)], axis=0)
+        occ_side = l2r + ONE + tk
+        oks = tl - tk
+        bump = jnp.where((fwd <= primary)
+                         & (fwd + s - ONE >= primary), ONE, Z)
+        prev = (x1 if is_back else x0) + bump
+        same3 = prev
+        same2 = same3 + oks[3:4]
+        same1 = same2 + oks[2:3]
+        same0 = same1 + oks[1:2]
+        same = jnp.concatenate([same0, same1, same2, same3], axis=0)
+        if is_back:
+            return occ_side, same, oks
+        return same, occ_side, oks
+
+    def sel_L2(idx):
+        out = jnp.zeros((1, blk), i32)
+        for c in range(5):
+            out = out + jnp.where(idx == np.int32(c), L2[c], Z)
+        return out
+
+    def any_live(st):
+        return jnp.max(jnp.where(st[-1] == Z, ONE, Z)) > Z
+
+    def smem1_sub(x, min_iv_in, act):
+        qlen = q_len_holder[0]
+        min_iv = jnp.maximum(min_iv_in, ONE)
+
+        # ---- bwt_set_intv (software/bwt.h:80) -------------------------
+        qx = sel_q(x)
+        bad = jnp.where((qx > np.int32(3)) | (act == Z), ONE, Z)
+        qx_c = jnp.where(bad != Z, Z, qx)
+        ik0 = sel_L2(qx_c) + ONE
+        ik1 = sel_L2(np.int32(3) - qx_c) + ONE
+        iks = sel_L2(qx_c + ONE) - sel_L2(qx_c)
+        ikend = x + ONE
+
+        # ---- forward extension (software/bwt.c:790-801) ---------------
+        def fwd_body(st):
+            (i, ik0, ik1, iks, ikend, c0, c1, cs, cend, n_curr,
+             done) = st
+            at_end = i >= qlen
+            ii = jnp.clip(jnp.minimum(i, qlen - ONE), Z, np.int32(L - 1))
+            cb = sel_q(ii)
+            is_amb = cb > np.int32(3)
+            o0, o1, os_ = extendT(ik0, ik1, iks, is_back=False)
+            cc = jnp.where(is_amb, Z, np.int32(3) - cb)
+            n0 = jnp.sum(jnp.where(j4 == cc, o0, Z), axis=0,
+                         keepdims=True)
+            n1 = jnp.sum(jnp.where(j4 == cc, o1, Z), axis=0,
+                         keepdims=True)
+            ns = jnp.sum(jnp.where(j4 == cc, os_, Z), axis=0,
+                         keepdims=True)
+            changed = ns != iks
+            small = ns < min_iv
+            live = done == Z
+            push = live & (at_end | is_amb | changed)
+            stop = live & (at_end | is_amb | (changed & small))
+            idx = jnp.where(push, n_curr, np.int32(M))
+            c0 = set_rowM(c0, idx, ik0)
+            c1 = set_rowM(c1, idx, ik1)
+            cs = set_rowM(cs, idx, iks)
+            cend = set_rowM(cend, idx, ikend)
+            n_curr = n_curr + jnp.where(push, ONE, Z)
+            cont = live & ~stop
+            ik0 = jnp.where(cont, n0, ik0)
+            ik1 = jnp.where(cont, n1, ik1)
+            iks = jnp.where(cont, ns, iks)
+            ikend = jnp.where(cont, i + ONE, ikend)
+            done = jnp.where(stop, ONE, done)
+            i = i + jnp.where(done == Z, ONE, Z)
+            return (i, ik0, ik1, iks, ikend, c0, c1, cs, cend, n_curr,
+                    done)
+
+        st = (x + ONE, ik0, ik1, iks, ikend, zM, zM, zM, zM,
+              jnp.zeros((1, blk), i32), bad)
+        st = lax.while_loop(any_live, fwd_body, st)
+        (_, _, _, _, _, c0, c1, cs, cend, n_curr, _) = st
+        overflow = jnp.where(n_curr > np.int32(M), ONE, Z)
+
+        last = jnp.clip(n_curr - ONE, Z, np.int32(M - 1))
+        ret = jnp.where(n_curr > Z, sel_rowM(cend, last), x + ONE)
+
+        p0 = rev_rows(c0, n_curr)
+        p1 = rev_rows(c1, n_curr)
+        ps = rev_rows(cs, n_curr)
+        pend = rev_rows(cend, n_curr)
+
+        # ---- backward extension (software/bwt.c:808-831) ---------------
+        def bwd_body(st):
+            (i, p0, p1, ps, pend, n_prev, m0, m1, ms, mqb, mqe, n_mem,
+             done) = st
+            live = done == Z
+            ii = jnp.clip(i, Z, np.int32(L - 1))
+            cb = sel_q(ii)
+            c = jnp.where((i < Z) | (cb > np.int32(3)), np.int32(-1), cb)
+            csel = jnp.clip(c, Z, np.int32(3))
+            n_max = jnp.max(n_prev)
+            # MC prev rows share one occ4T matmul (lane-axis concat of
+            # rebased rows); chunks beyond the max live interval count
+            # are skipped (typically only chunk 0 runs)
+            rows0, rows1, rowss = [], [], []
+            j4c = lax.broadcasted_iota(i32, (4, MC * blk), 0)
+            ct = jnp.concatenate([csel] * MC, axis=1)
+            for mc in range(0, M, MC):
+                def live_chunk(mc=mc):
+                    x0c = jnp.concatenate(
+                        [row0(p0, m) for m in range(mc, mc + MC)], axis=1)
+                    x1c = jnp.concatenate(
+                        [row0(p1, m) for m in range(mc, mc + MC)], axis=1)
+                    ssc = jnp.concatenate(
+                        [row0(ps, m) for m in range(mc, mc + MC)], axis=1)
+                    o0, o1, os_ = extendT(x0c, x1c, ssc, is_back=True)
+                    r0 = jnp.sum(jnp.where(j4c == ct, o0, Z), axis=0,
+                                 keepdims=True)
+                    r1 = jnp.sum(jnp.where(j4c == ct, o1, Z), axis=0,
+                                 keepdims=True)
+                    rs = jnp.sum(jnp.where(j4c == ct, os_, Z), axis=0,
+                                 keepdims=True)
+                    return r0, r1, rs
+
+                def dead_chunk():
+                    zr = jnp.zeros((1, MC * blk), i32)
+                    return zr, zr, zr
+
+                r0, r1, rs = lax.cond(np.int32(mc) < n_max, live_chunk,
+                                      dead_chunk)
+                for m in range(MC):
+                    rows0.append(r0[:, m * blk:(m + 1) * blk])
+                    rows1.append(r1[:, m * blk:(m + 1) * blk])
+                    rowss.append(rs[:, m * blk:(m + 1) * blk])
+            n0 = jnp.concatenate(rows0, axis=0)       # (M, blk)
+            n1 = jnp.concatenate(rows1, axis=0)
+            ns = jnp.concatenate(rowss, axis=0)
+
+            present = (jvM < n_prev) & live
+            fail = (c < Z) | (ns < min_iv)
+            nonfail = present & ~fail
+
+            # dedup: prev nonfail size strictly before each row
+            prev_s = jnp.zeros((M, blk), i32)
+            run = jnp.full((1, blk), np.int32(-1), i32)
+            for m in range(M):
+                prev_s = jnp.where(jvM == np.int32(m), run, prev_s)
+                run = jnp.where(nonfail[m:m + 1], ns[m:m + 1], run)
+            nf = jnp.where(nonfail, ONE, Z)
+            nf_before = excl_prefix(nf)
+            first_nf = nonfail & (nf_before == Z)
+            keep = nonfail & (first_nf | (ns != prev_s))
+            kp = jnp.where(keep, ONE, Z)
+            pos = excl_prefix(kp)
+            tgt = jnp.where(keep, pos, np.int32(M))
+            nc0 = jnp.zeros((M, blk), i32)
+            nc1 = jnp.zeros((M, blk), i32)
+            ncs = jnp.zeros((M, blk), i32)
+            ncend = jnp.zeros((M, blk), i32)
+            for m in range(M):
+                hit = tgt[m:m + 1] == jvM             # (M, blk)
+                nc0 = nc0 + jnp.where(hit, n0[m:m + 1], Z)
+                nc1 = nc1 + jnp.where(hit, n1[m:m + 1], Z)
+                ncs = ncs + jnp.where(hit, ns[m:m + 1], Z)
+                ncend = ncend + jnp.where(hit, pend[m:m + 1], Z)
+            n_curr_new = jnp.sum(kp, axis=0, keepdims=True)
+
+            # mem append: first present&fail row with an all-fail prefix
+            cand = present & fail & (nf_before == Z)
+            cd = jnp.where(cand, ONE, Z)
+            cd_before = excl_prefix(cd)
+            first_cand = cand & (cd_before == Z)      # <=1 per lane
+            has_cand = jnp.max(jnp.where(first_cand, ONE, Z), axis=0,
+                               keepdims=True)
+            lastm = jnp.maximum(n_mem - ONE, Z)
+            allow = (n_mem == Z) | ((i + ONE) < sel_rowM(mqb, lastm))
+            do_mem = live & (has_cand != Z) & allow
+
+            def sel_fc(a):
+                return jnp.sum(jnp.where(first_cand, a, Z), axis=0,
+                               keepdims=True)
+
+            midx = jnp.where(do_mem, n_mem, np.int32(M))
+            m0 = set_rowM(m0, midx, sel_fc(p0))
+            m1 = set_rowM(m1, midx, sel_fc(p1))
+            ms = set_rowM(ms, midx, sel_fc(ps))
+            mqb = set_rowM(mqb, midx, i + ONE)
+            mqe = set_rowM(mqe, midx, sel_fc(pend))
+            n_mem = n_mem + jnp.where(do_mem, ONE, Z)
+            done = jnp.where(n_curr_new == Z, ONE, done)
+            i = i - jnp.where(done == Z, ONE, Z)
+            return (i, nc0, nc1, ncs, ncend, n_curr_new, m0, m1, ms,
+                    mqb, mqe, n_mem, done)
+
+        bdone = jnp.where((bad != Z) | (n_curr == Z), ONE, Z)
+        st = (x - ONE, p0, p1, ps, pend, n_curr, zM, zM, zM, zM, zM,
+              jnp.zeros((1, blk), i32), bdone)
+        st = lax.while_loop(any_live, bwd_body, st)
+        (_, _, _, _, _, _, m0, m1, ms, mqb, mqe, n_mem, _) = st
+
+        # reverse mem to qb-ascending (software/bwt.c:833), zeros
+        # outside the first n_mem rows (ops.select.permute_cols(valid))
+        validm = jvM < n_mem
+        m0 = rev_rows(m0, n_mem, validm)
+        m1 = rev_rows(m1, n_mem, validm)
+        ms = rev_rows(ms, n_mem, validm)
+        mqb = rev_rows(mqb, n_mem, validm)
+        mqe = rev_rows(mqe, n_mem, validm)
+        return ret, n_mem, m0, m1, ms, mqb, mqe, overflow
+
+    # qlen is bound by the caller (a mutable one-slot holder keeps
+    # smem1_sub's signature identical to the XLA _smem1_impl's)
+    q_len_holder = [None]
+
+    def bind_qlen(qlen):
+        q_len_holder[0] = qlen
+
+    return smem1_sub, bind_qlen, excl_prefix, jvM
+
+
+def _make_kernel(L, M, blk, NBP):
+    """Single-pass kernel (the _smem1_impl twin; parity surface)."""
+    i32 = jnp.int32
+
+    def kernel(sc_ref, tbl_ref, q_ref, par_ref, out_ref):
+        primary = sc_ref[0, 0]
+        L2 = [sc_ref[0, 1 + c] for c in range(5)]
+        qlen = par_ref[0:1, :]
+        x = par_ref[1:2, :]
+        min_iv = par_ref[2:3, :]
+        active = par_ref[3:4, :]
+        q = q_ref[:, :].astype(i32)
+
+        smem1_sub, bind_qlen, _, _ = _build_smem1(
+            L, M, blk, NBP, primary, L2, q, tbl_ref)
+        bind_qlen(qlen)
+        (ret, n_mem, m0, m1, ms, mqb, mqe, overflow) = smem1_sub(
+            x, min_iv, active)
+
+        out_ref[0:1, :] = ret
+        out_ref[1:2, :] = n_mem
+        out_ref[2:3, :] = overflow
+        out_ref[3:3 + M, :] = m0
+        out_ref[3 + M:3 + 2 * M, :] = m1
+        out_ref[3 + 2 * M:3 + 3 * M, :] = ms
+        out_ref[3 + 3 * M:3 + 4 * M, :] = mqb
+        out_ref[3 + 4 * M:3 + 5 * M, :] = mqe
+        pad = -(3 + 5 * M) % 8
+        if pad:
+            out_ref[3 + 5 * M:3 + 5 * M + pad, :] = \
+                jnp.zeros((pad, blk), i32)
+
+    return kernel
+
+
+def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP):
+    """The WHOLE per-read SMEM iterator in one kernel: rounds of
+    pass1 + re-seed test + pass2 + ordered merge + stream append
+    (ops.smem.smem_superstep's round_body, software/bwamem.c:110-241),
+    with zero Mosaic<->XLA transitions inside the loop."""
+    i32 = jnp.int32
+    assert 2 * M <= _OC2 and OUT_CAP <= _OC2
+
+    def kernel(sc_ref, tbl_ref, q_ref, par_ref, out_ref):
+        primary = sc_ref[0, 0]
+        L2 = [sc_ref[0, 1 + c] for c in range(5)]
+        qlen = par_ref[0:1, :]
+        min_intv = par_ref[1:2, :]
+        active = par_ref[2:3, :]
+        split_len = par_ref[3:4, :]
+        split_width = par_ref[4:5, :]
+        q = q_ref[:, :].astype(i32)
+
+        smem1_sub, bind_qlen, excl_prefix, jvM = _build_smem1(
+            L, M, blk, NBP, primary, L2, q, tbl_ref)
+        bind_qlen(qlen)
+        jvO = lax.broadcasted_iota(i32, (_OC2, blk), 0)
+        zO = jnp.zeros((_OC2, blk), i32)
+
+        def varroll(a, n):
+            """Circular roll of the _OC2 sublanes down by per-lane n
+            (log2 stages of static pltpu.roll + per-lane select)."""
+            sh = 1
+            while sh < _OC2:
+                bit = (lax.shift_right_logical(n, np.int32(
+                    int(np.log2(sh)))) & ONE) != Z
+                a = jnp.where(bit, pltpu.roll(a, sh, axis=0), a)
+                sh *= 2
+            return a
+
+        def place(vals, rank, nrows):
+            """(nrows, blk) scatter: out[rank[m]] = vals[m] (rank >=
+            _OC2 drops); static loop over source rows."""
+            out = zO
+            for m in range(nrows):
+                out = out + jnp.where(jvO == rank[m:m + 1],
+                                      vals[m:m + 1], Z)
+            return out
+
+        def round_body(st):
+            (x, n_out, o0, o1, os_, oqb, oqe, over, done) = st
+            act = jnp.where(done == Z, ONE, Z)
+            (ret, n_mem, m0, m1, ms, mqb, mqe, ov1) = smem1_sub(
+                x, min_intv, act)
+            ov1 = jnp.where((ov1 != Z) | (n_mem > np.int32(M)), ONE, Z)
+
+            # re-seeding test (software/bwamem.c:185-204)
+            lens = mqe - mqb
+            validm = jvM < n_mem
+            lens = jnp.where(validm, lens, np.int32(-1))
+            best_len = jnp.max(lens, axis=0, keepdims=True)
+            hitv = jnp.where(lens == best_len, ONE, Z)
+            hb = excl_prefix(hitv)
+            first_hit = (hitv != Z) & (hb == Z)
+
+            def sel_fh(a):
+                return jnp.sum(jnp.where(first_hit, a, Z), axis=0,
+                               keepdims=True)
+
+            bs = sel_fh(ms)
+            bqb = sel_fh(mqb)
+            bqe = sel_fh(mqe)
+            need2 = ((act != Z) & (n_mem > Z) & (split_len > Z)
+                     & (best_len >= split_len) & (bs <= split_width)
+                     & (ov1 == Z))
+            x2 = lax.shift_right_logical(bqb + bqe, ONE)
+            n2act = jnp.where(need2, ONE, Z)
+            (_r2, n2, s0, s1, ss, sqb, sqe, ov2p) = smem1_sub(
+                jnp.where(need2, x2, Z), jnp.where(need2, bs + ONE, ONE),
+                n2act)
+            n2 = jnp.where(need2, n2, Z)
+            ov2 = jnp.where(need2 & ((ov2p != Z) | (n2 > np.int32(M))),
+                            ONE, Z)
+
+            # ordered merge (software/bwamem.c:206-238): key qb-major,
+            # (qlen-qe)-minor in one int32
+            key_m = mqb * np.int32(256) + (qlen - mqe)
+            key_s = sqb * np.int32(256) + (qlen - sqe)
+            valid_m = jvM < n_mem
+            keep_s = ((jvM < n2)
+                      & ((sqe - sqb) >= lax.shift_right_logical(
+                          best_len, ONE))
+                      & (sqe > x))
+            kp = jnp.where(keep_s, ONE, Z)
+            pos = excl_prefix(kp)
+            tgt = jnp.where(keep_s, pos, np.int32(M))
+            cs0 = place(s0, tgt, M)[:M]
+            cs1 = place(s1, tgt, M)[:M]
+            css = place(ss, tgt, M)[:M]
+            csqb = place(sqb, tgt, M)[:M]
+            csqe = place(sqe, tgt, M)[:M]
+            ckey_s = place(key_s, tgt, M)[:M]
+            ns_cnt = jnp.sum(kp, axis=0, keepdims=True)
+            valid_s = jvM < ns_cnt
+
+            km = jnp.where(valid_m, key_m, BIG)
+            ks = jnp.where(valid_s, ckey_s, BIG)
+            # stable merge, sub first on ties: rank_m[i] = i + #{j:
+            # ks[j] <= km[i]}, rank_s[j] = j + #{i: km[i] < ks[j]}
+            rank_m_rows = []
+            rank_s_rows = []
+            for m in range(M):
+                kmi = km[m:m + 1]
+                cnt = jnp.sum(jnp.where(ks <= kmi, ONE, Z), axis=0,
+                              keepdims=True)
+                rank_m_rows.append(np.int32(m) + cnt)
+                ksj = ks[m:m + 1]
+                cnt2 = jnp.sum(jnp.where(km < ksj, ONE, Z), axis=0,
+                               keepdims=True)
+                rank_s_rows.append(np.int32(m) + cnt2)
+            rank_m = jnp.concatenate(rank_m_rows, axis=0)
+            rank_s = jnp.concatenate(rank_s_rows, axis=0)
+            rank_m = jnp.where(valid_m, rank_m, np.int32(2 * M))
+            rank_s = jnp.where(valid_s, rank_s, np.int32(2 * M))
+
+            # merged[k] gathered from (main | sub) by rank, then rolled
+            # to the per-lane output cursor
+            n_mrg = n_mem + ns_cnt
+            in_app = (jvO >= n_out) & (jvO < n_out + n_mrg) \
+                & (jvO < np.int32(OUT_CAP))
+
+            def append(buf, mv, sv):
+                g = place(mv, rank_m, M) + place(sv, rank_s, M)
+                return jnp.where(in_app, varroll(g, n_out), buf)
+
+            o0 = append(o0, m0, cs0)
+            o1 = append(o1, m1, cs1)
+            os_ = append(os_, ms, css)
+            oqb = append(oqb, mqb, csqb)
+            oqe = append(oqe, mqe, csqe)
+
+            n_new = n_out + jnp.where(act != Z, n_mrg, Z)
+            over_now = ((act != Z)
+                        & ((ov1 != Z) | (ov2 != Z)
+                           | (n_new > np.int32(OUT_CAP))))
+            over = jnp.where(over_now, ONE, over)
+            n_out = jnp.where((act != Z) & ~over_now, n_new, n_out)
+            x = jnp.where(act != Z, ret, x)
+            done = jnp.where(over_now | (x >= qlen), ONE, done)
+            return (x, n_out, o0, o1, os_, oqb, oqe, over, done)
+
+        def any_live(st):
+            return jnp.max(jnp.where(st[-1] == Z, ONE, Z)) > Z
+
+        x0 = jnp.zeros((1, blk), i32)
+        done0 = jnp.where((active == Z) | (x0 >= qlen), ONE, Z)
+        st = (x0, jnp.zeros((1, blk), i32), zO, zO, zO, zO, zO,
+              jnp.zeros((1, blk), i32), done0)
+        st = lax.while_loop(any_live, round_body, st)
+        (_, n_out, o0, o1, os_, oqb, oqe, over, _) = st
+
+        OC = OUT_CAP
+        out_ref[0:1, :] = n_out
+        out_ref[1:2, :] = over
+        out_ref[2:2 + OC, :] = o0[:OC]
+        out_ref[2 + OC:2 + 2 * OC, :] = o1[:OC]
+        out_ref[2 + 2 * OC:2 + 3 * OC, :] = os_[:OC]
+        out_ref[2 + 3 * OC:2 + 4 * OC, :] = oqb[:OC]
+        out_ref[2 + 4 * OC:2 + 5 * OC, :] = oqe[:OC]
+        pad = -(2 + 5 * OC) % 8
+        if pad:
+            out_ref[2 + 5 * OC:2 + 5 * OC + pad, :] = \
+                jnp.zeros((pad, blk), i32)
+
+    return kernel
+
+
+def _scal_row(primary, L2):
+    i32 = jnp.int32
+    return jnp.concatenate([
+        primary.astype(i32).reshape(1),
+        L2.astype(i32).reshape(5),
+        jnp.zeros(2, i32)]).reshape(1, 8)
+
+
+def smem1_pallas(tbl, primary, L2, q, qlen, x, min_intv, active,
+                 L: int, M: int, interpret=None):
+    """Drop-in twin of ops.smem._smem1_impl (M_OUT=0 form) backed by the
+    Mosaic kernel.  `tbl` is prep_table(blocks); all coordinates int32.
+
+    Returns (ret, n_mem, m0, m1, ms, mqb, mqe, overflow) with the exact
+    values (including zero padding) of the XLA implementation."""
+    i32 = jnp.int32
+    B = q.shape[0]
+    blk = min(BLK, B)
+    assert B % blk == 0, (B, blk)
+    NBP = tbl.shape[1]
+
+    qT = q.astype(jnp.int8).T                       # (L, B)
+    params = jnp.concatenate([
+        qlen.astype(i32)[None, :],
+        x.astype(i32)[None, :],
+        min_intv.astype(i32)[None, :],
+        active.astype(i32)[None, :],
+        jnp.zeros((4, B), i32),
+    ], axis=0)                                       # (8, B)
+
+    R = 3 + 5 * M + ((-(3 + 5 * M)) % 8)
+    kernel = _make_kernel(L, M, blk, NBP)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(B // blk,),
+            in_specs=[
+                pl.BlockSpec((1, 8), lambda b: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((48, NBP), lambda b: (0, 0)),
+                pl.BlockSpec((L, blk), lambda b: (0, b)),
+                pl.BlockSpec((8, blk), lambda b: (0, b)),
+            ],
+            out_specs=pl.BlockSpec((R, blk), lambda b: (0, b)),
+            out_shape=jax.ShapeDtypeStruct((R, B), i32),
+            interpret=interpret,
+        )(_scal_row(primary, L2), tbl, qT, params)
+    ret = out[0]
+    n_mem = out[1]
+    over = out[2] != 0
+    m0 = out[3:3 + M].T
+    m1 = out[3 + M:3 + 2 * M].T
+    ms = out[3 + 2 * M:3 + 3 * M].T
+    mqb = out[3 + 3 * M:3 + 4 * M].T
+    mqe = out[3 + 4 * M:3 + 5 * M].T
+    return ret, n_mem, m0, m1, ms, mqb, mqe, over
+
+
+def superstep_pallas(tbl, primary, L2, q, qlen, min_intv, active,
+                     split_len, split_width,
+                     L: int, M: int, OUT_CAP: int,
+                     NEED_X1: bool = True, interpret=None):
+    """Drop-in twin of ops.smem.smem_superstep backed by the all-in-one
+    Mosaic kernel.  Same returns: (o0, o1, os, oqb uint8, oqe uint8,
+    n_out uint8, overflow bool)."""
+    i32 = jnp.int32
+    B = q.shape[0]
+    blk = min(BLK, B)
+    assert B % blk == 0, (B, blk)
+    NBP = tbl.shape[1]
+
+    qT = q.astype(jnp.int8).T
+    params = jnp.concatenate([
+        qlen.astype(i32)[None, :],
+        min_intv.astype(i32)[None, :],
+        active.astype(i32)[None, :],
+        split_len.astype(i32)[None, :],
+        split_width.astype(i32)[None, :],
+        jnp.zeros((3, B), i32),
+    ], axis=0)                                       # (8, B)
+
+    OC = OUT_CAP
+    R = 2 + 5 * OC + ((-(2 + 5 * OC)) % 8)
+    kernel = _make_superstep_kernel(L, M, blk, NBP, OC)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(B // blk,),
+            in_specs=[
+                pl.BlockSpec((1, 8), lambda b: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((48, NBP), lambda b: (0, 0)),
+                pl.BlockSpec((L, blk), lambda b: (0, b)),
+                pl.BlockSpec((8, blk), lambda b: (0, b)),
+            ],
+            out_specs=pl.BlockSpec((R, blk), lambda b: (0, b)),
+            out_shape=jax.ShapeDtypeStruct((R, B), i32),
+            interpret=interpret,
+        )(_scal_row(primary, L2), tbl, qT, params)
+    n_out = out[0]
+    over = out[1] != 0
+    o0 = out[2:2 + OC].T
+    o1 = (out[2 + OC:2 + 2 * OC].T if NEED_X1
+          else jnp.zeros((1, 1), i32))
+    os_ = out[2 + 2 * OC:2 + 3 * OC].T
+    oqb = out[2 + 3 * OC:2 + 4 * OC].T
+    oqe = out[2 + 4 * OC:2 + 5 * OC].T
+    return (o0, o1, os_, oqb.astype(jnp.uint8), oqe.astype(jnp.uint8),
+            n_out.astype(jnp.uint8), over)

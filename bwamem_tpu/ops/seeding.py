@@ -69,6 +69,12 @@ class BatchedSeeder:
         self.sa_max_steps = int(sa_max_steps)
         self.fm_host = fm_host  # host oracle for overflow fallback
         self.timer = timer      # engine's kernel-time accounting
+        # Mosaic SMEM kernel (ops.pallas_smem): single-chip dispatches
+        # only — the mesh path keeps the XLA impl whose gathers become
+        # collectives under sharded tables
+        from .pallas_smem import smem1_pallas_available
+        self.use_pallas = (kernels is None and smem1_pallas_available(
+            dfm.blocks.shape[0], dfm.cdt, self.L, self.M))
 
     def interval_streams(self, opt, queries: Sequence[np.ndarray],
                          need_x1: bool = True) -> List[List[Intv]]:
@@ -143,7 +149,8 @@ class BatchedSeeder:
                 jnp.full(B, start_width, dtype=self.dfm.L2.dtype),
                 jnp.asarray(active), jnp.asarray(slens),
                 jnp.full(B, opt.split_width, np.int32),
-                L=self.L, M=self.M, OUT_CAP=out_cap, NEED_X1=need_x1)
+                L=self.L, M=self.M, OUT_CAP=out_cap, NEED_X1=need_x1,
+                PALLAS=self.use_pallas)
             pend.append((lo, grp, dev))
         out: List[List[Intv]] = []
         for lo, grp, dev in pend:
@@ -299,7 +306,8 @@ class BatchedSeeder:
                 jnp.full(B, start_width, dtype=self.dfm.L2.dtype),
                 jnp.asarray(active), jnp.asarray(slens),
                 jnp.full(B, opt.split_width, np.int32),
-                L=self.L, M=self.M, OUT_CAP=out_cap, NEED_X1=False)
+                L=self.L, M=self.M, OUT_CAP=out_cap, NEED_X1=False,
+                PALLAS=self.use_pallas)
             pend.append((lo, grp, dev))
         xs, szs, qbs, qes, cnts = [], [], [], [], []
         for lo, grp, dev in pend:

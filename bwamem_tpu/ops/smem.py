@@ -109,12 +109,13 @@ def _pack(r):
             mqb.astype(jnp.uint8), mqe.astype(jnp.uint8), over)
 
 
-@partial(jax.jit, static_argnames=("L", "M", "OUT_CAP", "NEED_X1"))
+@partial(jax.jit, static_argnames=("L", "M", "OUT_CAP", "NEED_X1",
+                                   "PALLAS"))
 def smem_superstep(blocks, primary, L2,
                    q, qlen, min_intv, active,
                    split_len, split_width,
                    L: int, M: int, OUT_CAP: int,
-                   NEED_X1: bool = True):
+                   NEED_X1: bool = True, PALLAS: bool = False):
     """The WHOLE per-read SMEM iterator fused into one dispatch: an
     outer while_loop advances every lane's iterator round in lock-step
     (pass1 + re-seed test + pass2 + ordered merge, software/
@@ -129,6 +130,17 @@ def smem_superstep(blocks, primary, L2,
     stream per lane, qb-major ordering identical to the host iterator;
     `overflow` lanes (interval buffer M, pass-2 width, or OUT_CAP
     exceeded) must re-run entirely on the host oracle."""
+    if PALLAS:
+        # Mosaic path: the ENTIRE superstep (rounds + re-seed pass +
+        # merge + stream append) in one kernel per lane block — no
+        # Mosaic<->XLA transitions inside the loop; callers gate with
+        # pallas_smem.smem1_pallas_available
+        from . import pallas_smem as _psm
+        return _psm.superstep_pallas(
+            _psm.prep_table(blocks), primary, L2, q, qlen,
+            min_intv.astype(jnp.int32), active, split_len, split_width,
+            L=L, M=M, OUT_CAP=OUT_CAP, NEED_X1=NEED_X1)
+
     B = q.shape[0]
     cdt = L2.dtype
     i32 = jnp.int32

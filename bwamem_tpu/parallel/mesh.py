@@ -167,8 +167,12 @@ class ShardedKernels:
         return wrapped
 
     def superstep(self, blocks, primary, L2, q, qlen, mi, active, slens,
-                  swid, *, L, M, OUT_CAP, NEED_X1):
+                  swid, *, L, M, OUT_CAP, NEED_X1, PALLAS=False):
         from ..ops.smem import smem_superstep
+        # PALLAS is accepted for signature parity with the single-chip
+        # path but stays off under the mesh: the XLA impl's gathers are
+        # what become collectives when the tables are sharded
+        del PALLAS
         rs = (P(READS_AXIS, None), P(), P()) if self.shard_tables else None
         fn = self._wrap("superstep", smem_superstep.__wrapped__, 3, 6, 7,
                         dict(L=L, M=M, OUT_CAP=OUT_CAP, NEED_X1=NEED_X1),

@@ -1,0 +1,124 @@
+"""Parity: the Pallas SMEM kernel (interpret mode on CPU) must match
+the XLA _smem1_impl exactly — including padding values — across edge
+cases: ambiguous bases, mid-read starts, min_intv > 1, inactive lanes,
+short reads, and forced interval-buffer overflow."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def small_fm():
+    from bwamem_tpu.index.fmindex import FmIndex
+    rng = np.random.default_rng(11)
+    fwd = rng.integers(0, 4, 3000).astype(np.uint8)
+    return fwd, FmIndex.build(np.concatenate([fwd, 3 - fwd[::-1]]))
+
+
+def _case_args(fwd, fm, B, L, rng, amb=False, mid=False, widths=False):
+    from bwamem_tpu.ops.fm import DeviceFmIndex
+    d = DeviceFmIndex.from_host(fm)
+    q = np.full((B, L), 4, dtype=np.int8)
+    qlen = np.zeros(B, np.int32)
+    for i in range(B):
+        n = int(rng.integers(21, L + 1))
+        off = int(rng.integers(0, len(fwd) - n))
+        q[i, :n] = fwd[off:off + n]
+        if rng.random() < 0.3:  # mismatches
+            for _ in range(int(rng.integers(1, 4))):
+                q[i, int(rng.integers(0, n))] = int(rng.integers(0, 4))
+        if amb and rng.random() < 0.5:
+            q[i, int(rng.integers(0, n))] = 4
+        qlen[i] = n
+    x = np.zeros(B, np.int32)
+    if mid:
+        x = (rng.integers(0, qlen)).astype(np.int32)
+    mi = np.ones(B, np.int64)
+    if widths:
+        mi = rng.integers(1, 12, B).astype(np.int64)
+    act = np.ones(B, bool)
+    act[B - 1] = False
+    return d, (jnp.asarray(q.astype(np.int32)), jnp.asarray(qlen),
+               jnp.asarray(x), jnp.asarray(mi), jnp.asarray(act))
+
+
+@pytest.mark.parametrize("amb,mid,widths", [
+    (False, False, False),
+    (True, False, False),
+    (False, True, True),
+    (True, True, True),
+])
+def test_smem1_pallas_matches_xla(small_fm, amb, mid, widths):
+    from bwamem_tpu.ops.smem import _smem1_impl
+    from bwamem_tpu.ops import pallas_smem as psm
+    fwd, fm = small_fm
+    rng = np.random.default_rng(hash((amb, mid, widths)) % 2**31)
+    B, L, M = 128, 128, 16
+    d, (q, qlen, x, mi, act) = _case_args(fwd, fm, B, L, rng, amb, mid,
+                                          widths)
+    ref = _smem1_impl(d.blocks, d.primary, d.L2, q, qlen, x, mi, act,
+                      L, M, 0)
+    tbl = psm.prep_table(d.blocks)
+    out = psm.smem1_pallas(tbl, d.primary, d.L2, q, qlen, x,
+                           mi.astype(jnp.int32), act, L, M,
+                           interpret=True)
+    names = ["ret", "n_mem", "m0", "m1", "ms", "mqb", "mqe"]
+    # XLA tuple order: ret, n_mem, m0, m1, ms, mqb, mqe, overflow
+    for name, a, b in zip(names + ["overflow"], ref, out):
+        np.testing.assert_array_equal(
+            np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64),
+            err_msg=f"field {name} diverged")
+
+
+def test_smem1_pallas_overflow_flag(small_fm):
+    """M=2 forces interval-buffer overflow on most lanes; the overflow
+    mask must match the XLA impl exactly."""
+    from bwamem_tpu.ops.smem import _smem1_impl
+    from bwamem_tpu.ops import pallas_smem as psm
+    fwd, fm = small_fm
+    rng = np.random.default_rng(5)
+    B, L, M = 128, 128, 2
+    d, (q, qlen, x, mi, act) = _case_args(fwd, fm, B, L, rng, True,
+                                          False, True)
+    ref = _smem1_impl(d.blocks, d.primary, d.L2, q, qlen, x, mi, act,
+                      L, M, 0)
+    tbl = psm.prep_table(d.blocks)
+    out = psm.smem1_pallas(tbl, d.primary, d.L2, q, qlen, x,
+                           mi.astype(jnp.int32), act, L, M,
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref[7]), np.asarray(out[7]))
+    assert np.asarray(out[7]).any()
+
+
+def test_superstep_pallas_matches_xla(small_fm):
+    """smem_superstep PALLAS=True (interpret) == PALLAS=False on the
+    full iterator: output streams, counts and overflow must be
+    identical."""
+    import os
+    from bwamem_tpu.ops import pallas_smem as psm
+    from bwamem_tpu.ops.smem import smem_superstep
+    fwd, fm = small_fm
+    rng = np.random.default_rng(17)
+    B, L, M = 64, 64, 16
+    d, (q, qlen, x, mi, act) = _case_args(fwd, fm, B, L, rng, True,
+                                          False, False)
+    q8 = jnp.asarray(np.asarray(q, np.int8))
+    slens = jnp.full(B, 29, jnp.int32)
+    swid = jnp.full(B, 10, jnp.int32)
+    kw = dict(L=L, M=M, OUT_CAP=48, NEED_X1=True)
+    ref = smem_superstep(d.blocks, d.primary, d.L2, q8, qlen, mi, act,
+                         slens, swid, PALLAS=False, **kw)
+    os.environ["BWAMEM_TPU_PALLAS_SMEM"] = "force"
+    try:
+        out = smem_superstep(d.blocks, d.primary, d.L2, q8, qlen, mi,
+                             act, slens, swid, PALLAS=True, **kw)
+    finally:
+        os.environ.pop("BWAMEM_TPU_PALLAS_SMEM", None)
+    for name, a, b in zip(["o0", "o1", "os", "oqb", "oqe", "n", "over"],
+                          ref, out):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.int64), np.asarray(b, np.int64),
+            err_msg=f"superstep field {name} diverged")
