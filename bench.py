@@ -13,18 +13,19 @@ import os
 import sys
 import time
 
-# one wide lane group: the smem while_loop's cost is per-iteration, not
-# per-lane, so the widest dispatch wins (two 1024-lane groups measured
-# ~35% slower than one 2048 despite software pipelining)
-os.environ.setdefault("BWAMEM_TPU_LANES", "2048")
-# wider SW waves = fewer ~35ms-RTT dispatch round trips; affordable
-# now that the Pallas extension kernel compiles in ~1s (A/B: 512 ->
-# 1024 lifted 1.58x -> 1.72x; 1024 -> 2048 measured 12,957 -> 13,529
-# reads/s now that the XLA global2 stage is gone — the old 2048
-# regression was that stage's compile; LANES=4096 regressed 31%: the
-# superstep's loop trip count is the max over all lanes in the group,
-# so wider groups accumulate more straggler iterations)
+# The axon tunnel pays ~31 ms per dispatch and dispatches do NOT
+# overlap each other (tools/microbench_superstep.py), so the dispatch
+# COUNT dominates: one maximal lane group per chunk for every stage.
+# With the Mosaic superstep (ops/pallas_smem.py) straggler lanes only
+# couple within a 128-lane kernel block, so width is nearly free
+# (the old LANES=4096 regression was the XLA superstep's whole-group
+# lockstep).  A/B at 4x8000-read chunks: LANES 2048 -> 8192 plus
+# SA_SLICE 32768 lifted 13.8k -> 15.4k reads/s; WAVE_EXT 8192 -> 16384
+# (one extension wave per chunk) -> 16.8k.
+os.environ.setdefault("BWAMEM_TPU_LANES", "8192")
 os.environ.setdefault("BWAMEM_TPU_WAVE", "2048")
+os.environ.setdefault("BWAMEM_TPU_SA_SLICE", "32768")
+os.environ.setdefault("BWAMEM_TPU_WAVE_EXT", "16384")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

@@ -354,7 +354,10 @@ def sa_lookup_batched(blocks, primary, L2, seq_len, sa, sa_intv: int,
 
     def body(state):
         k, steps, it = state
-        act = (k & mask) != 0
+        # strict per-lane cap: without the steps bound the unroll
+        # overshoots max_steps by up to UNROLL-1 applications, making
+        # the overflow set diverge from the Mosaic walk kernel's
+        act = ((k & mask) != 0) & (steps < max_steps)
         k2 = inv_psi(blocks, primary, L2, seq_len, k)
         k = jnp.where(act, k2, k)
         steps = steps + act.astype(cdt)

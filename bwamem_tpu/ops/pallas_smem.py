@@ -752,3 +752,178 @@ def superstep_pallas(tbl, primary, L2, q, qlen, min_intv, active,
     oqe = out[2 + 4 * OC:2 + 5 * OC].T
     return (o0, o1, os_, oqb.astype(jnp.uint8), oqe.astype(jnp.uint8),
             n_out.astype(jnp.uint8), over)
+
+
+# ---------------------------------------------------------------------------
+# SA lookup: batched bwt_sa inverse-Psi walk (software/bwt.c:104-114)
+# ---------------------------------------------------------------------------
+
+# in-kernel sampled-SA finish cap: the (n_sa, blk) one-hot gather per
+# block stays cheap up to ~64k entries
+MAX_SA_ROWS = int(os.environ.get("BWAMEM_TPU_PALLAS_SA_ROWS", "65536"))
+
+
+def sa_pallas_available(n_blocks: int, n_sa: int, cdt) -> bool:
+    if not _HAVE_PALLAS:
+        return False
+    flag = os.environ.get("BWAMEM_TPU_PALLAS_SMEM", "1")
+    if flag == "0":
+        return False
+    if jax.default_backend() != "tpu" and flag != "force":
+        return False
+    return cdt == jnp.int32 and n_blocks <= MAX_BLOCKS \
+        and n_sa <= MAX_SA_ROWS
+
+
+def prep_sa_table(sa: jnp.ndarray) -> jnp.ndarray:
+    """(n_sa,) int32 sampled SA -> (4, NSP) bf16 byte planes."""
+    n = sa.shape[0]
+    nsp = -(-n // 128) * 128
+    s = sa.astype(jnp.uint32)
+    t = jnp.stack([(s >> np.uint32(8 * p)) & np.uint32(0xFF)
+                   for p in range(4)]).astype(jnp.bfloat16)
+    if nsp != n:
+        t = jnp.concatenate(
+            [t, jnp.zeros((4, nsp - n), jnp.bfloat16)], axis=1)
+    return t
+
+
+def _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps):
+    """One inverse-Psi walk step = ONE occ-row gather: bwt_b0's word
+    select and occ's popcounts share the row at (k - (k>primary)) >> 7
+    (they differ only at k == primary / k == seq_len, where the result
+    is overridden anyway — software/bwt.c:71-77,125-147)."""
+    i32 = jnp.int32
+    mask = np.int32((1 << sa_shift) - 1)
+
+    def kernel(sc_ref, tbl_ref, sa_ref, par_ref, out_ref):
+        primary = sc_ref[0, 0]
+        L2 = [sc_ref[0, 1 + c] for c in range(5)]
+        seq_len = sc_ref[0, 6]
+        k0 = par_ref[0:1, :]
+
+        j8 = lax.broadcasted_iota(i32, (8, blk), 0)
+
+        def walk_step(st):
+            k, steps, it, done = st
+            act = ((k & mask) != Z) & (done == Z)
+            x = k - jnp.where(k > primary, ONE, Z)
+            blkidx = lax.shift_right_logical(x, np.int32(7))
+            ioh = lax.broadcasted_iota(i32, (NBP, blk), 0)
+            oh = (ioh == blkidx).astype(jnp.bfloat16)
+            rows = lax.dot_general(
+                tbl_ref[:, :], oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(i32)
+            w = (rows[0:12] | lax.shift_left(rows[12:24], np.int32(8))
+                 | lax.shift_left(rows[24:36], np.int32(16))
+                 | lax.shift_left(rows[36:48], np.int32(24)))
+            ck = w[0:4]
+            words = w[4:12]
+            # bwt_B0: word (x>>4)&7, shift ((~x)&15)*2
+            wi8 = lax.shift_right_logical(x, np.int32(4)) & np.int32(7)
+            word = jnp.sum(jnp.where(j8 == wi8, words, Z), axis=0,
+                           keepdims=True)
+            sh = ((~x) & np.int32(15))
+            c = lax.shift_right_logical(word, sh + sh) & np.int32(3)
+            # occ(k, c): checkpoint + masked popcount at offset x&127
+            off = x & np.int32(127)
+            wi = lax.shift_right_logical(off, np.int32(4))
+            r = (~off) & np.int32(15)
+            pmask = ~(lax.shift_left(ONE, r + r) - ONE)
+            wmask = jnp.where(j8 < wi, ALL1,
+                              jnp.where(j8 == wi, pmask, Z))
+            wv = words & wmask
+            hb = lax.shift_right_logical(wv, ONE) & M55
+            lb = wv & M55
+            c3 = jnp.sum(_popc(hb & lb), axis=0, keepdims=True)
+            c2 = jnp.sum(_popc(hb & ~lb), axis=0, keepdims=True)
+            c1 = jnp.sum(_popc(lb & ~hb), axis=0, keepdims=True)
+            c0 = (off + ONE) - c1 - c2 - c3
+
+            def selc(v0, v1, v2, v3):
+                return (jnp.where(c == Z, v0, Z)
+                        + jnp.where(c == ONE, v1, Z)
+                        + jnp.where(c == np.int32(2), v2, Z)
+                        + jnp.where(c == np.int32(3), v3, Z))
+
+            occ = selc(ck[0:1] + c0, ck[1:2] + c1, ck[2:3] + c2,
+                       ck[3:4] + c3)
+            l2c = selc(*(jnp.zeros((1, blk), i32) + L2[cc]
+                         for cc in range(4)))
+            l2c1 = selc(*(jnp.zeros((1, blk), i32) + L2[cc + 1]
+                          for cc in range(4)))
+            occ = jnp.where(k == seq_len, l2c1 - l2c, occ)
+            nxt = l2c + occ
+            k2 = jnp.where(k == primary, Z, nxt)
+            k = jnp.where(act, k2, k)
+            steps = steps + jnp.where(act, ONE, Z)
+            done = jnp.where((k & mask) == Z, ONE, done)
+            return (k, steps, it + ONE, done)
+
+        def cond(st):
+            k, _, it, done = st
+            return (jnp.max(jnp.where(done == Z, ONE, Z)) > Z) \
+                & (it < np.int32(max_steps))
+
+        done0 = jnp.where((k0 & mask) == Z, ONE, Z)
+        st = (k0, jnp.zeros((1, blk), i32), Z, done0)
+        k_fin, steps, _, _ = lax.while_loop(cond, walk_step, st)
+
+        over = jnp.where((k_fin & mask) != Z, ONE, Z)
+        si = lax.shift_right_logical(k_fin, np.int32(sa_shift))
+        iosa = lax.broadcasted_iota(i32, (NSP, blk), 0)
+        ohs = (iosa == si).astype(jnp.bfloat16)
+        sb = lax.dot_general(
+            sa_ref[:, :], ohs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(i32)
+        sa_val = (sb[0:1] | lax.shift_left(sb[1:2], np.int32(8))
+                  | lax.shift_left(sb[2:3], np.int32(16))
+                  | lax.shift_left(sb[3:4], np.int32(24)))
+        vals = jnp.where(over != Z, np.int32(-1), steps + sa_val)
+        out_ref[0:1, :] = vals
+        out_ref[1:2, :] = over
+        out_ref[2:8, :] = jnp.zeros((6, blk), i32)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("sa_intv", "max_steps", "interpret"))
+def sa_lookup_pallas(tbl, sa_planes, primary, L2, seq_len, sa_intv: int,
+                     k, max_steps: int = 1024, interpret=None):
+    """Drop-in twin of ops.fm.sa_lookup_batched backed by the Mosaic
+    walk kernel.  Returns (vals, overflowed) — identical values."""
+    i32 = jnp.int32
+    B = k.shape[0]
+    blk = min(BLK, B)
+    assert B % blk == 0, (B, blk)
+    NBP = tbl.shape[1]
+    NSP = sa_planes.shape[1]
+    sa_shift = int(np.log2(sa_intv))
+
+    params = jnp.concatenate([
+        k.astype(i32)[None, :], jnp.zeros((7, B), i32)], axis=0)
+    scal = jnp.concatenate([
+        primary.astype(i32).reshape(1),
+        L2.astype(i32).reshape(5),
+        seq_len.astype(i32).reshape(1),
+        jnp.zeros(1, i32)]).reshape(1, 8)
+
+    kernel = _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(B // blk,),
+            in_specs=[
+                pl.BlockSpec((1, 8), lambda b: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((48, NBP), lambda b: (0, 0)),
+                pl.BlockSpec((4, NSP), lambda b: (0, 0)),
+                pl.BlockSpec((8, blk), lambda b: (0, b)),
+            ],
+            out_specs=pl.BlockSpec((8, blk), lambda b: (0, b)),
+            out_shape=jax.ShapeDtypeStruct((8, B), i32),
+            interpret=interpret,
+        )(scal, tbl, sa_planes, params)
+    return out[0], out[1] != 0

@@ -72,9 +72,40 @@ class BatchedSeeder:
         # Mosaic SMEM kernel (ops.pallas_smem): single-chip dispatches
         # only — the mesh path keeps the XLA impl whose gathers become
         # collectives under sharded tables
-        from .pallas_smem import smem1_pallas_available
+        from .pallas_smem import smem1_pallas_available, \
+            sa_pallas_available
         self.use_pallas = (kernels is None and smem1_pallas_available(
-            dfm.blocks.shape[0], dfm.cdt, self.L, self.M))
+            dfm.blocks.shape[0], dfm.cdt, self.L, self.M,
+            out_cap=int(_os.environ.get("BWAMEM_TPU_OUT_CAP", "48"))))
+        # Mosaic SA walk (pallas_smem.sa_lookup_pallas): one occ-row
+        # gather per inverse-Psi step, sampled-SA finish in-kernel
+        self.use_pallas_sa = (kernels is None and sa_pallas_available(
+            dfm.blocks.shape[0], int(dfm.sa.shape[0]), dfm.cdt))
+        self._pa_tbl = None  # byte-plane tables, device-resident
+
+    def _sa_dispatch(self, pad: np.ndarray):
+        """One batched bwt_sa dispatch (Mosaic walk kernel when
+        available, else the XLA lock-step walk; mesh path via
+        ShardedKernels)."""
+        import jax.numpy as jnp
+        d = self.dfm
+        if self.use_pallas_sa:
+            import jax
+            from . import pallas_smem as psm
+            if self._pa_tbl is None:
+                self._pa_tbl = jax.jit(psm.prep_table)(d.blocks)
+                self._pa_sa = jax.jit(psm.prep_sa_table)(d.sa)
+            return psm.sa_lookup_pallas(
+                self._pa_tbl, self._pa_sa, d.primary, d.L2, d.seq_len,
+                d.sa_intv, jnp.asarray(pad),
+                max_steps=self.sa_max_steps)
+        if self.kernels is not None:
+            return self.kernels.sa_lookup(
+                d.blocks, d.primary, d.L2, d.seq_len, d.sa, d.sa_intv,
+                jnp.asarray(pad), max_steps=self.sa_max_steps)
+        return sa_lookup_batched(
+            d.blocks, d.primary, d.L2, d.seq_len, d.sa, d.sa_intv,
+            jnp.asarray(pad), max_steps=self.sa_max_steps)
 
     def interval_streams(self, opt, queries: Sequence[np.ndarray],
                          need_x1: bool = True) -> List[List[Intv]]:
@@ -246,17 +277,7 @@ class BatchedSeeder:
             sl = karr[lo:lo + SA_SLICE]
             pad = np.zeros(SA_SLICE, dtype=kdt)
             pad[:len(sl)] = sl
-            if self.kernels is not None:
-                dev = self.kernels.sa_lookup(
-                    d.blocks, d.primary, d.L2, d.seq_len, d.sa,
-                    d.sa_intv, jnp.asarray(pad),
-                    max_steps=self.sa_max_steps)
-            else:
-                dev = sa_lookup_batched(
-                    d.blocks, d.primary, d.L2, d.seq_len, d.sa,
-                    d.sa_intv, jnp.asarray(pad),
-                    max_steps=self.sa_max_steps)
-            pend.append((lo, len(sl), dev))
+            pend.append((lo, len(sl), self._sa_dispatch(pad)))
         for lo, n_sl, dev in pend:
             fn = lambda dev=dev: jax.device_get(dev)
             v, o = (self.timer._timed(fn, _tag="sa")
@@ -398,17 +419,7 @@ class BatchedSeeder:
             sl = karr[lo:lo + SA_SLICE]
             pad = np.zeros(SA_SLICE, dtype=kdt)
             pad[:len(sl)] = sl
-            if self.kernels is not None:
-                dev = self.kernels.sa_lookup(
-                    d.blocks, d.primary, d.L2, d.seq_len, d.sa,
-                    d.sa_intv, jnp.asarray(pad),
-                    max_steps=self.sa_max_steps)
-            else:
-                dev = sa_lookup_batched(
-                    d.blocks, d.primary, d.L2, d.seq_len, d.sa,
-                    d.sa_intv, jnp.asarray(pad),
-                    max_steps=self.sa_max_steps)
-            pend.append((lo, len(sl), dev))
+            pend.append((lo, len(sl), self._sa_dispatch(pad)))
         for lo, n_sl, dev in pend:
             fn = lambda dev=dev: jax.device_get(dev)
             v, o = (self.timer._timed(fn, _tag="sa")
@@ -457,17 +468,7 @@ class BatchedSeeder:
             sl = karr[lo:lo + SA_SLICE]
             pad = np.zeros(SA_SLICE, dtype=kdt)
             pad[:len(sl)] = sl
-            if self.kernels is not None:
-                dev = self.kernels.sa_lookup(
-                    d.blocks, d.primary, d.L2, d.seq_len, d.sa,
-                    d.sa_intv, jnp.asarray(pad),
-                    max_steps=self.sa_max_steps)
-            else:
-                dev = sa_lookup_batched(
-                    d.blocks, d.primary, d.L2, d.seq_len, d.sa,
-                    d.sa_intv, jnp.asarray(pad),
-                    max_steps=self.sa_max_steps)
-            pend.append((lo, len(sl), dev))
+            pend.append((lo, len(sl), self._sa_dispatch(pad)))
         for lo, n_sl, dev in pend:
             fn = lambda dev=dev: jax.device_get(dev)
             v, o = (self.timer._timed(fn, _tag="sa")

@@ -122,3 +122,32 @@ def test_superstep_pallas_matches_xla(small_fm):
         np.testing.assert_array_equal(
             np.asarray(a, np.int64), np.asarray(b, np.int64),
             err_msg=f"superstep field {name} diverged")
+
+
+def test_sa_lookup_pallas_matches_xla(small_fm):
+    """The Mosaic inverse-Psi walk (interpret mode) must match
+    fm.sa_lookup_batched exactly, including overflow lanes and the
+    k == primary edge."""
+    from bwamem_tpu.ops.fm import DeviceFmIndex, sa_lookup_batched
+    from bwamem_tpu.ops import pallas_smem as psm
+    fwd, fm = small_fm
+    d = DeviceFmIndex.from_host(fm)
+    rng = np.random.default_rng(23)
+    B = 256
+    ks = rng.integers(0, int(fm.seq_len), B).astype(np.int64)
+    ks[0] = int(np.asarray(d.primary))
+    ks[1] = 0
+    kj = jnp.asarray(ks.astype(np.int32))
+    for max_steps in (1024, 3):  # 3 forces overflow lanes
+        ref_v, ref_o = sa_lookup_batched(
+            d.blocks, d.primary, d.L2, d.seq_len, d.sa, d.sa_intv, kj,
+            max_steps=max_steps)
+        tbl = psm.prep_table(d.blocks)
+        sap = psm.prep_sa_table(d.sa)
+        v, o = psm.sa_lookup_pallas(tbl, sap, d.primary, d.L2,
+                                    d.seq_len, d.sa_intv, kj,
+                                    max_steps=max_steps, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref_o), np.asarray(o))
+        np.testing.assert_array_equal(
+            np.asarray(ref_v, np.int64), np.asarray(v, np.int64))
+    assert np.asarray(o).any()  # the 3-step cap did overflow some lane
