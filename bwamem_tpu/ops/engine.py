@@ -150,6 +150,9 @@ class JaxSeedingEngine:
         self._ext_lt = ext_lt
         self._glo_lq = ext_lq
         self._glo_lt = ext_lq + 32  # target within band of query length
+        # on-chip extension row builder state (ops.pallas_extbuild)
+        self._pacp = None
+        self._l_pac_dev = None
         # device-time accounting: the analog of the reference manager's
         # afu_time counter (software/fastmap.c:322,388,427)
         self.kernel_time = 0.0
@@ -355,6 +358,18 @@ class JaxSeedingEngine:
         fn = (self.kernels.extend_lr if self.kernels is not None
               else ksw_extend_lr_batched)
         mat = self._mat_i32(opt)
+
+        # on-device row construction (ops.pallas_extbuild): the wave
+        # uploads ~40 B of scalars per seed instead of ~700 B of packed
+        # sequence rows — the dominant wave cost over the host link
+        onchip = None
+        if self.kernels is None:
+            from .pallas_extbuild import onchip_ext_available
+            max_rl = max((len(r.seq_nt4) for r in reads), default=0)
+            if (onchip_ext_available(len(reads), bns.l_pac)
+                    and max_rl <= LQ):
+                onchip = self._onchip_ext_args(bns, pac, reads, flat, LQ)
+
         pend = []
         for lo in range(0, len(order), WAVE_EXT):
             grp = order[lo:lo + WAVE_EXT]
@@ -373,19 +388,70 @@ class JaxSeedingEngine:
                 a[:g] = pk[key][grp]
                 return jnp.asarray(a)
 
-            dev_out = fn(
-                rows("lq_pk", LQ), rows("lt_pk", LT),
-                scal("llq", np.int32), scal("llt", np.int32),
-                rows("rq_pk", LQ), rows("rt_pk", LT),
-                scal("rlq", np.int32), scal("rlt", np.int32),
-                mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-                opt.w, opt.pen_clip5, opt.pen_clip3, opt.zdrop,
-                scal("scs", np.int32), scal("sqb", np.int32),
-                scal("srb", np.int64), scal("rmax0", np.int64),
-                scal("lqv", np.int32, fill=1), scal("slv", np.int32),
-                LQ=LQ, LT=LT, packed=True)
+            if onchip is not None:
+                from .pallas_extbuild import extend_lr_onchip
+                qmat8, pacp, l_pac_dev, rid_all = onchip
+
+                def pads(a, fill=0, dt=np.int32):
+                    out = np.full(B, fill, dt)
+                    out[:g] = a[grp]
+                    return jnp.asarray(out)
+
+                dev_out = extend_lr_onchip(
+                    qmat8, pacp, l_pac_dev,
+                    pads(rid_all), scal("sqb", np.int32),
+                    scal("slv", np.int32),
+                    pads(pk["srb"].astype(np.int32)),
+                    pads(pk["rmax0"].astype(np.int32)),
+                    pads((pk["srb"] + pk["slv"]
+                          + pk["rlt"]).astype(np.int32)),
+                    scal("lqv", np.int32, fill=1),
+                    scal("llq", np.int32), scal("llt", np.int32),
+                    scal("rlq", np.int32), scal("rlt", np.int32),
+                    scal("scs", np.int32), scal("srb", np.int64),
+                    scal("rmax0", np.int64), mat,
+                    opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                    opt.w, opt.pen_clip5, opt.pen_clip3, opt.zdrop,
+                    LQ=LQ, LT=LT)
+            else:
+                dev_out = fn(
+                    rows("lq_pk", LQ), rows("lt_pk", LT),
+                    scal("llq", np.int32), scal("llt", np.int32),
+                    rows("rq_pk", LQ), rows("rt_pk", LT),
+                    scal("rlq", np.int32), scal("rlt", np.int32),
+                    mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                    opt.w, opt.pen_clip5, opt.pen_clip3, opt.zdrop,
+                    scal("scs", np.int32), scal("sqb", np.int32),
+                    scal("srb", np.int64), scal("rmax0", np.int64),
+                    scal("lqv", np.int32, fill=1), scal("slv", np.int32),
+                    LQ=LQ, LT=LT, packed=True)
             pend.append((grp, dev_out))
         return pk, pend
+
+    def _onchip_ext_args(self, bns, pac, reads, flat, LQ):
+        """Device-resident inputs for the on-chip extension row builder:
+        the chunk's reads matrix (padded to a coarse lane grid so chunk
+        size variations don't multiply compiles), the pac byte planes
+        (once per index), and per-seed read ids."""
+        import jax
+        import jax.numpy as jnp
+        if self._pacp is None:
+            from .pallas_extbuild import prep_pac_planes
+            self._pacp = jax.device_put(jnp.asarray(
+                prep_pac_planes(pac), jnp.bfloat16))
+            self._l_pac_dev = jnp.asarray(np.int32(bns.l_pac))
+        nrp = max(2048, -(-len(reads) // 2048) * 2048)
+        qmat = np.full((LQ, nrp), 4, np.int8)
+        for i, r in enumerate(reads):
+            qmat[:len(r.seq_nt4), i] = r.seq_nt4
+        qmat8 = jnp.asarray(qmat)
+        chain_off, seed_off = flat[0], flat[1]
+        chain_read = np.repeat(
+            np.arange(len(reads), dtype=np.int32),
+            np.diff(np.ascontiguousarray(chain_off, np.int64)))
+        rid_all = np.repeat(chain_read, np.diff(
+            np.ascontiguousarray(seed_off, np.int64))).astype(np.int32)
+        return qmat8, self._pacp, self._l_pac_dev, rid_all
 
     def _collect_and_regions(self, opt, bns, pac, reads, flat, pk, pend):
         """Second half: collect the extension waves and build regions

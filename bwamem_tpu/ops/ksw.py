@@ -148,11 +148,13 @@ def _use_pallas_global() -> bool:
 
 def _extend_impl(query, target, qlen, tlen, mat,
                  o_del, e_del, o_ins, e_ins, w_in, end_bonus, zdrop, h0,
-                 LQ: int, LT: int, active):
+                 LQ: int, LT: int, active, pre_t: bool = False):
     """Traceable body of ksw_extend2_batched; `active` (bool[B] or
     None) masks lanes off entirely (used by the fused left+right
-    kernel's masked band-retry passes)."""
-    B = query.shape[0]
+    kernel's masked band-retry passes).  `pre_t`: query/target arrive
+    already transposed ((L, B), e.g. built on-device by
+    ops.pallas_extbuild) — Mosaic path only."""
+    B = query.shape[1] if pre_t else query.shape[0]
     i32 = jnp.int32
     # sequences ship from the host as int8 (bases are 0..4) to quarter
     # the per-wave transfer volume; widen on-device
@@ -184,7 +186,8 @@ def _extend_impl(query, target, qlen, tlen, mat,
         return extend_pallas(query, target, qlen.astype(i32),
                              tlen.astype(i32), mat, o_del, e_del,
                              o_ins, e_ins, w, zdrop, h0.astype(i32),
-                             done0, LQ, LT)
+                             done0, LQ, LT, pre_t=pre_t)
+    assert not pre_t, "pre-transposed extension requires the Mosaic kernel"
 
     jv = jnp.arange(LQ + 1, dtype=i32)[None, :]          # [1, LQ+1]
     jq = jnp.arange(LQ, dtype=i32)[None, :]              # [1, LQ]
@@ -516,11 +519,24 @@ def ksw_extend_lr_batched(
 
     Returns (score, truesc, qb, rb, qe, re, aw0, aw1): rb/re int64
     genome coordinates, the rest int32[B]."""
-    i32 = jnp.int32
-    B = lq.shape[0]
     if packed:
         lq, rq = _unpack4(lq, LQ), _unpack4(rq, LQ)
         lt, rt = _unpack4(lt, LT), _unpack4(rt, LT)
+    return _extend_lr_core(
+        lq, lt, llq, llt, rq, rt, rlq, rlt, mat, o_del, e_del, o_ins,
+        e_ins, w0, pc5, pc3, zdrop, sc_seed, s_qbeg, s_rbeg, rmax0,
+        l_query, s_len, LQ, LT)
+
+
+def _extend_lr_core(lq, lt, llq, llt, rq, rt, rlq, rlt, mat,
+                    o_del, e_del, o_ins, e_ins, w0, pc5, pc3, zdrop,
+                    sc_seed, s_qbeg, s_rbeg, rmax0, l_query, s_len,
+                    LQ, LT, pre_t: bool = False):
+    """Band-doubling left+right extension over unpacked lanes; `pre_t`
+    means the four sequence arrays are already (L, B) device values
+    (built on-device, ops.pallas_extbuild)."""
+    i32 = jnp.int32
+    B = lq.shape[1] if pre_t else lq.shape[0]
     w0v = jnp.full(B, w0, i32)
     w1v = jnp.full(B, w0 * 2, i32)
     pc5v = jnp.full(B, pc5, i32)
@@ -529,13 +545,15 @@ def ksw_extend_lr_batched(
 
     has_l = llq > 0
     a0 = _extend_impl(lq, lt, llq, llt, mat, o_del, e_del, o_ins, e_ins,
-                      w0v, pc5v, zdrop, sc_seed, LQ, LT, has_l)
+                      w0v, pc5v, zdrop, sc_seed, LQ, LT, has_l,
+                      pre_t=pre_t)
     sc_a0, qle0, tle0, gtle0, gsc0, mo0 = a0
     # bwamem.c:1136-1138: break if score == prev (== -1 on attempt 0)
     # or max_off small; else retry at double band
     retry_l = has_l & (sc_a0 != -1) & (mo0 >= retry_hi)
     a1 = _extend_impl(lq, lt, llq, llt, mat, o_del, e_del, o_ins, e_ins,
-                      w1v, pc5v, zdrop, sc_seed, LQ, LT, retry_l)
+                      w1v, pc5v, zdrop, sc_seed, LQ, LT, retry_l,
+                      pre_t=pre_t)
 
     def pick(r, v0, v1):
         return jnp.where(r, v1, v0)
@@ -559,11 +577,13 @@ def ksw_extend_lr_batched(
     has_r = rlq > 0
     sc0 = score
     b0 = _extend_impl(rq, rt, rlq, rlt, mat, o_del, e_del, o_ins, e_ins,
-                      w0v, pc3v, zdrop, sc0, LQ, LT, has_r)
+                      w0v, pc3v, zdrop, sc0, LQ, LT, has_r,
+                      pre_t=pre_t)
     sc_b0, rqle0, rtle0, rgtle0, rgsc0, rmo0 = b0
     retry_r = has_r & (sc_b0 != sc0) & (rmo0 >= retry_hi)
     b1 = _extend_impl(rq, rt, rlq, rlt, mat, o_del, e_del, o_ins, e_ins,
-                      w1v, pc3v, zdrop, sc0, LQ, LT, retry_r)
+                      w1v, pc3v, zdrop, sc0, LQ, LT, retry_r,
+                      pre_t=pre_t)
     rsc = pick(retry_r, sc_b0, b1[0])
     rqle = pick(retry_r, rqle0, b1[1])
     rtle = pick(retry_r, rtle0, b1[2])

@@ -228,14 +228,15 @@ def _make_kernel(LQ, LT, blk, o_del, e_del, o_ins, e_ins, zdrop):
 
 
 def extend_pallas(query, target, qlen, tlen, mat, o_del, e_del, o_ins,
-                  e_ins, w, zdrop, h0, done0, LQ: int, LT: int):
+                  e_ins, w, zdrop, h0, done0, LQ: int, LT: int,
+                  pre_t: bool = False):
     """Pallas twin of the ops.ksw row loop.  `w` is the already-clamped
     per-lane band (int32[B]); `done0` bool[B] masks lanes off entirely.
     Returns (best, max_j, max_i, max_ie, gscore, max_off), raw (the
     caller applies the +1 offsets — matching _extend_impl's returns
     means max_j+1 etc; here we return the shifted values directly).
     """
-    B = query.shape[0]
+    B = query.shape[1] if pre_t else query.shape[0]
     i32 = jnp.int32
     blk = min(BLK, B)
     pad = (-B) % blk
@@ -244,13 +245,25 @@ def extend_pallas(query, target, qlen, tlen, mat, o_del, e_del, o_ins,
             return jnp.concatenate(
                 [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)],
                 axis=0)
-        query, target = padb(query, 4), padb(target, 4)
+
+        def padl(a, fill=0):  # lane-axis pad for pre-transposed rows
+            return jnp.concatenate(
+                [a, jnp.full(a.shape[:1] + (pad,), fill, a.dtype)],
+                axis=1)
+        if pre_t:
+            query, target = padl(query, 4), padl(target, 4)
+        else:
+            query, target = padb(query, 4), padb(target, 4)
         qlen, tlen, w, h0 = map(padb, (qlen, tlen, w, h0))
         done0 = padb(done0, True)
     Bp = B + pad
 
-    qt = query.astype(i32).T                     # [LQ, Bp]
-    tt = target.astype(i32).T                    # [LT, Bp]
+    if pre_t:
+        qt = query.astype(i32)                   # already [LQ, Bp]
+        tt = target.astype(i32)
+    else:
+        qt = query.astype(i32).T                 # [LQ, Bp]
+        tt = target.astype(i32).T                # [LT, Bp]
     params = jnp.stack([qlen, tlen, w, h0,
                         done0.astype(i32)]).astype(i32)   # [5, Bp]
     mat_pad = jnp.zeros(32, i32).at[:25].set(mat.astype(i32))[None, :]
