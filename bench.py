@@ -102,7 +102,8 @@ def main():
     # per chunk lifted measured throughput ~15%)
     import copy
     rep = int(os.environ.get("BWAMEM_TPU_BENCH_REP", "16"))
-    chunks = [[copy.copy(r) for r in reads * rep] for _ in range(4)]
+    n_chunks = int(os.environ.get("BWAMEM_TPU_BENCH_CHUNKS", "4"))
+    chunks = [[copy.copy(r) for r in reads * rep] for _ in range(n_chunks)]
     n_work = sum(len(c) for c in chunks)
 
     sys.stderr.write("[bench] engine ready (device tables uploaded)\n")
