@@ -63,9 +63,14 @@ ALL1 = np.int32(-1)
 BIG = np.int32(1 << 30)
 
 BLK = int(os.environ.get("BWAMEM_TPU_PALLAS_SMEM_BLK", "128"))
-# VMEM cap on the byte-plane table: NBP blocks * 96 B + the per-step
-# one-hot (NBP, 2*blk) bf16; 8192 blocks = 1 Mbp doubled pack
-MAX_BLOCKS = int(os.environ.get("BWAMEM_TPU_PALLAS_SMEM_BLOCKS", "8192"))
+# Table-size cap for the Mosaic path.  The one-hot gather costs
+# O(n_blocks) per lookup, XLA's native row gather O(lanes) — measured
+# crossover is ~35-45k blocks (4 Mbp genome: Mosaic 5.8 s vs XLA-native
+# 2.7 s per bench; 105 kbp genome: Mosaic 0.76 s vs XLA-one-hot 1.3 s).
+# The default keeps Mosaic where it wins decisively; the slab-chunked
+# _gather_planes keeps VMEM bounded up to ~65k blocks via the env.
+MAX_BLOCKS = int(os.environ.get("BWAMEM_TPU_PALLAS_SMEM_BLOCKS",
+                                "24576"))
 # output-stream rows carried in-kernel (power of two for the variable
 # roll); OUT_CAP must be <= _OC2
 _OC2 = 64
@@ -118,6 +123,33 @@ def _popc(v):
     v = v + lax.shift_right_logical(v, np.int32(8))
     v = v + lax.shift_right_logical(v, np.int32(16))
     return v & np.int32(63)
+
+
+# VMEM budget for one materialized one-hot slab (elements; bf16 -> 2B
+# each).  Tables wider than ELEMS/C are gathered in slab-chunked
+# matmuls: only one slab matches any index, so f32 partial sums stay
+# exact.
+_OH_ELEMS = int(os.environ.get("BWAMEM_TPU_PALLAS_OH_ELEMS",
+                               str(2 << 20)))
+
+
+def _gather_planes(tbl_ref, blkidx, NBP, C):
+    """rows[:, c] = tbl[:, blkidx[0, c]] via one-hot MXU matmuls,
+    slab-chunked over the table's lane axis to bound VMEM."""
+    i32 = jnp.int32
+    slab = NBP
+    if NBP * C > _OH_ELEMS:
+        slab = max(128, (_OH_ELEMS // C) // 128 * 128)
+    acc = None
+    for lo in range(0, NBP, slab):
+        hi = min(lo + slab, NBP)
+        iosl = lax.broadcasted_iota(i32, (hi - lo, C), 0)
+        oh = (iosl == (blkidx - np.int32(lo))).astype(jnp.bfloat16)
+        part = lax.dot_general(
+            tbl_ref[:, lo:hi], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc.astype(i32)
 
 
 def _build_smem1(L, M, blk, NBP, primary, L2, q, tbl_ref):
@@ -175,16 +207,12 @@ def _build_smem1(L, M, blk, NBP, primary, L2, q, tbl_ref):
         row gather + SWAR popcounts (software/bwt.c:187-204; RTL
         BWT_OCC4 hardware/afu_core.v:5653-5897).  Returns (4, C)."""
         C = k2.shape[1]
-        ioh = lax.broadcasted_iota(i32, (NBP, C), 0)
         j8w = lax.broadcasted_iota(i32, (8, C), 0)
         valid = k2 >= Z
         kk = k2 - jnp.where(k2 >= primary, ONE, Z)
         kk = jnp.where(valid, kk, Z)
         blkidx = lax.shift_right_logical(kk, np.int32(7))
-        oh = (ioh == blkidx).astype(jnp.bfloat16)
-        rows = lax.dot_general(
-            tbl_ref[:, :], oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(i32)
+        rows = _gather_planes(tbl_ref, blkidx, NBP, C)
         w = (rows[0:12] | lax.shift_left(rows[12:24], np.int32(8))
              | lax.shift_left(rows[24:36], np.int32(16))
              | lax.shift_left(rows[36:48], np.int32(24)))
@@ -758,9 +786,10 @@ def superstep_pallas(tbl, primary, L2, q, qlen, min_intv, active,
 # SA lookup: batched bwt_sa inverse-Psi walk (software/bwt.c:104-114)
 # ---------------------------------------------------------------------------
 
-# in-kernel sampled-SA finish cap: the (n_sa, blk) one-hot gather per
-# block stays cheap up to ~64k entries
-MAX_SA_ROWS = int(os.environ.get("BWAMEM_TPU_PALLAS_SA_ROWS", "65536"))
+# in-kernel sampled-SA finish cap: the slab-chunked (n_sa, blk) gather
+# runs once per call; the resident byte planes cost 8 B/row
+MAX_SA_ROWS = int(os.environ.get("BWAMEM_TPU_PALLAS_SA_ROWS",
+                                 "262144"))
 
 
 def sa_pallas_available(n_blocks: int, n_sa: int, cdt) -> bool:
@@ -809,11 +838,7 @@ def _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps):
             act = ((k & mask) != Z) & (done == Z)
             x = k - jnp.where(k > primary, ONE, Z)
             blkidx = lax.shift_right_logical(x, np.int32(7))
-            ioh = lax.broadcasted_iota(i32, (NBP, blk), 0)
-            oh = (ioh == blkidx).astype(jnp.bfloat16)
-            rows = lax.dot_general(
-                tbl_ref[:, :], oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(i32)
+            rows = _gather_planes(tbl_ref, blkidx, NBP, blk)
             w = (rows[0:12] | lax.shift_left(rows[12:24], np.int32(8))
                  | lax.shift_left(rows[24:36], np.int32(16))
                  | lax.shift_left(rows[36:48], np.int32(24)))
@@ -871,11 +896,7 @@ def _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps):
 
         over = jnp.where((k_fin & mask) != Z, ONE, Z)
         si = lax.shift_right_logical(k_fin, np.int32(sa_shift))
-        iosa = lax.broadcasted_iota(i32, (NSP, blk), 0)
-        ohs = (iosa == si).astype(jnp.bfloat16)
-        sb = lax.dot_general(
-            sa_ref[:, :], ohs, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(i32)
+        sb = _gather_planes(sa_ref, si, NSP, blk)
         sa_val = (sb[0:1] | lax.shift_left(sb[1:2], np.int32(8))
                   | lax.shift_left(sb[2:3], np.int32(16))
                   | lax.shift_left(sb[3:4], np.int32(24)))

@@ -151,3 +151,34 @@ def test_sa_lookup_pallas_matches_xla(small_fm):
         np.testing.assert_array_equal(
             np.asarray(ref_v, np.int64), np.asarray(v, np.int64))
     assert np.asarray(o).any()  # the 3-step cap did overflow some lane
+
+
+def test_smem1_pallas_slabbed_gather(small_fm, monkeypatch):
+    """Slab-chunked one-hot gathers (tables wider than the VMEM slab
+    budget) must be value-identical to the single-matmul path."""
+    from bwamem_tpu.ops.smem import _smem1_impl
+    from bwamem_tpu.ops import pallas_smem as psm
+    fwd, fm = small_fm
+    rng = np.random.default_rng(31)
+    B, L, M = 128, 128, 16
+    d, (q, qlen, x, mi, act) = _case_args(fwd, fm, B, L, rng, True,
+                                          True, True)
+    ref = _smem1_impl(d.blocks, d.primary, d.L2, q, qlen, x, mi, act,
+                      L, M, 0)
+    # force slabbing: 3000bp genome -> 47 blocks -> NBP 128; budget of
+    # 128*C/4 elements forces 4+ slabs... NBP=128 can't slab below 128,
+    # so shrink the budget to split a padded 256-wide table instead
+    monkeypatch.setattr(psm, "_OH_ELEMS", 128 * 64)
+    tbl = psm.prep_table(d.blocks)
+    tbl = jnp.concatenate(
+        [tbl, jnp.zeros((48, 256 - tbl.shape[1]), tbl.dtype)], axis=1) \
+        if tbl.shape[1] < 256 else tbl
+    out = psm.smem1_pallas(tbl, d.primary, d.L2, q, qlen, x,
+                           mi.astype(jnp.int32), act, L, M,
+                           interpret=True)
+    for name, a, b in zip(
+            ["ret", "n_mem", "m0", "m1", "ms", "mqb", "mqe", "over"],
+            ref, out):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.int64), np.asarray(b, np.int64),
+            err_msg=f"slabbed field {name} diverged")
