@@ -569,7 +569,7 @@ class _SliceRun:
             self.qpad_d, self.qlen_d, jnp.asarray(x),
             jnp.asarray(mi), jnp.asarray(self.active),
             self.slens_d, self.swid_d,
-            L=sdr.L, M=sdr.M, M_OUT=sdr.m_out)
+            L=sdr.L, M=sdr.M, M_OUT=sdr.m_out, PALLAS=sdr.use_pallas)
 
     def process(self, res) -> None:
         sdr = self.seeder

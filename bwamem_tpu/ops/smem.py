@@ -53,11 +53,11 @@ def _prev_valid_value(vals: jnp.ndarray, valid: jnp.ndarray, fill
     return prev
 
 
-@partial(jax.jit, static_argnames=("L", "M", "M_OUT"))
+@partial(jax.jit, static_argnames=("L", "M", "M_OUT", "PALLAS"))
 def smem_iter_step(blocks, primary, L2,
                    q, qlen, x, min_intv, active,
                    split_len, split_width,
-                   L: int, M: int, M_OUT: int):
+                   L: int, M: int, M_OUT: int, PALLAS: bool = False):
     """One fused iterator step: the main smem1 pass plus, for lanes
     whose longest SMEM trips the re-seeding test
     (software/bwamem.c:185-204), the second smem1 pass from the middle
@@ -66,8 +66,20 @@ def smem_iter_step(blocks, primary, L2,
     per dispatch, so fusing halves the seeding round trips).
 
     Returns (pass1 outputs..., need2, pass2 outputs...)."""
-    r1 = _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
-                     L, M, 0)
+    if PALLAS:
+        # Mosaic pass kernel (callers gate with smem1_pallas_available)
+        from . import pallas_smem as _psm
+        _tbl = _psm.prep_table(blocks)
+
+        def _impl(x_, mi_, act_):
+            return _psm.smem1_pallas(_tbl, primary, L2, q, qlen,
+                                     x_.astype(jnp.int32),
+                                     mi_.astype(jnp.int32), act_, L, M)
+    else:
+        def _impl(x_, mi_, act_):
+            return _smem1_impl(blocks, primary, L2, q, qlen, x_, mi_,
+                               act_, L, M, 0)
+    r1 = _impl(x, min_intv, active)
     ret, n_mem, m0, m1, ms, mqb, mqe, over = r1
     lens = mqe - mqb                       # int32
     jj = jnp.arange(M, dtype=jnp.int32)[None, :]
@@ -83,11 +95,9 @@ def smem_iter_step(blocks, primary, L2,
              & (bs <= split_width.astype(bs.dtype)) & ~over)
     x2 = ((bqb + bqe) >> 1).astype(jnp.int32)
     mi2 = bs + 1
-    r2 = _smem1_impl(blocks, primary, L2, q, qlen,
-                     jnp.where(need2, x2, 0),
-                     jnp.where(need2, mi2, 1), need2, L, M, M_OUT)
+    r2 = _impl(jnp.where(need2, x2, 0), jnp.where(need2, mi2, 1), need2)
     return (_pack(_truncate(r1, M, M_OUT)) + (need2,)
-            + _pack(r2))
+            + _pack(_truncate(r2, M, M_OUT)))
 
 
 def _truncate(r, M: int, M_OUT: int):

@@ -111,12 +111,3 @@ def main():
 
 if __name__ == "__main__":
     main()
-
-
-def pipelined(n=8):
-    """Marginal cost per superstep when n dispatches are in flight
-    (the engine's dispatch-all-then-collect pattern)."""
-    import jax
-    main_mod = sys.modules[__name__]
-    # reuse main()'s setup by re-running it lightly is wasteful; this
-    # helper is invoked from main2() below with prepared args
