@@ -39,6 +39,12 @@ SA_SLICE = int(_os.environ.get("BWAMEM_TPU_SA_SLICE", "16384"))
 # below this many live lanes a seeding dispatch costs more than the
 # scalar oracle; the straggler tail of each lane group runs on the host
 MIN_SEED_WAVE = int(_os.environ.get("BWAMEM_TPU_MIN_SEED_WAVE", "32"))
+# compact-wire slots per lane for the superstep fetch (0 disables):
+# per-lane streams average ~7 intervals vs the OUT_CAP=48 buffer, so
+# cross-lane compaction (ops.smem._compact_streams) cuts the fetch ~4x
+# over the ~20-35 MB/s link; lanes spilling past LANES*GCAP_PER go to
+# the host oracle like any cap overflow
+GCAP_PER = int(_os.environ.get("BWAMEM_TPU_GCAP_PER_LANE", "12"))
 
 
 class BatchedSeeder:
@@ -172,8 +178,10 @@ class BatchedSeeder:
                 slens[i] = min(sl_init, len(qq))
             active = np.zeros(B, dtype=bool)
             active[:len(grp)] = True
+            gcap = GCAP_PER * B if self.kernels is None else 0
             step_fn = (self.kernels.superstep if self.kernels is not None
                        else smem_superstep)
+            kw = dict(GCAP=gcap) if gcap else {}
             dev = step_fn(
                 self.dfm.blocks, self.dfm.primary, self.dfm.L2,
                 jnp.asarray(qpad), jnp.asarray(qlen),
@@ -181,21 +189,43 @@ class BatchedSeeder:
                 jnp.asarray(active), jnp.asarray(slens),
                 jnp.full(B, opt.split_width, np.int32),
                 L=self.L, M=self.M, OUT_CAP=out_cap, NEED_X1=need_x1,
-                PALLAS=self.use_pallas)
-            pend.append((lo, grp, dev))
+                PALLAS=self.use_pallas, **kw)
+            pend.append((lo, grp, gcap, dev))
         out: List[List[Intv]] = []
-        for lo, grp, dev in pend:
+        for lo, grp, gcap, dev in pend:
             get = lambda dev=dev: jax.device_get(dev)
             (o0, o1, os_, oqb, oqe, n_out,
              over) = (self.timer._timed(get, _tag="smem")
                       if self.timer else get())
+            n_l, over_l = n_out.tolist(), over.tolist()
+            if gcap:
+                # compact wire: flat lane-major streams + per-lane counts
+                off = 0
+                o0l, osl = o0.tolist(), os_.tolist()
+                o1l = (o1.tolist() if need_x1 else [0] * len(o0l))
+                oqbl, oqel = oqb.tolist(), oqe.tolist()
+                for i, qq in enumerate(grp):
+                    if over_l[i]:
+                        lst: List[Intv] = []
+                        self._oracle_finish(opt, qq, 0, start_width,
+                                            min(sl_init, len(qq)),
+                                            opt.split_width, lst)
+                        out.append(lst)
+                        continue
+                    n = n_l[i]
+                    out.append([
+                        (o0l[off + j], o1l[off + j], osl[off + j],
+                         (oqbl[off + j] << 32) | oqel[off + j])
+                        for j in range(n)])
+                    off += n
+                continue
+            # dense wire (mesh path): (lanes, OUT_CAP) buffers
             # one C-level tolist per buffer instead of 4 int() calls
             # per interval (~0.3s of the bench was this unpacking)
             o0l, osl = o0.tolist(), os_.tolist()
             o1l = (o1.tolist() if need_x1
                    else [[0] * o0.shape[1]] * o0.shape[0])
             oqbl, oqel = oqb.tolist(), oqe.tolist()
-            n_l, over_l = n_out.tolist(), over.tolist()
             for i, qq in enumerate(grp):
                 if over_l[i]:
                     lst: List[Intv] = []
@@ -319,8 +349,10 @@ class BatchedSeeder:
                 slens[i] = min(sl_init, len(qq))
             active = np.zeros(B, dtype=bool)
             active[:len(grp)] = True
+            gcap = GCAP_PER * B if self.kernels is None else 0
             step_fn = (self.kernels.superstep if self.kernels is not None
                        else smem_superstep)
+            kw = dict(GCAP=gcap) if gcap else {}
             dev = step_fn(
                 self.dfm.blocks, self.dfm.primary, self.dfm.L2,
                 jnp.asarray(qpad), jnp.asarray(qlen),
@@ -328,27 +360,38 @@ class BatchedSeeder:
                 jnp.asarray(active), jnp.asarray(slens),
                 jnp.full(B, opt.split_width, np.int32),
                 L=self.L, M=self.M, OUT_CAP=out_cap, NEED_X1=False,
-                PALLAS=self.use_pallas)
-            pend.append((lo, grp, dev))
+                PALLAS=self.use_pallas, **kw)
+            pend.append((lo, grp, gcap, dev))
         xs, szs, qbs, qes, cnts = [], [], [], [], []
-        for lo, grp, dev in pend:
+        for lo, grp, gcap, dev in pend:
             get = lambda dev=dev: jax.device_get(dev)
             (o0, _o1, os_, oqb, oqe, n_out,
              over) = (self.timer._timed(get, _tag="smem")
                       if self.timer else get())
             ng = len(grp)
-            o0 = np.asarray(o0)[:ng]
-            os_ = np.asarray(os_)[:ng]
-            oqb = np.asarray(oqb)[:ng].astype(np.int64)
-            oqe = np.asarray(oqe)[:ng].astype(np.int64)
             n_l = np.asarray(n_out)[:ng].astype(np.int64)
             over_l = np.asarray(over)[:ng]
             n_l = np.where(over_l, 0, n_l)
-            cap = o0.shape[1]
-            mask = np.arange(cap)[None, :] < n_l[:, None]
-            # row-major selection == per-read stream order
-            gx, gs = o0[mask], os_[mask]
-            gqb, gqe = oqb[mask], oqe[mask]
+            if gcap:
+                # compact wire: flat lane-major streams; this group's
+                # slice is the first sum(n_l) slots (padding lanes have
+                # n_out 0, so group rows ng..B contribute nothing)
+                tot = int(np.asarray(n_out).astype(np.int64).sum())
+                assert tot == int(n_l.sum())
+                gx = np.asarray(o0)[:tot]
+                gs = np.asarray(os_)[:tot]
+                gqb = np.asarray(oqb)[:tot].astype(np.int64)
+                gqe = np.asarray(oqe)[:tot].astype(np.int64)
+            else:
+                o0 = np.asarray(o0)[:ng]
+                os_ = np.asarray(os_)[:ng]
+                oqb = np.asarray(oqb)[:ng].astype(np.int64)
+                oqe = np.asarray(oqe)[:ng].astype(np.int64)
+                cap = o0.shape[1]
+                mask = np.arange(cap)[None, :] < n_l[:, None]
+                # row-major selection == per-read stream order
+                gx, gs = o0[mask], os_[mask]
+                gqb, gqe = oqb[mask], oqe[mask]
             if over_l.any():
                 # splice host-oracle streams into the overflow rows
                 px = np.split(gx, np.cumsum(n_l)[:-1])
