@@ -152,6 +152,7 @@ class JaxSeedingEngine:
         self._glo_lt = ext_lq + 32  # target within band of query length
         # on-chip extension row builder state (ops.pallas_extbuild)
         self._pacp = None
+        self._pacp_key = None
         self._l_pac_dev = None
         # device-time accounting: the analog of the reference manager's
         # afu_time counter (software/fastmap.c:322,388,427)
@@ -364,10 +365,12 @@ class JaxSeedingEngine:
         # sequence rows — the dominant wave cost over the host link
         onchip = None
         if self.kernels is None:
-            from .pallas_extbuild import onchip_ext_available
+            from .pallas_extbuild import (onchip_ext_available,
+                                          onchip_shapes_ok)
             max_rl = max((len(r.seq_nt4) for r in reads), default=0)
             if (onchip_ext_available(len(reads), bns.l_pac)
-                    and max_rl <= LQ):
+                    and max_rl <= LQ and WAVE_EXT % 128 == 0
+                    and all(onchip_shapes_ok(LQ, b) for b in LT_BUCKETS)):
                 onchip = self._onchip_ext_args(bns, pac, reads, flat, LQ)
 
         pend = []
@@ -435,22 +438,20 @@ class JaxSeedingEngine:
         (once per index), and per-seed read ids."""
         import jax
         import jax.numpy as jnp
-        if self._pacp is None:
+        key = (id(pac), int(bns.l_pac))
+        if self._pacp is None or self._pacp_key != key:
             from .pallas_extbuild import prep_pac_planes
             self._pacp = jax.device_put(jnp.asarray(
                 prep_pac_planes(pac), jnp.bfloat16))
             self._l_pac_dev = jnp.asarray(np.int32(bns.l_pac))
+            self._pacp_key = key
         nrp = max(2048, -(-len(reads) // 2048) * 2048)
         qmat = np.full((LQ, nrp), 4, np.int8)
         for i, r in enumerate(reads):
             qmat[:len(r.seq_nt4), i] = r.seq_nt4
         qmat8 = jnp.asarray(qmat)
-        chain_off, seed_off = flat[0], flat[1]
-        chain_read = np.repeat(
-            np.arange(len(reads), dtype=np.int32),
-            np.diff(np.ascontiguousarray(chain_off, np.int64)))
-        rid_all = np.repeat(chain_read, np.diff(
-            np.ascontiguousarray(seed_off, np.int64))).astype(np.int32)
+        from ..core.nfinalize import seed_read_ids
+        rid_all = seed_read_ids(flat, len(reads))
         return qmat8, self._pacp, self._l_pac_dev, rid_all
 
     def _collect_and_regions(self, opt, bns, pac, reads, flat, pk, pend):

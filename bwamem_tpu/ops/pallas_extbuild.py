@@ -75,6 +75,13 @@ def onchip_ext_available(n_reads: int, l_pac: int) -> bool:
             and (l_pac << 1) < (1 << 31))
 
 
+def onchip_shapes_ok(LQ: int, LT: int) -> bool:
+    """Static shape limits of the builder kernel: the varroll needs a
+    power-of-two LQ; the _NW-row pac window covers LT + 255 <= _NW*256
+    bases."""
+    return LQ & (LQ - 1) == 0 and LT + 255 <= _NW * 256
+
+
 def prep_pac_planes(pac: np.ndarray) -> np.ndarray:
     """Packed pac bytes -> (64, NPRp) float32 byte planes of 16-word
     (256-base) rows; device_put as bf16 by the caller.  Word w of row r
@@ -160,11 +167,8 @@ def _make_builder(LQ, LT, blk, NRp, NPRp):
             # gather _NW consecutive 256-base pac rows per lane
             ridx = jnp.concatenate(
                 [r0 + np.int32(k) for k in range(_NW)], axis=1)
-            iop = lax.broadcasted_iota(i32, (NPRp, _NW * blk), 0)
-            ohp = (iop == ridx).astype(jnp.bfloat16)
-            rows = lax.dot_general(
-                pacp_ref[:, :], ohp, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(i32)
+            from .pallas_smem import _gather_planes
+            rows = _gather_planes(pacp_ref, ridx, NPRp, _NW * blk)
             # reassemble 16 words per gathered row, stack to (64, blk)
             wparts = []
             for k in range(_NW):

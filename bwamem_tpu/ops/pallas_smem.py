@@ -95,7 +95,9 @@ def smem1_pallas_available(n_blocks: int, cdt, L: int, M: int,
         return False
     if n_blocks > MAX_BLOCKS:
         return False
-    return (L % 32 == 0 and L <= 512 and M <= 32
+    # L < 256: the merge key packs (qb, qlen-qe) radix-256 and qb/qe
+    # ride the uint8 wire (the XLA twin shares the same bound)
+    return (L % 32 == 0 and L <= 255 and M <= 32
             and 2 * M <= _OC2 and out_cap <= _OC2)
 
 

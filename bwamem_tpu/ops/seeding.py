@@ -80,12 +80,16 @@ class BatchedSeeder:
         # collectives under sharded tables
         from .pallas_smem import smem1_pallas_available, \
             sa_pallas_available
-        self.use_pallas = (kernels is None and smem1_pallas_available(
+        # the Mosaic wrappers block over 128-lane tiles; non-multiple
+        # widths fall back to the XLA impls instead of asserting
+        self.use_pallas = (kernels is None and LANES % 128 == 0
+                           and smem1_pallas_available(
             dfm.blocks.shape[0], dfm.cdt, self.L, self.M,
             out_cap=int(_os.environ.get("BWAMEM_TPU_OUT_CAP", "48"))))
         # Mosaic SA walk (pallas_smem.sa_lookup_pallas): one occ-row
         # gather per inverse-Psi step, sampled-SA finish in-kernel
-        self.use_pallas_sa = (kernels is None and sa_pallas_available(
+        self.use_pallas_sa = (kernels is None and SA_SLICE % 128 == 0
+                              and sa_pallas_available(
             dfm.blocks.shape[0], int(dfm.sa.shape[0]), dfm.cdt))
         self._pa_tbl = None  # byte-plane tables, device-resident
 
