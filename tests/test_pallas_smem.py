@@ -182,3 +182,53 @@ def test_smem1_pallas_slabbed_gather(small_fm, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(a, np.int64), np.asarray(b, np.int64),
             err_msg=f"slabbed field {name} diverged")
+
+
+def test_superstep_gcap_compaction(small_fm):
+    """GCAP compact wire == dense wire streams; lanes spilling past a
+    tiny GCAP must flag overflow with zeroed counts."""
+    from bwamem_tpu.ops.smem import smem_superstep
+    fwd, fm = small_fm
+    rng = np.random.default_rng(41)
+    B, L, M = 64, 64, 16
+    d, (q, qlen, x, mi, act) = _case_args(fwd, fm, B, L, rng, False,
+                                          False, False)
+    q8 = jnp.asarray(np.asarray(q, np.int8))
+    slens = jnp.full(B, 29, jnp.int32)
+    swid = jnp.full(B, 10, jnp.int32)
+    kw = dict(L=L, M=M, OUT_CAP=48, PALLAS=False)
+    o0, o1, os_, oqb, oqe, n, over = smem_superstep(
+        d.blocks, d.primary, d.L2, q8, qlen, mi, act, slens, swid,
+        NEED_X1=True, **kw)
+    n_np = np.where(np.asarray(over), 0, np.asarray(n, np.int64))
+    mask = np.arange(48)[None, :] < n_np[:, None]
+    want = [np.asarray(a)[mask] for a in (o0, o1, os_, oqb, oqe)]
+
+    c0, c1, cs, cqb, cqe, cn, cover = smem_superstep(
+        d.blocks, d.primary, d.L2, q8, qlen, mi, act, slens, swid,
+        NEED_X1=True, GCAP=B * 12, **kw)
+    assert np.array_equal(np.asarray(cover), np.asarray(over))
+    np.testing.assert_array_equal(np.asarray(cn), n_np)
+    tot = int(n_np.sum())
+    for name, w, c in zip("01sbe", want, (c0, c1, cs, cqb, cqe)):
+        np.testing.assert_array_equal(
+            np.asarray(c, np.int64)[:tot], w.astype(np.int64),
+            err_msg=f"compact stream {name} diverged")
+
+    # tiny GCAP: later lanes spill -> flagged over, counts zeroed, and
+    # the surviving prefix still matches the dense streams
+    g = max(8, tot // 3)
+    s0, s1, ss, sqb, sqe, sn, sov = smem_superstep(
+        d.blocks, d.primary, d.L2, q8, qlen, mi, act, slens, swid,
+        NEED_X1=True, GCAP=g, **kw)
+    sov, sn = np.asarray(sov), np.asarray(sn, np.int64)
+    assert sov.sum() > np.asarray(over).sum()
+    assert (sn[sov] == 0).all()
+    keep = int(sn.sum())
+    assert keep <= g
+    base = np.cumsum(n_np) - n_np
+    lane_keep = ~sov
+    want0 = np.asarray(o0)[np.arange(48)[None, :]
+                           < np.where(lane_keep, n_np, 0)[:, None]]
+    np.testing.assert_array_equal(np.asarray(s0, np.int64)[:keep],
+                                  want0.astype(np.int64))
