@@ -154,17 +154,19 @@ def _gather_planes(tbl_ref, blkidx, NBP, C):
     return acc.astype(i32)
 
 
-def _build_smem1(L, M, blk, NBP, primary, L2, q, tbl_ref):
+def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref):
     """Shared tracer for one smem1 pass (fwd + bwd) over a lane block.
     Returns smem1_sub(x, min_iv, act) -> (ret, n_mem, m0, m1, ms, mqb,
     mqe, over) with act/over as int32 (1, blk) rows.  Exact port of
-    ops.smem._smem1_impl (software/bwt.c:776-835)."""
+    ops.smem._smem1_impl (software/bwt.c:776-835).  `qp` is the query
+    tile 4-bit packed, (L/2, blk): two bases per byte so the wire pays
+    half the upload; sel_q decodes nibbles in place."""
     i32 = jnp.int32
     MC = max(1, min(M, (4 << 20) // (NBP * 2 * blk * 2)))
     while M % MC:
         MC -= 1
 
-    jvL = lax.broadcasted_iota(i32, (L, blk), 0)
+    jvL2 = lax.broadcasted_iota(i32, (L // 2, blk), 0)
     jvM = lax.broadcasted_iota(i32, (M, blk), 0)
     j4 = lax.broadcasted_iota(i32, (4, blk), 0)
     zM = jnp.zeros((M, blk), i32)
@@ -180,7 +182,14 @@ def _build_smem1(L, M, blk, NBP, primary, L2, q, tbl_ref):
         return jnp.concatenate(rows, axis=0)
 
     def sel_q(ii):
-        return jnp.sum(jnp.where(jvL == ii, q, Z), axis=0, keepdims=True)
+        """query[ii[b], b] from the packed tile: select byte ii>>1,
+        then the (ii&1)-th nibble."""
+        half = jnp.sum(jnp.where(
+            jvL2 == lax.shift_right_logical(ii, ONE), qp, Z), axis=0,
+            keepdims=True)
+        return jnp.where((ii & ONE) != Z,
+                         lax.shift_right_logical(half, np.int32(4)),
+                         half & np.int32(15))
 
     def sel_rowM(a, idx):
         return jnp.sum(jnp.where(jvM == idx, a, Z), axis=0, keepdims=True)
@@ -473,10 +482,10 @@ def _make_kernel(L, M, blk, NBP):
         x = par_ref[1:2, :]
         min_iv = par_ref[2:3, :]
         active = par_ref[3:4, :]
-        q = q_ref[:, :].astype(i32)
+        qp = q_ref[:, :].astype(i32)
 
         smem1_sub, bind_qlen, _, _ = _build_smem1(
-            L, M, blk, NBP, primary, L2, q, tbl_ref)
+            L, M, blk, NBP, primary, L2, qp, tbl_ref)
         bind_qlen(qlen)
         (ret, n_mem, m0, m1, ms, mqb, mqe, overflow) = smem1_sub(
             x, min_iv, active)
@@ -513,10 +522,10 @@ def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP):
         active = par_ref[2:3, :]
         split_len = par_ref[3:4, :]
         split_width = par_ref[4:5, :]
-        q = q_ref[:, :].astype(i32)
+        qp = q_ref[:, :].astype(i32)
 
         smem1_sub, bind_qlen, excl_prefix, jvM = _build_smem1(
-            L, M, blk, NBP, primary, L2, q, tbl_ref)
+            L, M, blk, NBP, primary, L2, qp, tbl_ref)
         bind_qlen(qlen)
         jvO = lax.broadcasted_iota(i32, (_OC2, blk), 0)
         zO = jnp.zeros((_OC2, blk), i32)
@@ -677,8 +686,17 @@ def _scal_row(primary, L2):
         jnp.zeros(2, i32)]).reshape(1, 8)
 
 
+def _pack_q(q, L, packed):
+    """(B, L) bases -> (B, L/2) two-per-byte (device-side when the
+    caller didn't pre-pack on the host)."""
+    if packed:
+        return q.astype(jnp.int8)
+    q = q.astype(jnp.int8)
+    return q[:, 0::2] | (q[:, 1::2] << np.int8(4))
+
+
 def smem1_pallas(tbl, primary, L2, q, qlen, x, min_intv, active,
-                 L: int, M: int, interpret=None):
+                 L: int, M: int, interpret=None, packed=False):
     """Drop-in twin of ops.smem._smem1_impl (M_OUT=0 form) backed by the
     Mosaic kernel.  `tbl` is prep_table(blocks); all coordinates int32.
 
@@ -690,7 +708,7 @@ def smem1_pallas(tbl, primary, L2, q, qlen, x, min_intv, active,
     assert B % blk == 0, (B, blk)
     NBP = tbl.shape[1]
 
-    qT = q.astype(jnp.int8).T                       # (L, B)
+    qT = _pack_q(q, L, packed).T                    # (L/2, B)
     params = jnp.concatenate([
         qlen.astype(i32)[None, :],
         x.astype(i32)[None, :],
@@ -711,7 +729,7 @@ def smem1_pallas(tbl, primary, L2, q, qlen, x, min_intv, active,
                 pl.BlockSpec((1, 8), lambda b: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((48, NBP), lambda b: (0, 0)),
-                pl.BlockSpec((L, blk), lambda b: (0, b)),
+                pl.BlockSpec((L // 2, blk), lambda b: (0, b)),
                 pl.BlockSpec((8, blk), lambda b: (0, b)),
             ],
             out_specs=pl.BlockSpec((R, blk), lambda b: (0, b)),
@@ -732,7 +750,8 @@ def smem1_pallas(tbl, primary, L2, q, qlen, x, min_intv, active,
 def superstep_pallas(tbl, primary, L2, q, qlen, min_intv, active,
                      split_len, split_width,
                      L: int, M: int, OUT_CAP: int,
-                     NEED_X1: bool = True, interpret=None):
+                     NEED_X1: bool = True, interpret=None,
+                     packed=False):
     """Drop-in twin of ops.smem.smem_superstep backed by the all-in-one
     Mosaic kernel.  Same returns: (o0, o1, os, oqb uint8, oqe uint8,
     n_out uint8, overflow bool)."""
@@ -742,7 +761,7 @@ def superstep_pallas(tbl, primary, L2, q, qlen, min_intv, active,
     assert B % blk == 0, (B, blk)
     NBP = tbl.shape[1]
 
-    qT = q.astype(jnp.int8).T
+    qT = _pack_q(q, L, packed).T
     params = jnp.concatenate([
         qlen.astype(i32)[None, :],
         min_intv.astype(i32)[None, :],
@@ -765,7 +784,7 @@ def superstep_pallas(tbl, primary, L2, q, qlen, min_intv, active,
                 pl.BlockSpec((1, 8), lambda b: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((48, NBP), lambda b: (0, 0)),
-                pl.BlockSpec((L, blk), lambda b: (0, b)),
+                pl.BlockSpec((L // 2, blk), lambda b: (0, b)),
                 pl.BlockSpec((8, blk), lambda b: (0, b)),
             ],
             out_specs=pl.BlockSpec((R, blk), lambda b: (0, b)),

@@ -186,6 +186,9 @@ class BatchedSeeder:
             step_fn = (self.kernels.superstep if self.kernels is not None
                        else smem_superstep)
             kw = dict(GCAP=gcap) if gcap else {}
+            if self.kernels is None:  # halve the query upload
+                kw["QPACKED"] = True
+                qpad = qpad[:, 0::2] | (qpad[:, 1::2] << np.int8(4))
             dev = step_fn(
                 self.dfm.blocks, self.dfm.primary, self.dfm.L2,
                 jnp.asarray(qpad), jnp.asarray(qlen),
@@ -357,6 +360,9 @@ class BatchedSeeder:
             step_fn = (self.kernels.superstep if self.kernels is not None
                        else smem_superstep)
             kw = dict(GCAP=gcap) if gcap else {}
+            if self.kernels is None:  # halve the query upload
+                kw["QPACKED"] = True
+                qpad = qpad[:, 0::2] | (qpad[:, 1::2] << np.int8(4))
             dev = step_fn(
                 self.dfm.blocks, self.dfm.primary, self.dfm.L2,
                 jnp.asarray(qpad), jnp.asarray(qlen),

@@ -53,11 +53,13 @@ def _prev_valid_value(vals: jnp.ndarray, valid: jnp.ndarray, fill
     return prev
 
 
-@partial(jax.jit, static_argnames=("L", "M", "M_OUT", "PALLAS"))
+@partial(jax.jit, static_argnames=("L", "M", "M_OUT", "PALLAS",
+                                   "QPACKED"))
 def smem_iter_step(blocks, primary, L2,
                    q, qlen, x, min_intv, active,
                    split_len, split_width,
-                   L: int, M: int, M_OUT: int, PALLAS: bool = False):
+                   L: int, M: int, M_OUT: int, PALLAS: bool = False,
+                   QPACKED: bool = False):
     """One fused iterator step: the main smem1 pass plus, for lanes
     whose longest SMEM trips the re-seeding test
     (software/bwamem.c:185-204), the second smem1 pass from the middle
@@ -74,8 +76,12 @@ def smem_iter_step(blocks, primary, L2,
         def _impl(x_, mi_, act_):
             return _psm.smem1_pallas(_tbl, primary, L2, q, qlen,
                                      x_.astype(jnp.int32),
-                                     mi_.astype(jnp.int32), act_, L, M)
+                                     mi_.astype(jnp.int32), act_, L, M,
+                                     packed=QPACKED)
     else:
+        if QPACKED:
+            q = _unpack_q4(q, L)
+
         def _impl(x_, mi_, act_):
             return _smem1_impl(blocks, primary, L2, q, qlen, x_, mi_,
                                act_, L, M, 0)
@@ -152,14 +158,22 @@ def _compact_streams(o0, o1, os_, oqb, oqe, n_out, over, OUT_CAP,
             n_eff.astype(jnp.uint8), over)
 
 
+def _unpack_q4(q, L):
+    """(B, L/2) two-bases-per-byte -> (B, L) int8 (device-side; the
+    host packs so the upload pays half the bytes)."""
+    lo = q & np.int8(15)
+    hi = (q >> np.int8(4)) & np.int8(15)
+    return jnp.stack([lo, hi], axis=-1).reshape(q.shape[0], L)
+
+
 @partial(jax.jit, static_argnames=("L", "M", "OUT_CAP", "NEED_X1",
-                                   "PALLAS", "GCAP"))
+                                   "PALLAS", "GCAP", "QPACKED"))
 def smem_superstep(blocks, primary, L2,
                    q, qlen, min_intv, active,
                    split_len, split_width,
                    L: int, M: int, OUT_CAP: int,
                    NEED_X1: bool = True, PALLAS: bool = False,
-                   GCAP: int = 0):
+                   GCAP: int = 0, QPACKED: bool = False):
     """The WHOLE per-read SMEM iterator fused into one dispatch: an
     outer while_loop advances every lane's iterator round in lock-step
     (pass1 + re-seed test + pass2 + ordered merge, software/
@@ -183,13 +197,15 @@ def smem_superstep(blocks, primary, L2,
         r = _psm.superstep_pallas(
             _psm.prep_table(blocks), primary, L2, q, qlen,
             min_intv.astype(jnp.int32), active, split_len, split_width,
-            L=L, M=M, OUT_CAP=OUT_CAP, NEED_X1=True)
+            L=L, M=M, OUT_CAP=OUT_CAP, NEED_X1=True, packed=QPACKED)
         if GCAP:
             return _compact_streams(*r, OUT_CAP, GCAP, NEED_X1)
         if not NEED_X1:
             r = (r[0], jnp.zeros((1, 1), r[0].dtype)) + r[2:]
         return r
 
+    if QPACKED:
+        q = _unpack_q4(q, L)
     B = q.shape[0]
     cdt = L2.dtype
     i32 = jnp.int32
