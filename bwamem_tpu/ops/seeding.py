@@ -45,6 +45,11 @@ MIN_SEED_WAVE = int(_os.environ.get("BWAMEM_TPU_MIN_SEED_WAVE", "32"))
 # over the ~20-35 MB/s link; lanes spilling past LANES*GCAP_PER go to
 # the host oracle like any cap overflow
 GCAP_PER = int(_os.environ.get("BWAMEM_TPU_GCAP_PER_LANE", "12"))
+# fused superstep+SA dispatch (ops.smem.smem_superstep_sa): occurrence
+# keys expand on device and the psi-walk runs in the same dispatch —
+# one fetch returns intervals AND SA values (0 disables)
+FUSE_SA = _os.environ.get("BWAMEM_TPU_FUSE_SA", "1") != "0"
+KEY_CAP = int(_os.environ.get("BWAMEM_TPU_KEY_CAP", str(8 * LANES)))
 
 
 class BatchedSeeder:
@@ -336,13 +341,19 @@ class BatchedSeeder:
         read_off, in the exact per-read stream order of the list form.
         Overflow lanes re-run on the host oracle and are spliced back
         in place."""
-        from .smem import smem_superstep
+        from .smem import smem_superstep, smem_superstep_sa
         from ..config import MEM_F_NO_EXACT
         import jax
         import jax.numpy as jnp
         start_width = 2 if (opt.flag & MEM_F_NO_EXACT) else 1
         sl_init = int(opt.min_seed_len * opt.split_factor + .499)
         out_cap = int(_os.environ.get("BWAMEM_TPU_OUT_CAP", "48"))
+        fuse = FUSE_SA and self.kernels is None
+        d = self.dfm
+        if fuse and self.use_pallas_sa and self._pa_tbl is None:
+            from . import pallas_smem as psm
+            self._pa_tbl = jax.jit(psm.prep_table)(d.blocks)
+            self._pa_sa = jax.jit(psm.prep_sa_table)(d.sa)
         pend = []
         for lo in range(0, len(queries), LANES):
             grp = queries[lo:lo + LANES]
@@ -363,21 +374,44 @@ class BatchedSeeder:
             if self.kernels is None:  # halve the query upload
                 kw["QPACKED"] = True
                 qpad = qpad[:, 0::2] | (qpad[:, 1::2] << np.int8(4))
-            dev = step_fn(
-                self.dfm.blocks, self.dfm.primary, self.dfm.L2,
+            common = (
                 jnp.asarray(qpad), jnp.asarray(qlen),
                 jnp.full(B, start_width, dtype=self.dfm.L2.dtype),
                 jnp.asarray(active), jnp.asarray(slens),
-                jnp.full(B, opt.split_width, np.int32),
-                L=self.L, M=self.M, OUT_CAP=out_cap, NEED_X1=False,
-                PALLAS=self.use_pallas, **kw)
+                jnp.full(B, opt.split_width, np.int32))
+            if fuse:
+                z8 = jnp.zeros((1, 8), jnp.bfloat16)
+                dev = smem_superstep_sa(
+                    d.blocks, d.primary, d.L2, d.seq_len, d.sa,
+                    self._pa_tbl if self.use_pallas_sa else z8,
+                    self._pa_sa if self.use_pallas_sa else z8,
+                    *common,
+                    jnp.int32(opt.min_seed_len), jnp.int32(opt.max_occ),
+                    L=self.L, M=self.M, OUT_CAP=out_cap,
+                    PALLAS=self.use_pallas, QPACKED=True,
+                    GCAP=gcap, KEY_CAP=KEY_CAP, SA_INTV=d.sa_intv,
+                    SA_STEPS=self.sa_max_steps,
+                    SA_PALLAS=self.use_pallas_sa)
+            else:
+                dev = step_fn(
+                    self.dfm.blocks, self.dfm.primary, self.dfm.L2,
+                    *common,
+                    L=self.L, M=self.M, OUT_CAP=out_cap, NEED_X1=False,
+                    PALLAS=self.use_pallas, **kw)
             pend.append((lo, grp, gcap, dev))
         xs, szs, qbs, qes, cnts = [], [], [], [], []
+        sa_vals, sa_over, sa_ok = [], [], True
         for lo, grp, gcap, dev in pend:
             get = lambda dev=dev: jax.device_get(dev)
-            (o0, _o1, os_, oqb, oqe, n_out,
-             over) = (self.timer._timed(get, _tag="smem")
-                      if self.timer else get())
+            res = (self.timer._timed(get, _tag="smem")
+                   if self.timer else get())
+            if fuse:
+                (o0, _o1, os_, oqb, oqe, n_out, over,
+                 g_vals, g_over, g_nk, g_kovf) = res
+            else:
+                o0, _o1, os_, oqb, oqe, n_out, over = res
+                g_vals = g_over = None
+                g_kovf = False
             ng = len(grp)
             n_l = np.asarray(n_out)[:ng].astype(np.int64)
             over_l = np.asarray(over)[:ng]
@@ -402,6 +436,16 @@ class BatchedSeeder:
                 # row-major selection == per-read stream order
                 gx, gs = o0[mask], os_[mask]
                 gqb, gqe = oqb[mask], oqe[mask]
+            if fuse:
+                # prefetched SA values are only usable when the group's
+                # streams survive unmodified (no oracle splice) and the
+                # key expansion fit KEY_CAP
+                if bool(g_kovf) or over_l.any():
+                    sa_ok = False
+                else:
+                    nk = int(g_nk)
+                    sa_vals.append(np.asarray(g_vals)[:nk])
+                    sa_over.append(np.asarray(g_over)[:nk])
             if over_l.any():
                 # splice host-oracle streams into the overflow rows
                 px = np.split(gx, np.cumsum(n_l)[:-1])
@@ -437,8 +481,16 @@ class BatchedSeeder:
                   else np.zeros(0, np.int64))
         read_off = np.zeros(len(queries) + 1, dtype=np.int64)
         np.cumsum(counts, out=read_off[1:])
-        return (x0.astype(np.int64), sz.astype(np.int64),
-                qb.astype(np.int64), qe.astype(np.int64), read_off)
+        iv = (x0.astype(np.int64), sz.astype(np.int64),
+              qb.astype(np.int64), qe.astype(np.int64), read_off)
+        if fuse and sa_ok:
+            self._sa_prefetch = (np.concatenate(sa_vals)
+                                 if sa_vals else np.zeros(0, np.int64),
+                                 np.concatenate(sa_over)
+                                 if sa_over else np.zeros(0, bool))
+        else:
+            self._sa_prefetch = None
+        return iv
 
     def seeds_from_arrays(self, fm_host, iv, opt):
         """Vectorized seed_positions over interval_arrays output:
@@ -457,6 +509,26 @@ class BatchedSeeder:
         if total == 0:
             z32 = np.zeros(0, np.int32)
             return z32, np.zeros(0, np.int64), z32, z32
+        pre = getattr(self, "_sa_prefetch", None)
+        if pre is not None and len(pre[0]) == total:
+            # the fused dispatch already resolved every key (same
+            # order: interval-major, occurrence-minor)
+            vals = pre[0].astype(np.int64)
+            over = pre[1]
+            if over.any():
+                base = np.repeat(x0k, szk)
+                excl = np.concatenate([[0], np.cumsum(szk)[:-1]])
+                ramp = (np.arange(total, dtype=np.int64)
+                        - np.repeat(excl, szk))
+                keys = base + ramp
+                for idx in np.nonzero(over)[0]:  # host fallback
+                    vals[idx] = fm_host.sa_lookup(int(keys[idx]))
+            self._sa_prefetch = None
+            read_ids = np.repeat(rdk, szk).astype(np.int32)
+            qbeg = np.repeat(qbk, szk).astype(np.int32)
+            slen_a = np.repeat(slk, szk).astype(np.int32)
+            return read_ids, vals, qbeg, slen_a
+        self._sa_prefetch = None
         base = np.repeat(x0k, szk)
         excl = np.concatenate([[0], np.cumsum(szk)[:-1]])
         ramp = np.arange(total, dtype=np.int64) - np.repeat(excl, szk)
@@ -480,7 +552,7 @@ class BatchedSeeder:
             vals[lo:lo + n_sl] = v[:n_sl]
             over[lo:lo + n_sl] = o[:n_sl]
         for idx in np.nonzero(over)[0]:  # host fallback
-            vals[idx] = fm_host.sa_lookup(int(karr[idx]))
+            vals[idx] = fm_host.sa_lookup(int(keys[idx]))
         read_ids = np.repeat(rdk, szk).astype(np.int32)
         qbeg = np.repeat(qbk, szk).astype(np.int32)
         slen_a = np.repeat(slk, szk).astype(np.int32)

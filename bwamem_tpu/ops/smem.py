@@ -535,3 +535,95 @@ def _smem1_impl(blocks, primary, L2, q, qlen, x, min_intv, active,
     mqb = _permute_cols(mqb, src, valid)
     mqe = _permute_cols(mqe, src, valid)
     return ret, n_mem, m0, m1, ms, mqb, mqe, overflow
+
+
+def ragged_expand(x0, sizes, K: int):
+    """Device-side ragged expansion: keys[g] = x0[i] + (g - excl[i])
+    for the interval i owning global slot g (the occurrence keys
+    bwt_sa consumes, software/bwamem.c:420) — built with two lax.sorts
+    and a forward-fill scan instead of jnp.repeat (whose gather-based
+    lowering measures ~26 ms at this size; the sorts are sub-ms).
+
+    Returns (keys[K] in x0.dtype, total): slots >= total are zeroed;
+    callers detect total > K and fall back to the host expansion."""
+    i32 = jnp.int32
+    G = x0.shape[0]
+    sizes = sizes.astype(i32)
+    cum = jnp.cumsum(sizes)
+    excl = cum - sizes
+    total = cum[-1]
+    BIGV = jnp.int32(2 ** 30)
+    startv = jnp.where(sizes > 0, excl, BIGV)
+    ev_val = jnp.concatenate([startv, jnp.arange(K, dtype=i32)])
+    # starts sort before slots on equal value (flag 0 < 1), so the
+    # inclusive forward fill covers a start landing exactly on its slot
+    ev_flag = jnp.concatenate([jnp.zeros(G, i32), jnp.ones(K, i32)])
+    ev_x0 = jnp.concatenate([x0, jnp.zeros(K, x0.dtype)])
+    ev_off = jnp.concatenate([excl, jnp.zeros(K, i32)])
+    sv, sf, sx, so = lax.sort((ev_val, ev_flag, ev_x0, ev_off),
+                              num_keys=2)
+
+    def fill(a, b):
+        ax, ao, as_ = a
+        bx, bo, bs = b
+        keep_b = bs != 0
+        return (jnp.where(keep_b, bx, ax), jnp.where(keep_b, bo, ao),
+                as_ | bs)
+
+    fx, fo, _ = lax.associative_scan(
+        fill, (sx, so, jnp.where(sf == 0, 1, 0)))
+    keyv = fx + (sv - fo).astype(x0.dtype)
+    # pull the K slot entries back out, in slot order: starts first
+    # (flag 0), slots ordered by sv == slot id
+    _, _, out = lax.sort((sf, sv, keyv), num_keys=2)
+    keys = out[G:G + K]
+    gk = jnp.arange(K, dtype=i32)
+    return jnp.where(gk < total, keys, jnp.zeros((), x0.dtype)), total
+
+
+@partial(jax.jit, static_argnames=(
+    "L", "M", "OUT_CAP", "PALLAS", "GCAP", "QPACKED", "KEY_CAP",
+    "SA_INTV", "SA_STEPS", "SA_PALLAS"))
+def smem_superstep_sa(blocks, primary, L2, seq_len, sa, sa_tbl, sa_planes,
+                      q, qlen, min_intv, active, split_len, split_width,
+                      min_seed_len, max_occ,
+                      L: int, M: int, OUT_CAP: int,
+                      PALLAS: bool, GCAP: int, QPACKED: bool,
+                      KEY_CAP: int, SA_INTV: int, SA_STEPS: int,
+                      SA_PALLAS: bool):
+    """Superstep + the whole seed SA resolution in ONE dispatch: the
+    compact interval stream stays on device, expands into per-occurrence
+    keys (ragged_expand, the exact key order of the host expansion in
+    seeding.seeds_from_arrays), and the inverse-Psi walk runs
+    immediately — one result fetch returns intervals AND SA values,
+    saving a fetch round trip and the key upload per chunk.
+
+    Returns superstep's 7-tuple + (sa_vals[KEY_CAP], sa_over[KEY_CAP],
+    n_keys, key_overflow); key_overflow means the expansion spilled
+    KEY_CAP and the caller must redo SA the split way."""
+    assert GCAP > 0, "the fused SA path requires the compact wire"
+    r = smem_superstep(blocks, primary, L2, q, qlen, min_intv, active,
+                       split_len, split_width, L=L, M=M,
+                       OUT_CAP=OUT_CAP, NEED_X1=False, PALLAS=PALLAS,
+                       GCAP=GCAP, QPACKED=QPACKED)
+    c0, _c1, cs, cqb, cqe, n, over = r
+    i32 = jnp.int32
+    total = jnp.sum(n.astype(i32))
+    gk = jnp.arange(GCAP, dtype=i32)
+    slen = cqe.astype(i32) - cqb.astype(i32)
+    keep = ((gk < total) & (slen >= min_seed_len.astype(i32))
+            & (cs <= max_occ.astype(cs.dtype)))
+    sizes = jnp.where(keep, cs, 0).astype(i32)
+    keys, n_keys = ragged_expand(c0, sizes, KEY_CAP)
+    kovf = n_keys > KEY_CAP
+    if SA_PALLAS:
+        from .pallas_smem import sa_lookup_pallas
+        vals, over_sa = sa_lookup_pallas(
+            sa_tbl, sa_planes, primary, L2, seq_len, SA_INTV,
+            keys.astype(i32), max_steps=SA_STEPS)
+    else:
+        from .fm import sa_lookup_batched
+        vals, over_sa = sa_lookup_batched(
+            blocks, primary, L2, seq_len, sa, SA_INTV, keys,
+            max_steps=SA_STEPS)
+    return r + (vals, over_sa, n_keys.astype(i32), kovf)
