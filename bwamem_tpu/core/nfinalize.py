@@ -160,19 +160,22 @@ def _concat_strs(items: List[str]):
     return b"".join(parts), off
 
 
-def _pack_chunk(reads, regs: List[list]):
-    """Flatten a chunk's reads + regions into the native-call arrays."""
+def _pack_chunk(reads, regs):
+    """Flatten a chunk's reads + regions into the native-call arrays.
+    Regions already flat (FlatRegs from the native region builder) pass
+    through without materializing AlnReg objects."""
     n = len(reads)
-    seq_off = np.zeros(n + 1, dtype=np.int64)
-    for i, r in enumerate(reads):
-        seq_off[i + 1] = seq_off[i] + len(r.seq_nt4)
-    seqs = np.empty(int(seq_off[-1]), dtype=np.uint8)
-    for i, r in enumerate(reads):
-        seqs[int(seq_off[i]):int(seq_off[i + 1])] = r.seq_nt4
+    seqs, seq_off = pack_seqs(reads)
 
     names, name_off = _concat_strs([r.name for r in reads])
     quals, qual_off = _concat_strs([r.qual or "" for r in reads])
     comms, comm_off = _concat_strs([r.comment or "" for r in reads])
+
+    if isinstance(regs, FlatRegs):
+        (reg_off, rb, re_, qb, qe, sc, ts, cs, wv, sv) = regs.arrays
+        return (seqs, seq_off, names, name_off, quals, qual_off, comms,
+                comm_off, np.ascontiguousarray(reg_off, np.int64), rb,
+                re_, qb, qe, sc, ts, cs, wv, sv)
 
     n_regs = sum(len(g) for g in regs)
     reg_off = np.zeros(n + 1, dtype=np.int64)
@@ -286,15 +289,66 @@ def chain_batch_native(l_pac: int, w: int, max_chain_gap: int,
 
 
 def pack_seqs(reads):
-    """Concatenated nt4 queries + int64 offsets."""
+    """Concatenated nt4 queries + int64 offsets.  Cached on the chunk's
+    first read object (a chunk's pack + finalize both flatten the same
+    list; the attribute dies with the chunk, so no id-reuse hazard)."""
     n = len(reads)
+    if n:
+        cached = getattr(reads[0], "_packed_seqs", None)
+        if cached is not None and cached[2] == n:
+            return cached[0], cached[1]
     seq_off = np.zeros(n + 1, dtype=np.int64)
     for i, r in enumerate(reads):
         seq_off[i + 1] = seq_off[i] + len(r.seq_nt4)
     seqs = np.empty(int(seq_off[-1]), dtype=np.uint8)
     for i, r in enumerate(reads):
         seqs[int(seq_off[i]):int(seq_off[i + 1])] = r.seq_nt4
+    if n:
+        try:
+            reads[0]._packed_seqs = (seqs, seq_off, n)
+        except AttributeError:
+            pass
     return seqs, seq_off
+
+
+class FlatRegs:
+    """A chunk's alignment regions as the native flat arrays
+    (reg_off + per-region columns), with lazy per-read AlnReg lists for
+    any consumer that indexes/iterates — the SE finalize consumes the
+    arrays directly, skipping the materialize/re-flatten round trip."""
+
+    __slots__ = ("arrays", "_lists")
+
+    def __init__(self, arrays):
+        self.arrays = arrays  # (reg_off, rb, re, qb, qe, sc, ts, cs, w, sv)
+        self._lists = None
+
+    def lists(self):
+        if self._lists is None:
+            from .region import AlnReg
+            (reg_off, o_rb, o_re, o_qb, o_qe, o_sc, o_ts, o_cs, o_w,
+             o_sv) = self.arrays
+            rb_l, re_l = o_rb.tolist(), o_re.tolist()
+            qb_l, qe_l = o_qb.tolist(), o_qe.tolist()
+            sc_l, ts_l = o_sc.tolist(), o_ts.tolist()
+            cs_l, w_l, sv_l = o_cs.tolist(), o_w.tolist(), o_sv.tolist()
+            off = reg_off.tolist()
+            self._lists = [
+                [AlnReg(rb=rb_l[k], re=re_l[k], qb=qb_l[k], qe=qe_l[k],
+                        score=sc_l[k], truesc=ts_l[k], csub=cs_l[k],
+                        w=w_l[k], seedcov=sv_l[k])
+                 for k in range(off[i], off[i + 1])]
+                for i in range(len(off) - 1)]
+        return self._lists
+
+    def __len__(self):
+        return len(self.arrays[0]) - 1
+
+    def __iter__(self):
+        return iter(self.lists())
+
+    def __getitem__(self, i):
+        return self.lists()[i]
 
 
 def flatten_chains(chains):
@@ -429,9 +483,11 @@ def regions_batch_native(opt, l_pac: int, pac_arr, reads, chains,
 
 
 def regions_batch_native_flat(opt, l_pac: int, pac_arr, reads, flat,
-                              ext_arrays) -> Optional[List[list]]:
+                              ext_arrays, as_flat: bool = False):
     """regions_batch_native with flat chain arrays + per-seed extension
-    result arrays (no Chain objects or result tuples)."""
+    result arrays (no Chain objects or result tuples).  `as_flat`
+    returns a FlatRegs (arrays stay flat for the native finalize;
+    AlnReg lists materialize lazily for other consumers)."""
     lib = _load()
     if lib is None:
         return None
@@ -481,6 +537,9 @@ def regions_batch_native_flat(opt, l_pac: int, pac_arr, reads, flat,
         _ptr(o_sv, _I32P))
     if n_out < 0:
         return None
+    if as_flat:
+        return FlatRegs((reg_off, o_rb, o_re, o_qb, o_qe, o_sc, o_ts,
+                         o_cs, o_w, o_sv))
     rb_l = o_rb.tolist()
     re_l = o_re.tolist()
     qb_l = o_qb.tolist()

@@ -497,7 +497,8 @@ class JaxSeedingEngine:
                     "device==software\n" % len(e_sc))
         return regions_batch_native_flat(
             opt, bns.l_pac, pac, reads, flat,
-            (e_sc, e_ts, e_qb, e_rb, e_qe, e_re, e_a0, e_a1))
+            (e_sc, e_ts, e_qb, e_rb, e_qe, e_re, e_a0, e_a1),
+            as_flat=True)
 
     def _align_batch_native(self, opt, bns, pac, reads, flat,
                             packed=None):
