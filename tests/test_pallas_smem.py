@@ -232,3 +232,42 @@ def test_superstep_gcap_compaction(small_fm):
                            < np.where(lane_keep, n_np, 0)[:, None]]
     np.testing.assert_array_equal(np.asarray(s0, np.int64)[:keep],
                                   want0.astype(np.int64))
+
+
+def test_fused_sa_matches_split(small_fm, monkeypatch):
+    """interval_arrays + seeds_from_arrays with the fused superstep+SA
+    dispatch must produce exactly the split path's seeds."""
+    import bwamem_tpu.ops.seeding as sd
+    from bwamem_tpu.ops.fm import DeviceFmIndex
+    from bwamem_tpu.config import MemOptions
+    fwd, fm = small_fm
+    d = DeviceFmIndex.from_host(fm)
+    opt = MemOptions()
+    rng = np.random.default_rng(53)
+    queries = []
+    for i in range(60):
+        n = int(rng.integers(40, 101))
+        off = int(rng.integers(0, len(fwd) - n))
+        q = fwd[off:off + n].copy()
+        if rng.random() < 0.4:
+            q[int(rng.integers(0, n))] = int(rng.integers(0, 4))
+        queries.append(q)
+
+    def run(fuse):
+        monkeypatch.setattr(sd, "FUSE_SA", fuse)
+        s = sd.BatchedSeeder(d, max_len=128, sa_max_steps=1024,
+                             fm_host=fm)
+        iv = s.interval_arrays(opt, queries)
+        seeds = s.seeds_from_arrays(fm, iv, opt)
+        return iv, seeds
+
+    iv_a, seeds_a = run(False)
+    iv_b, seeds_b = run(True)
+    for x, y in zip(iv_a, iv_b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for name, x, y in zip(["rid", "rbeg", "qb", "len"], seeds_a,
+                          seeds_b):
+        np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y),
+            err_msg=f"fused-SA seeds field {name} diverged")
+    assert len(seeds_b[0]) > 0
