@@ -101,9 +101,22 @@ def main():
     # amortize the fixed per-chunk dispatch round trips (A/B: 4x reads
     # per chunk lifted measured throughput ~15%)
     import copy
+    import random
     rep = int(os.environ.get("BWAMEM_TPU_BENCH_REP", "16"))
     n_chunks = int(os.environ.get("BWAMEM_TPU_BENCH_CHUNKS", "4"))
-    chunks = [[copy.copy(r) for r in reads * rep] for _ in range(n_chunks)]
+    # distinct read ORDER per chunk: the axon relay returns repeated
+    # identical dispatches anomalously fast, so byte-identical chunks
+    # flatter the number (round-2 verdict).  Shuffling keeps the
+    # workload statistics while making every dispatch buffer unique.
+    # BWAMEM_TPU_BENCH_LEGACY=1 restores the round-2 identical-chunk
+    # workload for comparability.
+    legacy = os.environ.get("BWAMEM_TPU_BENCH_LEGACY")
+    chunks = []
+    for ci in range(n_chunks):
+        c = [copy.copy(r) for r in reads * rep]
+        if not legacy:
+            random.Random(1000 + ci).shuffle(c)
+        chunks.append(c)
     n_work = sum(len(c) for c in chunks)
 
     sys.stderr.write("[bench] engine ready (device tables uploaded)\n")

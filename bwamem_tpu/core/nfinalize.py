@@ -291,11 +291,14 @@ def chain_batch_native(l_pac: int, w: int, max_chain_gap: int,
 def pack_seqs(reads):
     """Concatenated nt4 queries + int64 offsets.  Cached on the chunk's
     first read object (a chunk's pack + finalize both flatten the same
-    list; the attribute dies with the chunk, so no id-reuse hazard)."""
+    list); keyed on length AND last-read identity so two distinct
+    same-length lists sharing the first read cannot alias (the held
+    reference cannot be id-recycled)."""
     n = len(reads)
     if n:
         cached = getattr(reads[0], "_packed_seqs", None)
-        if cached is not None and cached[2] == n:
+        if cached is not None and cached[2] == n \
+                and cached[3] is reads[-1]:
             return cached[0], cached[1]
     seq_off = np.zeros(n + 1, dtype=np.int64)
     for i, r in enumerate(reads):
@@ -305,7 +308,7 @@ def pack_seqs(reads):
         seqs[int(seq_off[i]):int(seq_off[i + 1])] = r.seq_nt4
     if n:
         try:
-            reads[0]._packed_seqs = (seqs, seq_off, n)
+            reads[0]._packed_seqs = (seqs, seq_off, n, reads[-1])
         except AttributeError:
             pass
     return seqs, seq_off

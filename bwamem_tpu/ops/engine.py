@@ -438,8 +438,12 @@ class JaxSeedingEngine:
         (once per index), and per-seed read ids."""
         import jax
         import jax.numpy as jnp
-        key = (id(pac), int(bns.l_pac))
-        if self._pacp is None or self._pacp_key != key:
+        # key holds the pac array itself (not id(pac)): the reference
+        # pins the object, so identity cannot be recycled
+        key = (pac, int(bns.l_pac))
+        if self._pacp is None or self._pacp_key is None \
+                or self._pacp_key[0] is not pac \
+                or self._pacp_key[1] != key[1]:
             from .pallas_extbuild import prep_pac_planes
             self._pacp = jax.device_put(jnp.asarray(
                 prep_pac_planes(pac), jnp.bfloat16))

@@ -350,6 +350,8 @@ def sa_lookup_batched(blocks, primary, L2, seq_len, sa, sa_intv: int,
     must be resolved by the host fallback (the reference's own
     HW-caps/CPU-fallback pattern, software/bwt.c:603-717)."""
     cdt = primary.dtype
+    assert sa_intv & (sa_intv - 1) == 0, \
+        f"sa_intv must be a power of two, got {sa_intv}"
     mask = jnp.asarray(sa_intv - 1, cdt)
 
     def body(state):

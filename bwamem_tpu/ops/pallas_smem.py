@@ -154,17 +154,25 @@ def _gather_planes(tbl_ref, blkidx, NBP, C):
     return acc.astype(i32)
 
 
-def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref):
+def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
+                 gather_words=None, MC=None):
     """Shared tracer for one smem1 pass (fwd + bwd) over a lane block.
     Returns smem1_sub(x, min_iv, act) -> (ret, n_mem, m0, m1, ms, mqb,
     mqe, over) with act/over as int32 (1, blk) rows.  Exact port of
     ops.smem._smem1_impl (software/bwt.c:776-835).  `qp` is the query
     tile 4-bit packed, (L/2, blk): two bases per byte so the wire pays
-    half the upload; sel_q decodes nibbles in place."""
+    half the upload; sel_q decodes nibbles in place.
+
+    `gather_words` (optional) replaces the one-hot byte-plane gather:
+    gather_words(blkidx (1, C)) -> (12, C) int32 occ-block words in _WL
+    order — the hook the HBM-resident DMA path (ops.pallas_bigsmem)
+    plugs in.  `MC` overrides the backward-pass chunk width (defaults
+    to the one-hot VMEM-slab formula)."""
     i32 = jnp.int32
-    MC = max(1, min(M, (4 << 20) // (NBP * 2 * blk * 2)))
-    while M % MC:
-        MC -= 1
+    if MC is None:
+        MC = max(1, min(M, (4 << 20) // (NBP * 2 * blk * 2)))
+        while M % MC:
+            MC -= 1
 
     jvL2 = lax.broadcasted_iota(i32, (L // 2, blk), 0)
     jvM = lax.broadcasted_iota(i32, (M, blk), 0)
@@ -813,13 +821,18 @@ MAX_SA_ROWS = int(os.environ.get("BWAMEM_TPU_PALLAS_SA_ROWS",
                                  "262144"))
 
 
-def sa_pallas_available(n_blocks: int, n_sa: int, cdt) -> bool:
+def sa_pallas_available(n_blocks: int, n_sa: int, cdt,
+                        sa_intv: int = None) -> bool:
     if not _HAVE_PALLAS:
         return False
     flag = os.environ.get("BWAMEM_TPU_PALLAS_SMEM", "1")
     if flag == "0":
         return False
     if jax.default_backend() != "tpu" and flag != "force":
+        return False
+    # the walk kernel (like the XLA twin's mask) assumes a power-of-two
+    # SA sampling interval; a non-pow2 sa_intv must take the host path
+    if sa_intv is not None and (sa_intv & (sa_intv - 1)) != 0:
         return False
     return cdt == jnp.int32 and n_blocks <= MAX_BLOCKS \
         and n_sa <= MAX_SA_ROWS
@@ -940,6 +953,8 @@ def sa_lookup_pallas(tbl, sa_planes, primary, L2, seq_len, sa_intv: int,
     assert B % blk == 0, (B, blk)
     NBP = tbl.shape[1]
     NSP = sa_planes.shape[1]
+    assert sa_intv & (sa_intv - 1) == 0, \
+        f"sa_intv must be a power of two, got {sa_intv}"
     sa_shift = int(np.log2(sa_intv))
 
     params = jnp.concatenate([

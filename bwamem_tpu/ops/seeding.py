@@ -95,7 +95,8 @@ class BatchedSeeder:
         # gather per inverse-Psi step, sampled-SA finish in-kernel
         self.use_pallas_sa = (kernels is None and SA_SLICE % 128 == 0
                               and sa_pallas_available(
-            dfm.blocks.shape[0], int(dfm.sa.shape[0]), dfm.cdt))
+            dfm.blocks.shape[0], int(dfm.sa.shape[0]), dfm.cdt,
+            sa_intv=dfm.sa_intv))
         self._pa_tbl = None  # byte-plane tables, device-resident
 
     def _sa_dispatch(self, pad: np.ndarray):
@@ -348,7 +349,9 @@ class BatchedSeeder:
         start_width = 2 if (opt.flag & MEM_F_NO_EXACT) else 1
         sl_init = int(opt.min_seed_len * opt.split_factor + .499)
         out_cap = int(_os.environ.get("BWAMEM_TPU_OUT_CAP", "48"))
-        fuse = FUSE_SA and self.kernels is None
+        # fused SA needs the compact wire (smem_superstep_sa asserts
+        # GCAP > 0): GCAP_PER=0 falls back to the split path
+        fuse = FUSE_SA and self.kernels is None and GCAP_PER > 0
         d = self.dfm
         if fuse and self.use_pallas_sa and self._pa_tbl is None:
             from . import pallas_smem as psm
@@ -484,10 +487,15 @@ class BatchedSeeder:
         iv = (x0.astype(np.int64), sz.astype(np.int64),
               qb.astype(np.int64), qe.astype(np.int64), read_off)
         if fuse and sa_ok:
+            # pairing token pins the iv this prefetch was computed for
+            # (object identity, not id(): the held reference cannot be
+            # recycled) plus the filter params baked into the dispatch
             self._sa_prefetch = (np.concatenate(sa_vals)
                                  if sa_vals else np.zeros(0, np.int64),
                                  np.concatenate(sa_over)
-                                 if sa_over else np.zeros(0, bool))
+                                 if sa_over else np.zeros(0, bool),
+                                 (read_off, float(opt.min_seed_len),
+                                  float(opt.max_occ)))
         else:
             self._sa_prefetch = None
         return iv
@@ -510,6 +518,11 @@ class BatchedSeeder:
             z32 = np.zeros(0, np.int32)
             return z32, np.zeros(0, np.int64), z32, z32
         pre = getattr(self, "_sa_prefetch", None)
+        if pre is not None and (
+                pre[2][0] is not iv[4]
+                or pre[2][1] != float(opt.min_seed_len)
+                or pre[2][2] != float(opt.max_occ)):
+            pre = None  # prefetch was for a different iv/opt
         if pre is not None and len(pre[0]) == total:
             # the fused dispatch already resolved every key (same
             # order: interval-major, occurrence-minor)
