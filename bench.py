@@ -73,6 +73,13 @@ def main():
     fm, bns = load_index(os.path.join(data, "genome.fa"))
     pac = bns.pac
     opt = MemOptions()
+    # BWAMEM_TPU_BENCH_PE=1: the reference's canonical workload shape —
+    # paired reads with `-M -a` (software/run.sh:1, README.md:13-17) —
+    # exercising mate rescue, mem_pair and bm_finalize_pe
+    pe = bool(os.environ.get("BWAMEM_TPU_BENCH_PE"))
+    if pe:
+        from bwamem_tpu.config import MEM_F_PE, MEM_F_ALL, MEM_F_NO_MULTI
+        opt.flag |= MEM_F_PE | MEM_F_ALL | MEM_F_NO_MULTI
     sys.stderr.write("[bench] index loaded\n")
     sys.stderr.flush()
 
@@ -93,8 +100,13 @@ def main():
     except Exception as ex:  # pragma: no cover
         sys.stderr.write(f"[bench] device engine unavailable: {ex}\n")
 
-    reader = ChunkReader(os.path.join(data, "reads_se.fq"))
-    reads = reader.read_chunk(1 << 30)
+    if pe:
+        reader = ChunkReader(os.path.join(data, "reads_1.fq"),
+                             os.path.join(data, "reads_2.fq"))
+        reads = reader.read_chunk(1 << 30)
+    else:
+        reader = ChunkReader(os.path.join(data, "reads_se.fq"))
+        reads = reader.read_chunk(1 << 30)
     # replicate to a steadier workload: 4 chunks of 8000 reads driven
     # through the chunk-pipelined stream (chunk k+1 seeds on the device
     # while chunk k's waves/finalize run on the host); bigger chunks
@@ -115,7 +127,12 @@ def main():
     for ci in range(n_chunks):
         c = [copy.copy(r) for r in reads * rep]
         if not legacy:
-            random.Random(1000 + ci).shuffle(c)
+            if pe:  # shuffle PAIRS: mates must stay interleaved
+                pairs = [c[i:i + 2] for i in range(0, len(c), 2)]
+                random.Random(1000 + ci).shuffle(pairs)
+                c = [r for p in pairs for r in p]
+            else:
+                random.Random(1000 + ci).shuffle(c)
         chunks.append(c)
     n_work = sum(len(c) for c in chunks)
 
@@ -175,7 +192,7 @@ def main():
              for k, v in stages.items()}))
 
     print(json.dumps({
-        "metric": "mem_align_throughput",
+        "metric": "mem_align_throughput" + ("_pe" if pe else ""),
         "value": round(rps, 2),
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_S, 4),

@@ -1,0 +1,374 @@
+"""HBM-resident big-table SMEM kernels: per-step DMA-wave gathers.
+
+The reference's core design point is an occ table too big for on-chip
+memory: the FPGA keeps the 3 GB BWT/occ array in host DRAM and fetches
+two 64-byte blocks per extension step over CCI-P on demand
+(hardware/afu_core.v:1428-1432, software/HelloALINLB.cpp:59-63).  The
+VMEM-resident one-hot gather of ops.pallas_smem scales O(n_blocks) per
+lookup and dies past ~24k blocks (~1.5 Mbp); the XLA native row gather
+is ~1.7 us/row serialized.  This module is the TPU-native analog of
+the FPGA's on-demand fetch: the occ table stays in HBM as 512-byte
+rows (8 consecutive 64-byte occ blocks — Mosaic DMAs must be 128-lane
+aligned), and each extension step issues one async row DMA per lane,
+all in flight together, then selects the 16-word block within the
+fetched row.  Measured on v5e (tools/microbench_dmawave.py): a
+256-lane wave costs ~8.5 us/step including the VMEM->SMEM index bounce
+(~20 ns marginal per DMA), INDEPENDENT of table size — the crossover
+vs the one-hot path is a few thousand blocks, and vs the XLA path it
+is ~100x at 4 Mbp scale.
+
+Only the gather differs from the ops.pallas_smem kernels: the full
+iterator/merge/output machinery is shared via the gather_factory hooks
+of _make_kernel/_make_superstep_kernel/_make_sa_kernel, so parity is
+inherited from the same traced program.
+
+int32 coordinates (genomes whose doubled pack fits 31 bits, i.e. up to
+~1 Gbp of reference); callers gate with smem1_pallas_big_available()
+and fall back to the XLA twin beyond.
+"""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+from .pallas_smem import (Z, ONE, BLK, _OC2, _make_kernel,
+                          _make_superstep_kernel, _make_sa_kernel,
+                          _pack_q, _scal_row)
+
+# backward-pass chunk width (rows of the prev-interval list sharing one
+# DMA wave); must divide M.  Bigger MC = fewer index bounces but wider
+# (often mostly-dead) waves — measured at 4 Mbp/B=2048: MC=1 120.6 ms,
+# MC=2 117.0 ms, MC=4 129.3 ms per superstep
+MC_BIG = int(os.environ.get("BWAMEM_TPU_BIG_MC", "2"))
+
+
+def smem1_pallas_big_available(n_blocks: int, cdt, L: int, M: int,
+                               out_cap: int = 48) -> bool:
+    """Feasibility gate (no table-size cap: that is the point).  The
+    caller picks big-vs-VMEM by n_blocks (pallas_smem.MAX_BLOCKS)."""
+    if not _HAVE_PALLAS:
+        return False
+    flag = os.environ.get("BWAMEM_TPU_PALLAS_BIGSMEM", "1")
+    if flag == "0":
+        return False
+    if jax.default_backend() != "tpu" and flag != "force":
+        return False
+    if cdt != jnp.int32:
+        return False
+    return (L % 32 == 0 and L <= 255 and M <= 32
+            and 2 * M <= _OC2 and out_cap <= _OC2)
+
+
+def sa_pallas_big_available(cdt, sa_intv: int) -> bool:
+    if not _HAVE_PALLAS:
+        return False
+    flag = os.environ.get("BWAMEM_TPU_PALLAS_BIGSMEM", "1")
+    if flag == "0":
+        return False
+    if jax.default_backend() != "tpu" and flag != "force":
+        return False
+    return cdt == jnp.int32 and (sa_intv & (sa_intv - 1)) == 0
+
+
+def prep_table_wide(blocks: jnp.ndarray) -> jnp.ndarray:
+    """(n_blocks, 16) uint32 occ table -> (ceil(n/8), 128) int32 wide
+    rows (8 blocks = 512 bytes each, the Mosaic DMA alignment unit).
+    Stays in HBM; one reshape, no byte planes."""
+    nb = blocks.shape[0]
+    pad = (-nb) % 8
+    b = blocks
+    if pad:
+        b = jnp.concatenate([b, jnp.zeros((pad, 16), blocks.dtype)])
+    return lax.bitcast_convert_type(b.reshape(-1, 128), jnp.int32)
+
+
+def prep_sa_wide(sa: jnp.ndarray) -> jnp.ndarray:
+    """(n_sa,) sampled SA -> (ceil(n/128), 128) int32 wide rows."""
+    n = sa.shape[0]
+    pad = (-n) % 128
+    s = sa.astype(jnp.int32)
+    if pad:
+        s = jnp.concatenate([s, jnp.zeros(pad, jnp.int32)])
+    return s.reshape(-1, 128)
+
+
+# semaphore space is tiny (2 KB): cap the DMA-sem array and cycle.
+# Sharing a semaphore across equal-size copies is sound — the counter
+# accumulates completions and each wait drains exactly one copy's bytes
+_NSEM = int(os.environ.get("BWAMEM_TPU_BIG_NSEM", "256"))
+
+
+def _scratch_shapes(Cmax: int):
+    nsem = min(Cmax, _NSEM)
+    return [
+        pltpu.VMEM((1, Cmax), jnp.int32),      # idxv: row ids, vector
+        pltpu.SMEM((1, Cmax), jnp.int32),      # idxs: row ids, scalar
+        pltpu.VMEM((Cmax, 128), jnp.int32),    # fetched 512-B rows
+        pltpu.SemaphoreType.DMA((nsem,)),
+        pltpu.SemaphoreType.DMA(()),           # index-bounce semaphore
+    ]
+
+
+def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int):
+    """Issue one DMA wave: rows[j] = tbl[rowi[0, j]] for j < C.  The
+    per-lane indices are VPU vectors; DMA starts need scalars, so they
+    bounce VMEM -> SMEM first (one small DMA), then a scalar loop
+    issues all C row copies before draining them — the copies fly
+    together, ~20 ns marginal each."""
+    idxv[0:1, 0:C] = rowi
+    cpb = pltpu.make_async_copy(idxv.at[0:1, pl.ds(0, C)],
+                                idxs.at[0:1, pl.ds(0, C)], bsem)
+    cpb.start()
+    cpb.wait()
+
+    nsem = sems.shape[0]
+    assert nsem & (nsem - 1) == 0, nsem
+    # issue/drain in 8-unrolled scalar loops: a plain fori_loop pays
+    # ~20 ns/iteration of loop overhead on the scalar core — at 2*C
+    # iterations that DOUBLED the wave cost (measured 20 us vs 9 us per
+    # 256-DMA step, tools/microbench_bigsmem.py gw)
+    U = 8
+    assert C % U == 0, (C, U)
+
+    def _cp(j):
+        return pltpu.make_async_copy(
+            tbl_ref.at[pl.ds(idxs[0, j], 1), :],
+            rows.at[pl.ds(j, 1), :],
+            sems.at[j & np.int32(nsem - 1)])
+
+    def issue(j8, c):
+        for u in range(U):
+            _cp(j8 * np.int32(U) + np.int32(u)).start()
+        return c
+
+    lax.fori_loop(0, C // U, issue, 0)
+
+    def drain(j8, c):
+        for u in range(U):
+            _cp(j8 * np.int32(U) + np.int32(u)).wait()
+        return c
+
+    lax.fori_loop(0, C // U, drain, 0)
+
+
+def _dma_factory(Cmax: int, MC: int):
+    """gather_factory for the pallas_smem kernel makers: per call,
+    fetch each lane's 512-byte row and cut out its 16-word occ block,
+    returning the (12, C) words the shared occ4T math consumes."""
+
+    def factory(tbl_ref, scratch):
+        idxv, idxs, rows, sems, bsem = scratch
+
+        def gather_words(blkidx):
+            C = blkidx.shape[1]
+            assert C <= Cmax, (C, Cmax)
+            rowi = lax.shift_right_logical(blkidx, np.int32(3))
+            sub = blkidx & np.int32(7)
+            _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C)
+            rT = rows[0:C, :].T                       # (128, C)
+            wf = jnp.zeros((16, C), jnp.int32)
+            for g in range(8):
+                wf = wf + jnp.where(sub == np.int32(g),
+                                    rT[g * 16:(g + 1) * 16, :], Z)
+            # _WL order: checkpoint lo words (0,2,4,6) then bwt (8..15);
+            # hi checkpoint words are zero for int32 genomes
+            return jnp.concatenate(
+                [wf[0:1], wf[2:3], wf[4:5], wf[6:7], wf[8:16]], axis=0)
+
+        return gather_words, MC
+
+    return factory
+
+
+def _sa_fetch_factory(blk: int):
+    """sa_fetch_factory for _make_sa_kernel: fetch the wide row holding
+    each lane's sampled-SA slot and select its lane."""
+
+    def factory(sa_ref, scratch):
+        idxv, idxs, rows, sems, bsem = scratch
+
+        def sa_fetch(si):                              # (1, blk)
+            rowi = lax.shift_right_logical(si, np.int32(7))
+            lanei = si & np.int32(127)
+            _wave(sa_ref, idxv, idxs, rows, sems, bsem, rowi, blk)
+            rT = rows[0:blk, :].T                      # (128, blk)
+            sl = lax.broadcasted_iota(jnp.int32, (128, blk), 0)
+            return jnp.sum(jnp.where(sl == lanei, rT, Z), axis=0,
+                           keepdims=True)
+
+        return sa_fetch
+
+    return factory
+
+
+def _pick_mc(M: int) -> int:
+    mc = max(1, min(M, MC_BIG))
+    while M % mc:
+        mc -= 1
+    return mc
+
+
+def _common_specs(L, blk):
+    return [
+        pl.BlockSpec((1, 8), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((L // 2, blk), lambda b: (0, b)),
+        pl.BlockSpec((8, blk), lambda b: (0, b)),
+    ]
+
+
+def smem1_pallas_big(tblw, primary, L2, q, qlen, x, min_intv, active,
+                     L: int, M: int, interpret=None, packed=False):
+    """Drop-in twin of pallas_smem.smem1_pallas backed by the DMA-wave
+    gather; `tblw` is prep_table_wide(blocks)."""
+    i32 = jnp.int32
+    B = q.shape[0]
+    blk = min(BLK, B)
+    assert B % blk == 0, (B, blk)
+    MC = _pick_mc(M)
+    Cmax = 2 * MC * blk
+
+    qT = _pack_q(q, L, packed).T
+    params = jnp.concatenate([
+        qlen.astype(i32)[None, :],
+        x.astype(i32)[None, :],
+        min_intv.astype(i32)[None, :],
+        active.astype(i32)[None, :],
+        jnp.zeros((4, B), i32),
+    ], axis=0)
+
+    R = 3 + 5 * M + ((-(3 + 5 * M)) % 8)
+    kernel = _make_kernel(L, M, blk, 128,
+                          gather_factory=_dma_factory(Cmax, MC))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(B // blk,),
+            in_specs=_common_specs(L, blk),
+            out_specs=pl.BlockSpec((R, blk), lambda b: (0, b)),
+            out_shape=jax.ShapeDtypeStruct((R, B), i32),
+            scratch_shapes=_scratch_shapes(Cmax),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(_scal_row(primary, L2), tblw, qT, params)
+    ret = out[0]
+    n_mem = out[1]
+    over = out[2] != 0
+    m0 = out[3:3 + M].T
+    m1 = out[3 + M:3 + 2 * M].T
+    ms = out[3 + 2 * M:3 + 3 * M].T
+    mqb = out[3 + 3 * M:3 + 4 * M].T
+    mqe = out[3 + 4 * M:3 + 5 * M].T
+    return ret, n_mem, m0, m1, ms, mqb, mqe, over
+
+
+def superstep_pallas_big(tblw, primary, L2, q, qlen, min_intv, active,
+                         split_len, split_width,
+                         L: int, M: int, OUT_CAP: int,
+                         NEED_X1: bool = True, interpret=None,
+                         packed=False):
+    """Drop-in twin of pallas_smem.superstep_pallas for HBM-resident
+    tables.  Same returns."""
+    i32 = jnp.int32
+    B = q.shape[0]
+    blk = min(BLK, B)
+    assert B % blk == 0, (B, blk)
+    MC = _pick_mc(M)
+    Cmax = 2 * MC * blk
+
+    qT = _pack_q(q, L, packed).T
+    params = jnp.concatenate([
+        qlen.astype(i32)[None, :],
+        min_intv.astype(i32)[None, :],
+        active.astype(i32)[None, :],
+        split_len.astype(i32)[None, :],
+        split_width.astype(i32)[None, :],
+        jnp.zeros((3, B), i32),
+    ], axis=0)
+
+    OC = OUT_CAP
+    R = 2 + 5 * OC + ((-(2 + 5 * OC)) % 8)
+    kernel = _make_superstep_kernel(
+        L, M, blk, 128, OC, gather_factory=_dma_factory(Cmax, MC))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(B // blk,),
+            in_specs=_common_specs(L, blk),
+            out_specs=pl.BlockSpec((R, blk), lambda b: (0, b)),
+            out_shape=jax.ShapeDtypeStruct((R, B), i32),
+            scratch_shapes=_scratch_shapes(Cmax),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(_scal_row(primary, L2), tblw, qT, params)
+    n_out = out[0]
+    over = out[1] != 0
+    o0 = out[2:2 + OC].T
+    o1 = (out[2 + OC:2 + 2 * OC].T if NEED_X1
+          else jnp.zeros((1, 1), i32))
+    os_ = out[2 + 2 * OC:2 + 3 * OC].T
+    oqb = out[2 + 3 * OC:2 + 4 * OC].T
+    oqe = out[2 + 4 * OC:2 + 5 * OC].T
+    return (o0, o1, os_, oqb.astype(jnp.uint8), oqe.astype(jnp.uint8),
+            n_out.astype(jnp.uint8), over)
+
+
+def sa_lookup_pallas_big(tblw, saw, primary, L2, seq_len, sa_intv: int,
+                         k, max_steps: int = 1024, interpret=None):
+    """Drop-in twin of pallas_smem.sa_lookup_pallas for HBM-resident
+    tables; `saw` is prep_sa_wide(sa)."""
+    i32 = jnp.int32
+    B = k.shape[0]
+    blk = min(BLK, B)
+    assert B % blk == 0, (B, blk)
+    assert sa_intv & (sa_intv - 1) == 0, \
+        f"sa_intv must be a power of two, got {sa_intv}"
+    sa_shift = int(np.log2(sa_intv))
+
+    params = jnp.concatenate([
+        k.astype(i32)[None, :], jnp.zeros((7, B), i32)], axis=0)
+    scal = jnp.concatenate([
+        primary.astype(i32).reshape(1),
+        L2.astype(i32).reshape(5),
+        seq_len.astype(i32).reshape(1),
+        jnp.zeros(1, i32)]).reshape(1, 8)
+
+    kernel = _make_sa_kernel(
+        blk, 128, 128, sa_shift, max_steps,
+        gather_factory=_dma_factory(2 * blk, 1),
+        sa_fetch_factory=_sa_fetch_factory(blk))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(B // blk,),
+            in_specs=[
+                pl.BlockSpec((1, 8), lambda b: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((8, blk), lambda b: (0, b)),
+            ],
+            out_specs=pl.BlockSpec((8, blk), lambda b: (0, b)),
+            out_shape=jax.ShapeDtypeStruct((8, B), i32),
+            scratch_shapes=_scratch_shapes(2 * blk),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(scal, tblw, saw, params)
+    return out[0], out[1] != 0

@@ -231,10 +231,13 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
         kk = k2 - jnp.where(k2 >= primary, ONE, Z)
         kk = jnp.where(valid, kk, Z)
         blkidx = lax.shift_right_logical(kk, np.int32(7))
-        rows = _gather_planes(tbl_ref, blkidx, NBP, C)
-        w = (rows[0:12] | lax.shift_left(rows[12:24], np.int32(8))
-             | lax.shift_left(rows[24:36], np.int32(16))
-             | lax.shift_left(rows[36:48], np.int32(24)))
+        if gather_words is None:
+            rows = _gather_planes(tbl_ref, blkidx, NBP, C)
+            w = (rows[0:12] | lax.shift_left(rows[12:24], np.int32(8))
+                 | lax.shift_left(rows[24:36], np.int32(16))
+                 | lax.shift_left(rows[36:48], np.int32(24)))
+        else:
+            w = gather_words(blkidx)
         ck = w[0:4]
         words = w[4:12]
         off = kk & np.int32(127)
@@ -479,11 +482,14 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
     return smem1_sub, bind_qlen, excl_prefix, jvM
 
 
-def _make_kernel(L, M, blk, NBP):
-    """Single-pass kernel (the _smem1_impl twin; parity surface)."""
+def _make_kernel(L, M, blk, NBP, gather_factory=None):
+    """Single-pass kernel (the _smem1_impl twin; parity surface).
+    `gather_factory(tbl_ref, scratch) -> (gather_words, MC)` swaps in
+    the HBM DMA gather (ops.pallas_bigsmem); scratch refs follow the
+    output ref in the kernel signature."""
     i32 = jnp.int32
 
-    def kernel(sc_ref, tbl_ref, q_ref, par_ref, out_ref):
+    def kernel(sc_ref, tbl_ref, q_ref, par_ref, out_ref, *scratch):
         primary = sc_ref[0, 0]
         L2 = [sc_ref[0, 1 + c] for c in range(5)]
         qlen = par_ref[0:1, :]
@@ -492,8 +498,11 @@ def _make_kernel(L, M, blk, NBP):
         active = par_ref[3:4, :]
         qp = q_ref[:, :].astype(i32)
 
+        gw, MC = (gather_factory(tbl_ref, scratch)
+                  if gather_factory is not None else (None, None))
         smem1_sub, bind_qlen, _, _ = _build_smem1(
-            L, M, blk, NBP, primary, L2, qp, tbl_ref)
+            L, M, blk, NBP, primary, L2, qp, tbl_ref,
+            gather_words=gw, MC=MC)
         bind_qlen(qlen)
         (ret, n_mem, m0, m1, ms, mqb, mqe, overflow) = smem1_sub(
             x, min_iv, active)
@@ -514,15 +523,16 @@ def _make_kernel(L, M, blk, NBP):
     return kernel
 
 
-def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP):
+def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP, gather_factory=None):
     """The WHOLE per-read SMEM iterator in one kernel: rounds of
     pass1 + re-seed test + pass2 + ordered merge + stream append
     (ops.smem.smem_superstep's round_body, software/bwamem.c:110-241),
-    with zero Mosaic<->XLA transitions inside the loop."""
+    with zero Mosaic<->XLA transitions inside the loop.
+    `gather_factory` as in _make_kernel."""
     i32 = jnp.int32
     assert 2 * M <= _OC2 and OUT_CAP <= _OC2
 
-    def kernel(sc_ref, tbl_ref, q_ref, par_ref, out_ref):
+    def kernel(sc_ref, tbl_ref, q_ref, par_ref, out_ref, *scratch):
         primary = sc_ref[0, 0]
         L2 = [sc_ref[0, 1 + c] for c in range(5)]
         qlen = par_ref[0:1, :]
@@ -532,8 +542,11 @@ def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP):
         split_width = par_ref[4:5, :]
         qp = q_ref[:, :].astype(i32)
 
+        gw, MC = (gather_factory(tbl_ref, scratch)
+                  if gather_factory is not None else (None, None))
         smem1_sub, bind_qlen, excl_prefix, jvM = _build_smem1(
-            L, M, blk, NBP, primary, L2, qp, tbl_ref)
+            L, M, blk, NBP, primary, L2, qp, tbl_ref,
+            gather_words=gw, MC=MC)
         bind_qlen(qlen)
         jvO = lax.broadcasted_iota(i32, (_OC2, blk), 0)
         zO = jnp.zeros((_OC2, blk), i32)
@@ -851,20 +864,30 @@ def prep_sa_table(sa: jnp.ndarray) -> jnp.ndarray:
     return t
 
 
-def _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps):
+def _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps,
+                    gather_factory=None, sa_fetch_factory=None):
     """One inverse-Psi walk step = ONE occ-row gather: bwt_b0's word
     select and occ's popcounts share the row at (k - (k>primary)) >> 7
     (they differ only at k == primary / k == seq_len, where the result
-    is overridden anyway — software/bwt.c:71-77,125-147)."""
+    is overridden anyway — software/bwt.c:71-77,125-147).
+
+    `gather_factory` as in _make_kernel; `sa_fetch_factory(sa_ref,
+    scratch) -> sa_fetch` replaces the sampled-SA plane gather with
+    sa_fetch(slot (1, blk)) -> (1, blk) int32 values (the HBM DMA
+    path)."""
     i32 = jnp.int32
     mask = np.int32((1 << sa_shift) - 1)
 
-    def kernel(sc_ref, tbl_ref, sa_ref, par_ref, out_ref):
+    def kernel(sc_ref, tbl_ref, sa_ref, par_ref, out_ref, *scratch):
         primary = sc_ref[0, 0]
         L2 = [sc_ref[0, 1 + c] for c in range(5)]
         seq_len = sc_ref[0, 6]
         k0 = par_ref[0:1, :]
 
+        gw = (gather_factory(tbl_ref, scratch)[0]
+              if gather_factory is not None else None)
+        sa_fetch = (sa_fetch_factory(sa_ref, scratch)
+                    if sa_fetch_factory is not None else None)
         j8 = lax.broadcasted_iota(i32, (8, blk), 0)
 
         def walk_step(st):
@@ -872,10 +895,14 @@ def _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps):
             act = ((k & mask) != Z) & (done == Z)
             x = k - jnp.where(k > primary, ONE, Z)
             blkidx = lax.shift_right_logical(x, np.int32(7))
-            rows = _gather_planes(tbl_ref, blkidx, NBP, blk)
-            w = (rows[0:12] | lax.shift_left(rows[12:24], np.int32(8))
-                 | lax.shift_left(rows[24:36], np.int32(16))
-                 | lax.shift_left(rows[36:48], np.int32(24)))
+            if gw is None:
+                rows = _gather_planes(tbl_ref, blkidx, NBP, blk)
+                w = (rows[0:12]
+                     | lax.shift_left(rows[12:24], np.int32(8))
+                     | lax.shift_left(rows[24:36], np.int32(16))
+                     | lax.shift_left(rows[36:48], np.int32(24)))
+            else:
+                w = gw(blkidx)
             ck = w[0:4]
             words = w[4:12]
             # bwt_B0: word (x>>4)&7, shift ((~x)&15)*2
@@ -930,10 +957,13 @@ def _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps):
 
         over = jnp.where((k_fin & mask) != Z, ONE, Z)
         si = lax.shift_right_logical(k_fin, np.int32(sa_shift))
-        sb = _gather_planes(sa_ref, si, NSP, blk)
-        sa_val = (sb[0:1] | lax.shift_left(sb[1:2], np.int32(8))
-                  | lax.shift_left(sb[2:3], np.int32(16))
-                  | lax.shift_left(sb[3:4], np.int32(24)))
+        if sa_fetch is None:
+            sb = _gather_planes(sa_ref, si, NSP, blk)
+            sa_val = (sb[0:1] | lax.shift_left(sb[1:2], np.int32(8))
+                      | lax.shift_left(sb[2:3], np.int32(16))
+                      | lax.shift_left(sb[3:4], np.int32(24)))
+        else:
+            sa_val = sa_fetch(si)
         vals = jnp.where(over != Z, np.int32(-1), steps + sa_val)
         out_ref[0:1, :] = vals
         out_ref[1:2, :] = over

@@ -51,6 +51,10 @@ GCAP_PER = int(_os.environ.get("BWAMEM_TPU_GCAP_PER_LANE", "12"))
 FUSE_SA = _os.environ.get("BWAMEM_TPU_FUSE_SA", "1") != "0"
 KEY_CAP = int(_os.environ.get("BWAMEM_TPU_KEY_CAP", str(8 * LANES)))
 
+# test hook: force the big-table DMA kernels even below the one-hot
+# crossover (tests/test_pallas_bigsmem.py monkeypatches this)
+_FORCE_BIG_TEST = False
+
 
 class BatchedSeeder:
     """Produces, per read, the ordered interval stream the host
@@ -97,7 +101,46 @@ class BatchedSeeder:
                               and sa_pallas_available(
             dfm.blocks.shape[0], int(dfm.sa.shape[0]), dfm.cdt,
             sa_intv=dfm.sa_intv))
+        # HBM-resident DMA-wave kernels (ops.pallas_bigsmem): the path
+        # for tables past the one-hot crossover — the reference's own
+        # design point (3 GB host-DRAM table fetched per step,
+        # hardware/afu_core.v:1428-1432).  Mutually exclusive with the
+        # VMEM kernels; the crossover is pallas_smem.MAX_BLOCKS.
+        from .pallas_bigsmem import (smem1_pallas_big_available,
+                                     sa_pallas_big_available)
+        out_cap_env = int(_os.environ.get("BWAMEM_TPU_OUT_CAP", "48"))
+        self.use_pallas_big = (
+            kernels is None and LANES % 128 == 0
+            and (not self.use_pallas or _FORCE_BIG_TEST)
+            and smem1_pallas_big_available(
+                dfm.blocks.shape[0], dfm.cdt, self.L, self.M,
+                out_cap=out_cap_env))
+        self.use_pallas_sa_big = (
+            kernels is None and SA_SLICE % 128 == 0
+            and (not self.use_pallas_sa or _FORCE_BIG_TEST)
+            and sa_pallas_big_available(dfm.cdt, dfm.sa_intv))
+        if self.use_pallas_big:
+            self.use_pallas = False
+        if self.use_pallas_sa_big:
+            self.use_pallas_sa = False
         self._pa_tbl = None  # byte-plane tables, device-resident
+        self._pa_tblw = None  # wide-row HBM tables (big mode)
+
+    @property
+    def pallas_mode(self):
+        """PALLAS= value for ops.smem dispatches: "big" | True | False."""
+        return "big" if self.use_pallas_big else self.use_pallas
+
+    @property
+    def sa_pallas_mode(self):
+        return "big" if self.use_pallas_sa_big else self.use_pallas_sa
+
+    def _prep_big_tables(self):
+        import jax
+        from . import pallas_bigsmem as pbig
+        if self._pa_tblw is None:
+            self._pa_tblw = jax.jit(pbig.prep_table_wide)(self.dfm.blocks)
+            self._pa_saw = jax.jit(pbig.prep_sa_wide)(self.dfm.sa)
 
     def _sa_dispatch(self, pad: np.ndarray):
         """One batched bwt_sa dispatch (Mosaic walk kernel when
@@ -105,6 +148,13 @@ class BatchedSeeder:
         ShardedKernels)."""
         import jax.numpy as jnp
         d = self.dfm
+        if self.use_pallas_sa_big:
+            from . import pallas_bigsmem as pbig
+            self._prep_big_tables()
+            return pbig.sa_lookup_pallas_big(
+                self._pa_tblw, self._pa_saw, d.primary, d.L2, d.seq_len,
+                d.sa_intv, jnp.asarray(pad),
+                max_steps=self.sa_max_steps)
         if self.use_pallas_sa:
             import jax
             from . import pallas_smem as psm
@@ -202,7 +252,7 @@ class BatchedSeeder:
                 jnp.asarray(active), jnp.asarray(slens),
                 jnp.full(B, opt.split_width, np.int32),
                 L=self.L, M=self.M, OUT_CAP=out_cap, NEED_X1=need_x1,
-                PALLAS=self.use_pallas, **kw)
+                PALLAS=self.pallas_mode, **kw)
             pend.append((lo, grp, gcap, dev))
         out: List[List[Intv]] = []
         for lo, grp, gcap, dev in pend:
@@ -357,6 +407,8 @@ class BatchedSeeder:
             from . import pallas_smem as psm
             self._pa_tbl = jax.jit(psm.prep_table)(d.blocks)
             self._pa_sa = jax.jit(psm.prep_sa_table)(d.sa)
+        if fuse and self.use_pallas_sa_big:
+            self._prep_big_tables()
         pend = []
         for lo in range(0, len(queries), LANES):
             grp = queries[lo:lo + LANES]
@@ -384,23 +436,28 @@ class BatchedSeeder:
                 jnp.full(B, opt.split_width, np.int32))
             if fuse:
                 z8 = jnp.zeros((1, 8), jnp.bfloat16)
+                if self.use_pallas_sa_big:
+                    sa_t, sa_p = self._pa_tblw, self._pa_saw
+                elif self.use_pallas_sa:
+                    sa_t, sa_p = self._pa_tbl, self._pa_sa
+                else:
+                    sa_t, sa_p = z8, z8
                 dev = smem_superstep_sa(
                     d.blocks, d.primary, d.L2, d.seq_len, d.sa,
-                    self._pa_tbl if self.use_pallas_sa else z8,
-                    self._pa_sa if self.use_pallas_sa else z8,
+                    sa_t, sa_p,
                     *common,
                     jnp.int32(opt.min_seed_len), jnp.int32(opt.max_occ),
                     L=self.L, M=self.M, OUT_CAP=out_cap,
-                    PALLAS=self.use_pallas, QPACKED=True,
+                    PALLAS=self.pallas_mode, QPACKED=True,
                     GCAP=gcap, KEY_CAP=KEY_CAP, SA_INTV=d.sa_intv,
                     SA_STEPS=self.sa_max_steps,
-                    SA_PALLAS=self.use_pallas_sa)
+                    SA_PALLAS=self.sa_pallas_mode)
             else:
                 dev = step_fn(
                     self.dfm.blocks, self.dfm.primary, self.dfm.L2,
                     *common,
                     L=self.L, M=self.M, OUT_CAP=out_cap, NEED_X1=False,
-                    PALLAS=self.use_pallas, **kw)
+                    PALLAS=self.pallas_mode, **kw)
             pend.append((lo, grp, gcap, dev))
         xs, szs, qbs, qes, cnts = [], [], [], [], []
         sa_vals, sa_over, sa_ok = [], [], True
@@ -707,7 +764,7 @@ class _SliceRun:
             self.qpad_d, self.qlen_d, jnp.asarray(x),
             jnp.asarray(mi), jnp.asarray(self.active),
             self.slens_d, self.swid_d,
-            L=sdr.L, M=sdr.M, M_OUT=sdr.m_out, PALLAS=sdr.use_pallas)
+            L=sdr.L, M=sdr.M, M_OUT=sdr.m_out, PALLAS=sdr.pallas_mode)
 
     def process(self, res) -> None:
         sdr = self.seeder

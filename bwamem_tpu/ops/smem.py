@@ -68,7 +68,17 @@ def smem_iter_step(blocks, primary, L2,
     per dispatch, so fusing halves the seeding round trips).
 
     Returns (pass1 outputs..., need2, pass2 outputs...)."""
-    if PALLAS:
+    if PALLAS == "big":
+        # HBM-resident DMA-wave pass kernel (big tables)
+        from . import pallas_bigsmem as _pbig
+        _tblw = _pbig.prep_table_wide(blocks)
+
+        def _impl(x_, mi_, act_):
+            return _pbig.smem1_pallas_big(_tblw, primary, L2, q, qlen,
+                                          x_.astype(jnp.int32),
+                                          mi_.astype(jnp.int32), act_,
+                                          L, M, packed=QPACKED)
+    elif PALLAS:
         # Mosaic pass kernel (callers gate with smem1_pallas_available)
         from . import pallas_smem as _psm
         _tbl = _psm.prep_table(blocks)
@@ -191,13 +201,25 @@ def smem_superstep(blocks, primary, L2,
     if PALLAS:
         # Mosaic path: the ENTIRE superstep (rounds + re-seed pass +
         # merge + stream append) in one kernel per lane block — no
-        # Mosaic<->XLA transitions inside the loop; callers gate with
-        # pallas_smem.smem1_pallas_available
-        from . import pallas_smem as _psm
-        r = _psm.superstep_pallas(
-            _psm.prep_table(blocks), primary, L2, q, qlen,
-            min_intv.astype(jnp.int32), active, split_len, split_width,
-            L=L, M=M, OUT_CAP=OUT_CAP, NEED_X1=True, packed=QPACKED)
+        # Mosaic<->XLA transitions inside the loop.  PALLAS=True is the
+        # VMEM one-hot-gather kernel (callers gate with
+        # pallas_smem.smem1_pallas_available); PALLAS="big" is the
+        # HBM-resident DMA-wave kernel for tables past the one-hot cap
+        # (pallas_bigsmem.smem1_pallas_big_available)
+        if PALLAS == "big":
+            from . import pallas_bigsmem as _pbig
+            r = _pbig.superstep_pallas_big(
+                _pbig.prep_table_wide(blocks), primary, L2, q, qlen,
+                min_intv.astype(jnp.int32), active, split_len,
+                split_width, L=L, M=M, OUT_CAP=OUT_CAP, NEED_X1=True,
+                packed=QPACKED)
+        else:
+            from . import pallas_smem as _psm
+            r = _psm.superstep_pallas(
+                _psm.prep_table(blocks), primary, L2, q, qlen,
+                min_intv.astype(jnp.int32), active, split_len,
+                split_width, L=L, M=M, OUT_CAP=OUT_CAP, NEED_X1=True,
+                packed=QPACKED)
         if GCAP:
             return _compact_streams(*r, OUT_CAP, GCAP, NEED_X1)
         if not NEED_X1:
@@ -616,7 +638,13 @@ def smem_superstep_sa(blocks, primary, L2, seq_len, sa, sa_tbl, sa_planes,
     sizes = jnp.where(keep, cs, 0).astype(i32)
     keys, n_keys = ragged_expand(c0, sizes, KEY_CAP)
     kovf = n_keys > KEY_CAP
-    if SA_PALLAS:
+    if SA_PALLAS == "big":
+        # sa_tbl/sa_planes carry the WIDE tables in big mode
+        from .pallas_bigsmem import sa_lookup_pallas_big
+        vals, over_sa = sa_lookup_pallas_big(
+            sa_tbl, sa_planes, primary, L2, seq_len, SA_INTV,
+            keys.astype(i32), max_steps=SA_STEPS)
+    elif SA_PALLAS:
         from .pallas_smem import sa_lookup_pallas
         vals, over_sa = sa_lookup_pallas(
             sa_tbl, sa_planes, primary, L2, seq_len, SA_INTV,

@@ -1,0 +1,158 @@
+"""A/B the big-table SMEM paths on a real mid-size index.
+
+    python tools/microbench_bigsmem.py <variant> [B] [reps]
+
+variants: big     superstep_pallas_big (DMA waves)
+          xla     XLA smem_superstep (native gather)
+          onehot  Mosaic one-hot superstep (past its crossover)
+          gw      isolated gather_words pipeline cost at C=256/1024
+                  (DMA wave + transpose + sub-block select), T steps
+
+Needs /tmp/bigref (tools/make_biggenome.py).  Each timed call uses a
+distinct read subset + forced result fetch (np.asarray) — the axon
+relay returns repeated identical dispatches anomalously fast.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+DATA = os.environ.get("BWAMEM_TPU_BENCH_DATA", "/tmp/bigref")
+
+
+def main():
+    variant = sys.argv[1] if len(sys.argv) > 1 else "big"
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from bwamem_tpu.index import load_index
+    from bwamem_tpu.ops.fm import DeviceFmIndex
+
+    fm, bns = load_index(os.path.join(DATA, "genome.fa"))
+    d = DeviceFmIndex.from_host(fm)
+    print(f"n_blocks={d.blocks.shape[0]} cdt={d.cdt}", file=sys.stderr)
+
+    if variant == "gw":
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from bwamem_tpu.ops import pallas_bigsmem as pbig
+        tblw = jax.jit(pbig.prep_table_wide)(d.blocks)
+        nb = int(d.blocks.shape[0])
+        T = int(os.environ.get("MB_T", "2048"))
+        # MB_GW_MODE: full = DMA + transpose + select (production gw);
+        # xpose = DMA + transpose; dma = DMA wave only
+        mode = os.environ.get("MB_GW_MODE", "full")
+        for C in (256, 1024):
+            def kernel(seed_ref, tbl_ref, out_ref, idxv, idxs, rows,
+                       sems, bsem):
+                gw, _ = pbig._dma_factory(C, 1)(
+                    tbl_ref, (idxv, idxs, rows, sems, bsem))
+                i32 = jnp.int32
+                blki = (lax.broadcasted_iota(i32, (1, C), 1) * 977
+                        + seed_ref[0]) % np.int32(nb)
+
+                def step(t, bi):
+                    if mode == "full":
+                        w = gw(bi)
+                        dep = w[0:1]
+                    else:
+                        rowi = lax.shift_right_logical(bi, np.int32(3))
+                        pbig._wave(tbl_ref, idxv, idxs, rows, sems,
+                                   bsem, rowi, C)
+                        if mode == "xpose":
+                            rT = rows[0:C, :].T
+                            dep = rT[0:1]
+                        else:
+                            s2 = jnp.sum(rows[:, :], axis=0,
+                                         keepdims=True)  # (1, 128)
+                            s3 = jnp.sum(s2, axis=1, keepdims=True)
+                            dep = jnp.zeros((1, C), i32) + s3
+                    return (bi + dep + t) % np.int32(nb)
+
+                out_ref[:, :] = lax.fori_loop(0, T, step, blki)
+
+            @jax.jit
+            def run(seed):
+                with jax.enable_x64(False):
+                    return pl.pallas_call(
+                        kernel,
+                        in_specs=[
+                            pl.BlockSpec(memory_space=pltpu.SMEM),
+                            pl.BlockSpec(memory_space=pl.ANY),
+                        ],
+                        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                        out_shape=jax.ShapeDtypeStruct((1, C), jnp.int32),
+                        scratch_shapes=pbig._scratch_shapes(C),
+                        compiler_params=pltpu.CompilerParams(
+                            has_side_effects=True),
+                    )(seed.reshape(1), tblw)
+
+            np.asarray(run(jnp.int32(0)))
+            best = 1e9
+            for i in range(reps):
+                t0 = time.perf_counter()
+                np.asarray(run(jnp.int32(i + 1)))
+                best = min(best, time.perf_counter() - t0)
+            print(f"gw C={C} T={T}: {best*1e3:.2f} ms/call, "
+                  f"{best/T*1e6:.1f} us/step")
+        return
+
+    # full-superstep variants on real reads
+    from bwamem_tpu.io.fastq import ChunkReader
+    from bwamem_tpu.ops.smem import smem_superstep
+    from bwamem_tpu.core.pipeline import encode_read
+    reads = ChunkReader(os.path.join(DATA, "reads_se.fq")) \
+        .read_chunk(1 << 30)
+    for r in reads:
+        encode_read(r)
+    L, M, OC = 128, 16, 48
+    rng = np.random.default_rng(0)
+
+    def make_args(seed):
+        rs = [reads[i] for i in
+              rng.permutation(len(reads))[:B % (len(reads) + 1)]] or reads
+        qpad = np.full((B, L), 4, dtype=np.int8)
+        qlen = np.zeros(B, np.int32)
+        for i in range(B):
+            r = reads[(seed * B + i) % len(reads)]
+            qpad[i, :r.l_seq] = r.seq_nt4
+            qlen[i] = r.l_seq
+        qp = qpad[:, 0::2] | (qpad[:, 1::2] << np.int8(4))
+        return (jnp.asarray(qp), jnp.asarray(qlen),
+                jnp.full(B, 1, dtype=d.L2.dtype),
+                jnp.ones(B, bool), jnp.full(B, 29, np.int32),
+                jnp.full(B, 10, np.int32))
+
+    mode = {"big": "big", "xla": False, "onehot": True}[variant]
+    if variant == "onehot":
+        os.environ["BWAMEM_TPU_PALLAS_SMEM_BLOCKS"] = "100000000"
+
+    def run(seed):
+        q, qlen, mi, act, sl, sw = make_args(seed)
+        return smem_superstep(
+            d.blocks, d.primary, d.L2, q, qlen, mi, act, sl, sw,
+            L=L, M=M, OUT_CAP=OC, NEED_X1=False, PALLAS=mode,
+            GCAP=12 * B, QPACKED=True)
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(0))
+    print(f"compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    best = 1e9
+    for i in range(reps):
+        t0 = time.perf_counter()
+        r = run(i + 1)
+        np.asarray(r[0])
+        best = min(best, time.perf_counter() - t0)
+    print(f"{variant} B={B}: {best*1e3:.1f} ms/superstep "
+          f"({B/best:.0f} lanes/s)")
+
+
+if __name__ == "__main__":
+    main()
