@@ -16,9 +16,14 @@ bwt_occ/bwt_occ4/bwt_extend/bwt_sa semantics; the TPU equivalents live in
 bwamem_tpu.ops.
 """
 
+import os
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 import numpy as np
+
+# test/debug escape hatch: force the NumPy prefix-doubling SA even when
+# the native SA-IS builder is available (parity A/Bs use both)
+_FORCE_NUMPY_SA = bool(os.environ.get("BWAMEM_TPU_NUMPY_SA"))
 
 OCC_INTV_SHIFT = 7
 OCC_INTERVAL = 1 << OCC_INTV_SHIFT
@@ -63,8 +68,15 @@ class FmIndex:
 
     @classmethod
     def build(cls, bases: np.ndarray, sa_intv: int = 32) -> "FmIndex":
-        """Build from the doubled base sequence (uint8 0..3)."""
-        from .suffix_array import suffix_array
+        """Build from the doubled base sequence (uint8 0..3).
+
+        Prefers the native SA-IS builder (native/saindex.cpp, ~4.5
+        bytes/char peak — the large-genome construction role the
+        reference's software/bwt_gen.c fills); falls back to the NumPy
+        prefix-doubling path when no compiler is available.  Both yield
+        byte-identical artifacts (tests/test_index.py)."""
+        from . import nsa
+        native = nsa.available() and not _FORCE_NUMPY_SA
         n = int(len(bases))
         fm = cls()
         fm.seq_len = n
@@ -72,24 +84,34 @@ class FmIndex:
         fm.L2 = np.zeros(5, dtype=np.int64)
         fm.L2[1:] = np.cumsum(counts)
 
-        sa_full = suffix_array(bases)                     # length n+1, SA[0]==n
-        fm.primary = int(np.nonzero(sa_full == 0)[0][0])  # rank of full text
-        # BWT with the sentinel row removed (is_bwt, is.c:207-223)
-        nz = np.concatenate((sa_full[:fm.primary], sa_full[fm.primary + 1:]))
-        bwt_str = bases[nz - 1]
-        fm.bwt = interleave_occ(bwt_str, n)
+        if native:
+            sa_full = nsa.suffix_array_native(bases)      # SA[0]==n
+        else:
+            from .suffix_array import suffix_array
+            sa_full = suffix_array(bases)                 # length n+1, SA[0]==n
         # sampled SA straight from the full SA: row r has SA value
         # sa_full[r]; bwt_cal_sa's inverse-Psi walk visits exactly these
         # (software/bwt.c:80-102), with sa[0] forced to -1
         n_sa = (n + sa_intv) // sa_intv
         fm.sa_intv = sa_intv
-        fm.sa = sa_full[np.arange(n_sa, dtype=np.int64) * sa_intv].astype(np.int64)
+        fm.sa = sa_full[::sa_intv][:n_sa].astype(np.int64)
         fm.sa[0] = -1
         if sa_intv > 8:
             n8 = (n + 8) // 8
             fm.sa8_intv = 8
-            fm.sa8 = sa_full[np.arange(n8, dtype=np.int64) * 8].astype(np.int64)
+            fm.sa8 = sa_full[::8][:n8].astype(np.int64)
             fm.sa8[0] = -1
+        # BWT with the sentinel row removed (is_bwt, is.c:207-223)
+        if native:
+            bwt_str, fm.primary = nsa.bwt_from_sa(bases, sa_full)
+            del sa_full
+            fm.bwt = nsa.interleave_occ_native(bwt_str, n)
+        else:
+            fm.primary = int(np.nonzero(sa_full == 0)[0][0])
+            nz = np.concatenate((sa_full[:fm.primary],
+                                 sa_full[fm.primary + 1:]))
+            bwt_str = bases[nz - 1]
+            fm.bwt = interleave_occ(bwt_str, n)
         return fm
 
     # ---- derived ------------------------------------------------------------
