@@ -34,9 +34,11 @@ def build_index(fasta_path: str, prefix: str = None, sa_intv: int = 32,
     # doubled sequence for BWT: forward bases + reverse complement
     fwd = unpack_bases(pac_fwd, bns.l_pac)
     doubled = np.concatenate([fwd, (3 - fwd)[::-1]])
+    del fwd  # at Gbp scale every live n-sized temporary counts
 
     log("[bwa_index] Construct BWT + occ + sampled SA...")
     fm = FmIndex.build(doubled, sa_intv=sa_intv)
+    del doubled
     fm.dump_bwt(prefix + ".bwt")
     fm.dump_sa(prefix + ".sa")
     if fm.sa8 is not None:

@@ -80,7 +80,12 @@ class FmIndex:
         n = int(len(bases))
         fm = cls()
         fm.seq_len = n
-        counts = np.bincount(bases, minlength=4)
+        # chunked bincount: np.bincount upcasts its input to intp — an
+        # 8 bytes/char transient that would DOMINATE peak RSS at Gbp
+        # scale (16 GB for a 1 Gbp genome's doubled text)
+        counts = np.zeros(4, dtype=np.int64)
+        for lo in range(0, n, 1 << 26):
+            counts += np.bincount(bases[lo:lo + (1 << 26)], minlength=4)
         fm.L2 = np.zeros(5, dtype=np.int64)
         fm.L2[1:] = np.cumsum(counts)
 
@@ -91,15 +96,19 @@ class FmIndex:
             sa_full = suffix_array(bases)                 # length n+1, SA[0]==n
         # sampled SA straight from the full SA: row r has SA value
         # sa_full[r]; bwt_cal_sa's inverse-Psi walk visits exactly these
-        # (software/bwt.c:80-102), with sa[0] forced to -1
+        # (software/bwt.c:80-102), with sa[0] forced to -1.  Samples
+        # keep sa_full's dtype (int32 under 2^31): every consumer is
+        # dtype-agnostic (device tables cast to cdt, dumps to <u8), and
+        # int64 would double the resident sample footprint at Gbp scale
+        sdt = sa_full.dtype if native else np.int64
         n_sa = (n + sa_intv) // sa_intv
         fm.sa_intv = sa_intv
-        fm.sa = sa_full[::sa_intv][:n_sa].astype(np.int64)
+        fm.sa = sa_full[::sa_intv][:n_sa].astype(sdt)
         fm.sa[0] = -1
         if sa_intv > 8:
             n8 = (n + 8) // 8
             fm.sa8_intv = 8
-            fm.sa8 = sa_full[::8][:n8].astype(np.int64)
+            fm.sa8 = sa_full[::8][:n8].astype(sdt)
             fm.sa8[0] = -1
         # BWT with the sentinel row removed (is_bwt, is.c:207-223)
         if native:

@@ -41,7 +41,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
-            lib.bt_sais_u8_32.restype = ctypes.c_int
+            lib.bt_sais_bases_32.restype = ctypes.c_int
         except (OSError, AttributeError):
             # present but stale (predates saindex.cpp): rebuild once
             try:
@@ -50,12 +50,10 @@ def _load() -> Optional[ctypes.CDLL]:
                 lib = ctypes.CDLL(_SO_PATH)
             except Exception:
                 return None
-        lib.bt_sais_u8_32.restype = ctypes.c_int
-        lib.bt_sais_u8_32.argtypes = [_u8p, ctypes.c_int32, ctypes.c_int32,
-                                      _i32p]
-        lib.bt_sais_u8_64.restype = ctypes.c_int
-        lib.bt_sais_u8_64.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int64,
-                                      _i64p]
+        lib.bt_sais_bases_32.restype = ctypes.c_int
+        lib.bt_sais_bases_32.argtypes = [_u8p, ctypes.c_int32, _i32p]
+        lib.bt_sais_bases_64.restype = ctypes.c_int
+        lib.bt_sais_bases_64.argtypes = [_u8p, ctypes.c_int64, _i64p]
         lib.bt_bwt_from_sa32.restype = ctypes.c_int64
         lib.bt_bwt_from_sa32.argtypes = [_u8p, _i32p, ctypes.c_int64, _u8p]
         lib.bt_bwt_from_sa64.restype = ctypes.c_int64
@@ -79,16 +77,15 @@ def suffix_array_native(bases: np.ndarray) -> np.ndarray:
     if lib is None:
         raise RuntimeError("native index builder unavailable")
     n = int(len(bases))
-    # sentinel-terminated working text: bases+1 with trailing 0
-    s = np.empty(n + 1, dtype=np.uint8)
-    np.add(bases, 1, out=s[:n])
-    s[n] = 0
+    bases = np.ascontiguousarray(bases, dtype=np.uint8)
+    # the +1 alphabet shift and the sentinel live in the C++ accessor
+    # (no n-byte text copy — at Gbp scale that is 2 GB of peak RSS)
     if n + 1 <= np.iinfo(np.int32).max:
         sa = np.empty(n + 1, dtype=np.int32)
-        rc = lib.bt_sais_u8_32(s, n + 1, 5, sa)
+        rc = lib.bt_sais_bases_32(bases, n, sa)
     else:
         sa = np.empty(n + 1, dtype=np.int64)
-        rc = lib.bt_sais_u8_64(s, n + 1, 5, sa)
+        rc = lib.bt_sais_bases_64(bases, n, sa)
     if rc != 0:
         raise RuntimeError("bt_sais failed")
     return sa

@@ -47,6 +47,10 @@ WAVE_GLO = int(_os.environ.get("BWAMEM_TPU_WAVE_GLO", str(WAVE * 2)))
 # extension target-length buckets (must end at the engine LT cap)
 LT_BUCKETS = tuple(int(x) for x in _os.environ.get(
     "BWAMEM_TPU_LT_BUCKETS", "160,320,544").split(","))
+# long-read bucket (chunks whose longest read exceeds the 128 bp LQ):
+# the query side widens to 256 and the target cap scales with it
+LT_BUCKETS_LONG = tuple(int(x) for x in _os.environ.get(
+    "BWAMEM_TPU_LT_BUCKETS_LONG", "320,544,800").split(","))
 
 
 def _pack4(buf: np.ndarray) -> np.ndarray:
@@ -146,6 +150,17 @@ class JaxSeedingEngine:
                                     fm_host=fm_host, timer=self,
                                     kernels=self.kernels)
         self.max_len = max_len
+        # per-chunk length buckets: chunks whose longest read exceeds
+        # max_len seed through a lazily-built L=256 seeder instead of
+        # falling to the host path.  The reference's accelerator is
+        # hard-capped at ~101 bp (software/bwt.c:575, 7-bit coordinates
+        # hardware/afu_core.v:4437-4441); serving modern 150-250 bp
+        # reads on the device path is a deliberate improvement on it.
+        # Mesh dispatches keep the primary bucket only.
+        self._seeders = {self.seeder.L: self.seeder}
+        self._sa_max_steps = sa_max_steps
+        self.dev_max_len = (max_len if mesh is not None else int(
+            _os.environ.get("BWAMEM_TPU_DEV_MAX_LEN", "256")))
         self._ext_lq = ext_lq
         self._ext_lt = ext_lt
         self._glo_lq = ext_lq
@@ -159,6 +174,32 @@ class JaxSeedingEngine:
         self.kernel_time = 0.0
         self.n_dispatches = 0
         self.kernel_time_by_tag = {}
+
+    def _seeder_for(self, max_rl: int) -> BatchedSeeder:
+        """Smallest seeding-kernel width covering the chunk's longest
+        device-eligible read: the primary bucket (L=max_len, the
+        classic 101 bp regime) or a lazily-built L=256 bucket for
+        150-250 bp chunks."""
+        if max_rl <= self.max_len:
+            return self.seeder
+        L = 256
+        s = self._seeders.get(L)
+        if s is None:
+            s = BatchedSeeder(self.dfm, max_len=L,
+                              sa_max_steps=self._sa_max_steps,
+                              fm_host=self.fm_host, timer=self,
+                              kernels=self.kernels)
+            self._seeders[L] = s
+        return s
+
+    def _ext_shapes(self, reads):
+        """Per-chunk extension-kernel shapes: (LQ, LT_max, lt_buckets).
+        Chunks of classic <=128 bp reads keep the tuned 128/544 shapes;
+        longer chunks widen the query side to 256."""
+        max_rl = max((len(r.seq_nt4) for r in reads), default=0)
+        if max_rl <= self._ext_lq:
+            return self._ext_lq, self._ext_lt, LT_BUCKETS
+        return 256, LT_BUCKETS_LONG[-1], LT_BUCKETS_LONG
 
     def chain_batch(self, opt, reads, traces=None,
                     trace_seeds=False) -> List[list]:
@@ -175,11 +216,18 @@ class JaxSeedingEngine:
         for r in reads:
             encode_read(r)
 
+        lens = [len(r.seq_nt4) for r in reads]
+        # per-chunk length bucket: smallest seeder width covering the
+        # chunk's longest device-eligible read
+        chunk_cap = max((ln for ln in lens if ln <= self.dev_max_len),
+                        default=0)
+        seeder = self._seeder_for(chunk_cap)
+        dev_cap = seeder.L
         dev_idx = [i for i, r in enumerate(reads)
-                   if len(r.seq_nt4) <= self.max_len
-                   and len(r.seq_nt4) >= opt.min_seed_len]
+                   if lens[i] <= dev_cap
+                   and lens[i] >= opt.min_seed_len]
         host_idx = [i for i, r in enumerate(reads)
-                    if len(r.seq_nt4) > self.max_len]
+                    if lens[i] > dev_cap]
 
         chains: List[list] = [[] for _ in reads]
         if dev_idx:
@@ -195,8 +243,8 @@ class JaxSeedingEngine:
                 # call for the chunk); falls through to the per-seed
                 # Python loop when the library is unavailable
                 from ..core.nfinalize import chain_batch_native
-                iv = self.seeder.interval_arrays(opt, queries)
-                rid, s_rb, s_qb, s_ln = self.seeder.seeds_from_arrays(
+                iv = seeder.interval_arrays(opt, queries)
+                rid, s_rb, s_qb, s_ln = seeder.seeds_from_arrays(
                     self.fm_host, iv, opt)
                 counts = np.bincount(rid, minlength=len(dev_idx)) \
                     if len(rid) else np.zeros(len(dev_idx), np.int64)
@@ -240,10 +288,10 @@ class JaxSeedingEngine:
                 if streams is None:
                     # x1 is never consumed on the mem path — skip its
                     # download
-                    streams = self.seeder.interval_streams(
+                    streams = seeder.interval_streams(
                         opt, queries, need_x1=False)
-                seeds = self.seeder.seed_positions(self.fm_host,
-                                                   streams, opt)
+                seeds = seeder.seed_positions(self.fm_host,
+                                              streams, opt)
             for bi, i in enumerate(dev_idx):
                 tree = ChainTree()
                 for s in seeds[bi]:
@@ -348,7 +396,7 @@ class JaxSeedingEngine:
         if n_seeds > 16 * max(len(reads), 1):
             return None  # seed-rich chunk: speculation would waste the
             #              device (same budget as the Python path)
-        LQ, LT_max = self._ext_lq, self._ext_lt
+        LQ, LT_max, lt_buckets = self._ext_shapes(reads)
         pk = pack_extlr_native(opt, bns.l_pac, pac, reads, flat, LQ,
                                LT_max)
         if pk is None:
@@ -370,7 +418,7 @@ class JaxSeedingEngine:
             max_rl = max((len(r.seq_nt4) for r in reads), default=0)
             if (onchip_ext_available(len(reads), bns.l_pac)
                     and max_rl <= LQ and WAVE_EXT % 128 == 0
-                    and all(onchip_shapes_ok(LQ, b) for b in LT_BUCKETS)):
+                    and all(onchip_shapes_ok(LQ, b) for b in lt_buckets)):
                 onchip = self._onchip_ext_args(bns, pac, reads, flat, LQ)
 
         pend = []
@@ -379,7 +427,7 @@ class JaxSeedingEngine:
             g = len(grp)
             B = WAVE_EXT
             gmax = int(pk["lt_need"][grp].max()) if g else 0
-            LT = next(b for b in LT_BUCKETS if b >= gmax)
+            LT = next(b for b in lt_buckets if b >= gmax)
 
             def rows(key, width):
                 buf = np.full((B, width >> 1), 0x44, np.int8)

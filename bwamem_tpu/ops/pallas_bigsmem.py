@@ -66,7 +66,7 @@ def smem1_pallas_big_available(n_blocks: int, cdt, L: int, M: int,
         return False
     if cdt != jnp.int32:
         return False
-    return (L % 32 == 0 and L <= 255 and M <= 32
+    return (L % 32 == 0 and L <= 256 and M <= 32
             and 2 * M <= _OC2 and out_cap <= _OC2)
 
 

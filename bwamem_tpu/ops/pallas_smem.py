@@ -95,9 +95,12 @@ def smem1_pallas_available(n_blocks: int, cdt, L: int, M: int,
         return False
     if n_blocks > MAX_BLOCKS:
         return False
-    # L < 256: the merge key packs (qb, qlen-qe) radix-256 and qb/qe
-    # ride the uint8 wire (the XLA twin shares the same bound)
-    return (L % 32 == 0 and L <= 255 and M <= 32
+    # L <= 256: the merge key packs (qb, qlen-qe) radix-256 (both
+    # operands stay <= 255 even at L=256) and qb/qe ride the uint8
+    # wire, where the one overflowing value qe==256 wires as 0 and is
+    # decoded by the consumer (a real interval always has qe >= 1).
+    # The XLA twin shares the same bound.
+    return (L % 32 == 0 and L <= 256 and M <= 32
             and 2 * M <= _OC2 and out_cap <= _OC2)
 
 

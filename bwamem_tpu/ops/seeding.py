@@ -261,12 +261,17 @@ class BatchedSeeder:
              over) = (self.timer._timed(get, _tag="smem")
                       if self.timer else get())
             n_l, over_l = n_out.tolist(), over.tolist()
+            # qe rides the uint8 wire; at L=256 the one overflowing
+            # value qe==256 wires as 0 (real intervals have qe >= 1)
+            qe_wrap = self.L == 256
             if gcap:
                 # compact wire: flat lane-major streams + per-lane counts
                 off = 0
                 o0l, osl = o0.tolist(), os_.tolist()
                 o1l = (o1.tolist() if need_x1 else [0] * len(o0l))
                 oqbl, oqel = oqb.tolist(), oqe.tolist()
+                if qe_wrap:
+                    oqel = [v if v else 256 for v in oqel]
                 for i, qq in enumerate(grp):
                     if over_l[i]:
                         lst: List[Intv] = []
@@ -299,6 +304,8 @@ class BatchedSeeder:
                     continue
                 r0, r1, rs = o0l[i], o1l[i], osl[i]
                 rqb, rqe = oqbl[i], oqel[i]
+                if qe_wrap:
+                    rqe = [v if v else 256 for v in rqe]
                 out.append([
                     (r0[j], r1[j], rs[j], (rqb[j] << 32) | rqe[j])
                     for j in range(n_l[i])])
@@ -486,6 +493,8 @@ class BatchedSeeder:
                 gs = np.asarray(os_)[:tot]
                 gqb = np.asarray(oqb)[:tot].astype(np.int64)
                 gqe = np.asarray(oqe)[:tot].astype(np.int64)
+                if self.L == 256:  # uint8 wire: qe==256 wires as 0
+                    gqe[gqe == 0] = 256
             else:
                 o0 = np.asarray(o0)[:ng]
                 os_ = np.asarray(os_)[:ng]
@@ -496,6 +505,8 @@ class BatchedSeeder:
                 # row-major selection == per-read stream order
                 gx, gs = o0[mask], os_[mask]
                 gqb, gqe = oqb[mask], oqe[mask]
+                if self.L == 256:  # uint8 wire: qe==256 wires as 0
+                    gqe[gqe == 0] = 256
             if fuse:
                 # prefetched SA values are only usable when the group's
                 # streams survive unmodified (no oracle splice) and the
@@ -774,8 +785,12 @@ class _SliceRun:
         n2 = np.where(over2, sdr.M + 1, n2)
         ori_start = self.ori_start
         active = self.active
-        self.start = np.where(active, ret.astype(np.int32),
-                              self.start).astype(np.int32)
+        ret = ret.astype(np.int32)
+        qe_wrap = sdr.L == 256
+        if qe_wrap:
+            # uint8 wire: ret/qe==256 wire as 0 (real values are >= 1)
+            ret = np.where(ret == 0, 256, ret)
+        self.start = np.where(active, ret, self.start).astype(np.int32)
         out = self.out
         for i in np.nonzero(active)[0]:
             if int(n_mem[i]) > sdr.m_out:
@@ -788,7 +803,8 @@ class _SliceRun:
                 out[i].extend(matches)
                 continue
             matches = [(int(m0[i, j]), int(m1[i, j]), int(ms[i, j]),
-                        (int(mqb[i, j]) << 32) | int(mqe[i, j]))
+                        (int(mqb[i, j]) << 32)
+                        | (int(mqe[i, j]) or (256 if qe_wrap else 0)))
                        for j in range(int(n_mem[i]))]
             if need2[i] and matches:
                 best_len, best = 0, 0
@@ -805,7 +821,8 @@ class _SliceRun:
                         pm[2] + 1)
                 else:
                     sub = [(int(s0[i, j]), int(s1[i, j]), int(ss[i, j]),
-                            (int(sqb[i, j]) << 32) | int(sqe[i, j]))
+                            (int(sqb[i, j]) << 32)
+                            | (int(sqe[i, j]) or (256 if qe_wrap else 0)))
                            for j in range(int(n2[i]))]
                 matches = _merge(matches, sub, best_len,
                                  int(ori_start[i]), int(self.qlen[i]))

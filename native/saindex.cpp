@@ -15,7 +15,7 @@
 // recursion allocates only its type bit-vector and bucket counters.
 //
 // Exported C ABI (ctypes, see bwamem_tpu/index/nsa.py):
-//   bt_sais_u8_{32,64}   SA of a sentinel-terminated byte text
+//   bt_sais_bases_{32,64} SA of a 0..3 byte text (+implicit sentinel)
 //   bt_bwt_from_sa{32,64} BWT string + primary from text+SA
 //   bt_interleave_occ    occ-checkpoint interleaving (bwtindex.c:128-150)
 
@@ -38,8 +38,18 @@ struct TypeBits {
     }
 };
 
-template <class C, class I>
-static void bucket_bounds(const C* s, I m, I K, std::vector<I>& bkt,
+// level-0 text accessor: bases shifted +1 with the sentinel 0 at
+// position n — avoids materializing a second n-byte text copy
+struct ShiftedBases {
+    const uint8_t* b;
+    int64_t n;
+    inline int32_t operator[](int64_t i) const {
+        return i == n ? 0 : b[i] + 1;
+    }
+};
+
+template <class TXT, class I>
+static void bucket_bounds(TXT s, I m, I K, std::vector<I>& bkt,
                           bool end) {
     std::fill(bkt.begin(), bkt.end(), (I)0);
     for (I i = 0; i < m; i++) bkt[(size_t)s[i]]++;
@@ -50,23 +60,23 @@ static void bucket_bounds(const C* s, I m, I K, std::vector<I>& bkt,
     }
 }
 
-template <class C, class I>
+template <class I>
 static inline bool is_lms(const TypeBits& t, I i) {
     return i > 0 && t.get(i) && !t.get(i - 1);
 }
 
 // induce L-type then S-type suffixes from the LMS (or sorted-LMS) seeds
-template <class C, class I>
-static void induce(const C* s, I* SA, I m, I K, const TypeBits& t,
+template <class TXT, class I>
+static void induce(TXT s, I* SA, I m, I K, const TypeBits& t,
                    std::vector<I>& bkt) {
     // L-type: left-to-right scan, bucket heads
-    bucket_bounds<C, I>(s, m, K, bkt, false);
+    bucket_bounds<TXT, I>(s, m, K, bkt, false);
     for (I i = 0; i < m; i++) {
         I j = SA[i];
         if (j > 0 && !t.get(j - 1)) SA[bkt[(size_t)s[j - 1]]++] = j - 1;
     }
     // S-type: right-to-left scan, bucket tails
-    bucket_bounds<C, I>(s, m, K, bkt, true);
+    bucket_bounds<TXT, I>(s, m, K, bkt, true);
     for (I i = m - 1; i >= 0; i--) {
         I j = SA[i];
         if (j > 0 && t.get(j - 1)) SA[--bkt[(size_t)s[j - 1]]] = j - 1;
@@ -74,9 +84,9 @@ static void induce(const C* s, I* SA, I m, I K, const TypeBits& t,
 }
 
 // SA-IS core.  s[0..m-1] with s[m-1] the unique smallest sentinel (0);
-// values < K.  SA buffer of length m.
-template <class C, class I>
-static void sais(const C* s, I* SA, I m, I K) {
+// values < K; s is any indexable text accessor.  SA buffer of length m.
+template <class TXT, class I>
+static void sais(TXT s, I* SA, I m, I K) {
     const I EMPTY = (I)-1;
     if (m == 1) { SA[0] = 0; return; }
     TypeBits t(m);
@@ -88,15 +98,15 @@ static void sais(const C* s, I* SA, I m, I K) {
 
     // stage 1: sort LMS substrings by one induced pass over LMS seeds
     for (I i = 0; i < m; i++) SA[i] = EMPTY;
-    bucket_bounds<C, I>(s, m, K, bkt, true);
+    bucket_bounds<TXT, I>(s, m, K, bkt, true);
     for (I i = m - 1; i > 0; i--)
-        if (is_lms<C, I>(t, i)) SA[--bkt[(size_t)s[i]]] = i;
-    induce<C, I>(s, SA, m, K, t, bkt);
+        if (is_lms<I>(t, i)) SA[--bkt[(size_t)s[i]]] = i;
+    induce<TXT, I>(s, SA, m, K, t, bkt);
 
     // compact the sorted LMS positions into SA[0..n1)
     I n1 = 0;
     for (I i = 0; i < m; i++)
-        if (is_lms<C, I>(t, SA[i])) SA[n1++] = SA[i];
+        if (is_lms<I>(t, SA[i])) SA[n1++] = SA[i];
 
     // name LMS substrings in SA[n1..m) (sparse, indexed by pos/2)
     for (I i = n1; i < m; i++) SA[i] = EMPTY;
@@ -110,8 +120,8 @@ static void sais(const C* s, I* SA, I m, I K) {
                 diff = true;
                 break;
             }
-            if (d > 0 && (is_lms<C, I>(t, pos + d) ||
-                          is_lms<C, I>(t, prev + d)))
+            if (d > 0 && (is_lms<I>(t, pos + d) ||
+                          is_lms<I>(t, prev + d)))
                 break;  // both substrings ended equal
         }
         if (diff) { name++; prev = pos; }
@@ -123,7 +133,7 @@ static void sais(const C* s, I* SA, I m, I K) {
     I* s1 = SA + (m - n1);
 
     if (name < n1) {
-        sais<I, I>(s1, SA, n1, name);
+        sais<const I*, I>(s1, SA, n1, name);
     } else {
         for (I i = 0; i < n1; i++) SA[s1[i]] = i;
     }
@@ -131,16 +141,16 @@ static void sais(const C* s, I* SA, I m, I K) {
     // stage 2: rebuild LMS position list (left-to-right) into s1,
     // translate SA1 ranks to text positions, induce the final SA
     for (I i = 1, j = 0; i < m; i++)
-        if (is_lms<C, I>(t, i)) s1[j++] = i;
+        if (is_lms<I>(t, i)) s1[j++] = i;
     for (I i = 0; i < n1; i++) SA[i] = s1[SA[i]];
     for (I i = n1; i < m; i++) SA[i] = EMPTY;
-    bucket_bounds<C, I>(s, m, K, bkt, true);
+    bucket_bounds<TXT, I>(s, m, K, bkt, true);
     for (I i = n1 - 1; i >= 0; i--) {
         I j = SA[i];
         SA[i] = EMPTY;
         SA[--bkt[(size_t)s[j]]] = j;
     }
-    induce<C, I>(s, SA, m, K, t, bkt);
+    induce<TXT, I>(s, SA, m, K, t, bkt);
 }
 
 template <class I>
@@ -161,15 +171,18 @@ static int64_t bwt_from_sa(const uint8_t* bases, const I* sa, int64_t n,
 
 extern "C" {
 
-int bt_sais_u8_32(const uint8_t* s, int32_t m, int32_t K, int32_t* SA) {
-    if (m <= 0 || K <= 0 || s[m - 1] != 0) return -1;
-    sais<uint8_t, int32_t>(s, SA, m, K);
+// SA of bases (values 0..3) of length n plus the implicit sentinel:
+// SA buffer has n+1 slots; SA[0] == n on return.  The +1 alphabet
+// shift and the sentinel are applied by the accessor — no text copy.
+int bt_sais_bases_32(const uint8_t* bases, int32_t n, int32_t* SA) {
+    if (n < 0) return -1;
+    sais<ShiftedBases, int32_t>(ShiftedBases{bases, n}, SA, n + 1, 5);
     return 0;
 }
 
-int bt_sais_u8_64(const uint8_t* s, int64_t m, int64_t K, int64_t* SA) {
-    if (m <= 0 || K <= 0 || s[m - 1] != 0) return -1;
-    sais<uint8_t, int64_t>(s, SA, m, K);
+int bt_sais_bases_64(const uint8_t* bases, int64_t n, int64_t* SA) {
+    if (n < 0) return -1;
+    sais<ShiftedBases, int64_t>(ShiftedBases{bases, n}, SA, n + 1, 5);
     return 0;
 }
 
