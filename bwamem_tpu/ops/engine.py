@@ -764,6 +764,7 @@ class JaxSeedingEngine:
         self.n_dispatches += 1
         kt = self.kernel_time_by_tag
         kt[_tag] = kt.get(_tag, 0.0) + dt
+        kt["n_" + _tag] = kt.get("n_" + _tag, 0) + 1
         return out
 
     def _extend_wave(self, opt, reqs):

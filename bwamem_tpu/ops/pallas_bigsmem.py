@@ -28,6 +28,7 @@ and fall back to the XLA twin beyond.
 """
 
 import os
+from functools import lru_cache
 
 import numpy as np
 
@@ -348,27 +349,43 @@ def sa_lookup_pallas_big(tblw, saw, primary, L2, seq_len, sa_intv: int,
         seq_len.astype(i32).reshape(1),
         jnp.zeros(1, i32)]).reshape(1, 8)
 
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = _sa_walk_big_fn(B, blk, sa_shift, max_steps,
+                          bool(interpret))(scal, tblw, saw, params)
+    return out[0], out[1] != 0
+
+
+@lru_cache(maxsize=None)
+def _sa_walk_big_fn(B: int, blk: int, sa_shift: int, max_steps: int,
+                    interpret: bool):
+    """Memoized jitted big-walk callable (see pallas_smem._sa_walk_fn:
+    per-invocation pallas_call construction made every standalone
+    dispatch recompile)."""
+    i32 = jnp.int32
     kernel = _make_sa_kernel(
         blk, 128, 128, sa_shift, max_steps,
         gather_factory=_dma_factory(2 * blk, 1),
         sa_fetch_factory=_sa_fetch_factory(blk))
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    with jax.enable_x64(False):
-        out = pl.pallas_call(
-            kernel,
-            grid=(B // blk,),
-            in_specs=[
-                pl.BlockSpec((1, 8), lambda b: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((8, blk), lambda b: (0, b)),
-            ],
-            out_specs=pl.BlockSpec((8, blk), lambda b: (0, b)),
-            out_shape=jax.ShapeDtypeStruct((8, B), i32),
-            scratch_shapes=_scratch_shapes(2 * blk),
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
-            interpret=interpret,
-        )(scal, tblw, saw, params)
-    return out[0], out[1] != 0
+
+    def run(scal, tblw, saw, params):
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                kernel,
+                grid=(B // blk,),
+                in_specs=[
+                    pl.BlockSpec((1, 8), lambda b: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec((8, blk), lambda b: (0, b)),
+                ],
+                out_specs=pl.BlockSpec((8, blk), lambda b: (0, b)),
+                out_shape=jax.ShapeDtypeStruct((8, B), i32),
+                scratch_shapes=_scratch_shapes(2 * blk),
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True),
+                interpret=interpret,
+            )(scal, tblw, saw, params)
+
+    return jax.jit(run)

@@ -37,7 +37,7 @@ smem1_pallas_available() and fall back to the XLA twin.
 """
 
 import os
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 
@@ -975,7 +975,39 @@ def _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("sa_intv", "max_steps", "interpret"))
+@lru_cache(maxsize=None)
+def _sa_walk_fn(B: int, blk: int, NBP: int, NSP: int, sa_shift: int,
+                max_steps: int, interpret: bool):
+    """Memoized jitted walk-kernel callable: rebuilding the pallas_call
+    per invocation made every standalone dispatch a jit cache miss
+    (fresh closure identity) and paid a full recompile (~0.6 s) —
+    invisible in kernel-time accounting because it lands in the
+    dispatch, not the result fetch.  (The VMEM variant used to carry
+    its own jax.jit; routing both variants through one cached builder
+    keeps the big twin's call signature identical.)"""
+    i32 = jnp.int32
+    kernel = _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps)
+
+    def run(scal, tbl, sa_planes, params):
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                kernel,
+                grid=(B // blk,),
+                in_specs=[
+                    pl.BlockSpec((1, 8), lambda b: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((48, NBP), lambda b: (0, 0)),
+                    pl.BlockSpec((4, NSP), lambda b: (0, 0)),
+                    pl.BlockSpec((8, blk), lambda b: (0, b)),
+                ],
+                out_specs=pl.BlockSpec((8, blk), lambda b: (0, b)),
+                out_shape=jax.ShapeDtypeStruct((8, B), i32),
+                interpret=interpret,
+            )(scal, tbl, sa_planes, params)
+
+    return jax.jit(run)
+
+
 def sa_lookup_pallas(tbl, sa_planes, primary, L2, seq_len, sa_intv: int,
                      k, max_steps: int = 1024, interpret=None):
     """Drop-in twin of ops.fm.sa_lookup_batched backed by the Mosaic
@@ -998,22 +1030,8 @@ def sa_lookup_pallas(tbl, sa_planes, primary, L2, seq_len, sa_intv: int,
         seq_len.astype(i32).reshape(1),
         jnp.zeros(1, i32)]).reshape(1, 8)
 
-    kernel = _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    with jax.enable_x64(False):
-        out = pl.pallas_call(
-            kernel,
-            grid=(B // blk,),
-            in_specs=[
-                pl.BlockSpec((1, 8), lambda b: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((48, NBP), lambda b: (0, 0)),
-                pl.BlockSpec((4, NSP), lambda b: (0, 0)),
-                pl.BlockSpec((8, blk), lambda b: (0, b)),
-            ],
-            out_specs=pl.BlockSpec((8, blk), lambda b: (0, b)),
-            out_shape=jax.ShapeDtypeStruct((8, B), i32),
-            interpret=interpret,
-        )(scal, tbl, sa_planes, params)
+    out = _sa_walk_fn(B, blk, NBP, NSP, sa_shift, max_steps,
+                      bool(interpret))(scal, tbl, sa_planes, params)
     return out[0], out[1] != 0

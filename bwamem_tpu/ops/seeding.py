@@ -466,7 +466,7 @@ class BatchedSeeder:
                     L=self.L, M=self.M, OUT_CAP=out_cap, NEED_X1=False,
                     PALLAS=self.pallas_mode, **kw)
             pend.append((lo, grp, gcap, dev))
-        xs, szs, qbs, qes, cnts = [], [], [], [], []
+        xs, szs, qbs, qes, cnts, dms = [], [], [], [], [], []
         sa_vals, sa_over, sa_ok = [], [], True
         for lo, grp, gcap, dev in pend:
             get = lambda dev=dev: jax.device_get(dev)
@@ -508,21 +508,30 @@ class BatchedSeeder:
                 if self.L == 256:  # uint8 wire: qe==256 wires as 0
                     gqe[gqe == 0] = 256
             if fuse:
-                # prefetched SA values are only usable when the group's
-                # streams survive unmodified (no oracle splice) and the
-                # key expansion fit KEY_CAP
-                if bool(g_kovf) or over_l.any():
+                # the device key expansion fit KEY_CAP: its values are
+                # usable.  Overflow lanes report n_out==0 on the wire,
+                # so the expansion covers exactly the CLEAN lanes'
+                # streams — which survive the oracle splice unchanged;
+                # spliced intervals are marked for fresh resolution in
+                # seeds_from_arrays instead of dropping the whole
+                # group's prefetch (at large genomes a handful of
+                # buffer-overflow lanes per group made the drop the
+                # common case, costing a split SA dispatch per group)
+                if bool(g_kovf):
                     sa_ok = False
                 else:
                     nk = int(g_nk)
                     sa_vals.append(np.asarray(g_vals)[:nk])
                     sa_over.append(np.asarray(g_over)[:nk])
+            dev_mark = np.ones(len(gx), bool)
             if over_l.any():
                 # splice host-oracle streams into the overflow rows
+                # (their device segments are empty: n_out==0 on wire)
                 px = np.split(gx, np.cumsum(n_l)[:-1])
                 ps = np.split(gs, np.cumsum(n_l)[:-1])
                 pqb = np.split(gqb, np.cumsum(n_l)[:-1])
                 pqe = np.split(gqe, np.cumsum(n_l)[:-1])
+                pdm = np.split(dev_mark, np.cumsum(n_l)[:-1])
                 for i in np.nonzero(over_l)[0]:
                     lst: List[Intv] = []
                     self._oracle_finish(opt, grp[i], 0, start_width,
@@ -534,16 +543,19 @@ class BatchedSeeder:
                                         np.int64)
                     pqe[i] = np.asarray([p[3] & 0xFFFFFFFF for p in lst],
                                         np.int64)
+                    pdm[i] = np.zeros(len(lst), bool)
                     n_l[i] = len(lst)
                 gx = np.concatenate(px) if px else gx
                 gs = np.concatenate(ps) if ps else gs
                 gqb = np.concatenate(pqb) if pqb else gqb
                 gqe = np.concatenate(pqe) if pqe else gqe
+                dev_mark = np.concatenate(pdm) if pdm else dev_mark
             xs.append(gx)
             szs.append(gs)
             qbs.append(gqb)
             qes.append(gqe)
             cnts.append(n_l)
+            dms.append(dev_mark)
         x0 = np.concatenate(xs) if xs else np.zeros(0, np.int64)
         sz = np.concatenate(szs) if szs else np.zeros(0, np.int64)
         qb = np.concatenate(qbs) if qbs else np.zeros(0, np.int64)
@@ -557,13 +569,17 @@ class BatchedSeeder:
         if fuse and sa_ok:
             # pairing token pins the iv this prefetch was computed for
             # (object identity, not id(): the held reference cannot be
-            # recycled) plus the filter params baked into the dispatch
+            # recycled) plus the filter params baked into the dispatch;
+            # dev_mark flags which intervals the device expansion
+            # covered (oracle-spliced intervals resolve freshly)
             self._sa_prefetch = (np.concatenate(sa_vals)
                                  if sa_vals else np.zeros(0, np.int64),
                                  np.concatenate(sa_over)
                                  if sa_over else np.zeros(0, bool),
                                  (read_off, float(opt.min_seed_len),
-                                  float(opt.max_occ)))
+                                  float(opt.max_occ)),
+                                 np.concatenate(dms)
+                                 if dms else np.zeros(0, bool))
         else:
             self._sa_prefetch = None
         return iv
@@ -591,11 +607,42 @@ class BatchedSeeder:
                 or pre[2][1] != float(opt.min_seed_len)
                 or pre[2][2] != float(opt.max_occ)):
             pre = None  # prefetch was for a different iv/opt
-        if pre is not None and len(pre[0]) == total:
-            # the fused dispatch already resolved every key (same
-            # order: interval-major, occurrence-minor)
-            vals = pre[0].astype(np.int64)
-            over = pre[1]
+        if pre is not None:
+            # device-covered intervals (dev_mark) consume the fused
+            # dispatch's values sequentially (same order: interval-
+            # major, occurrence-minor); oracle-spliced intervals (a
+            # handful of buffer-overflow lanes) resolve freshly
+            dm = pre[3][keep]
+            if int(szk[dm].sum()) != len(pre[0]):
+                pre = None  # layout mismatch: fall through to split
+        if pre is not None:
+            vals = np.empty(total, dtype=np.int64)
+            over = np.zeros(total, dtype=bool)
+            if dm.all():
+                vals[:] = pre[0].astype(np.int64)
+                over[:] = pre[1]
+            else:
+                sel = np.repeat(dm, szk)  # per-occurrence, output order
+                vals[sel] = pre[0].astype(np.int64)
+                over[sel] = pre[1]
+                fr = ~dm
+                n_fresh = int(szk[fr].sum())
+                if n_fresh:
+                    base = np.repeat(x0k[fr], szk[fr])
+                    excl = np.concatenate([[0], np.cumsum(szk[fr])[:-1]])
+                    ramp = (np.arange(n_fresh, dtype=np.int64)
+                            - np.repeat(excl, szk[fr]))
+                    fkeys = base + ramp
+                    if n_fresh <= 768:
+                        # few keys: the host psi-walk beats a padded
+                        # device dispatch round trip
+                        fv = np.asarray([fm_host.sa_lookup(int(kk))
+                                         for kk in fkeys], np.int64)
+                        fo = np.zeros(n_fresh, bool)
+                    else:
+                        fv, fo = self._resolve_keys_device(fkeys)
+                    vals[~sel] = fv
+                    over[~sel] = fo
             if over.any():
                 base = np.repeat(x0k, szk)
                 excl = np.concatenate([[0], np.cumsum(szk)[:-1]])
@@ -638,6 +685,30 @@ class BatchedSeeder:
         qbeg = np.repeat(qbk, szk).astype(np.int32)
         slen_a = np.repeat(slk, szk).astype(np.int32)
         return read_ids, vals, qbeg, slen_a
+
+    def _resolve_keys_device(self, keys: np.ndarray):
+        """Batched SA resolution of arbitrary keys via the device walk
+        (SA_SLICE-padded dispatches); returns (vals int64, over bool)."""
+        import jax
+        d = self.dfm
+        kdt = np.int32 if d.sa.dtype == jnp.int32 else np.int64
+        karr = keys.astype(kdt)
+        n = len(karr)
+        vals = np.empty(n, dtype=np.int64)
+        over = np.empty(n, dtype=bool)
+        pend = []
+        for lo in range(0, n, SA_SLICE):
+            sl = karr[lo:lo + SA_SLICE]
+            pad = np.zeros(SA_SLICE, dtype=kdt)
+            pad[:len(sl)] = sl
+            pend.append((lo, len(sl), self._sa_dispatch(pad)))
+        for lo, n_sl, dev in pend:
+            fn = lambda dev=dev: jax.device_get(dev)
+            v, o = (self.timer._timed(fn, _tag="sa")
+                    if self.timer else fn())
+            vals[lo:lo + n_sl] = v[:n_sl]
+            over[lo:lo + n_sl] = o[:n_sl]
+        return vals, over
 
     def seed_positions_arrays(self, fm_host, intervals_per_read, opt):
         """seed_positions with flat-array output for the native chain

@@ -271,3 +271,54 @@ def test_fused_sa_matches_split(small_fm, monkeypatch):
             np.asarray(x), np.asarray(y),
             err_msg=f"fused-SA seeds field {name} diverged")
     assert len(seeds_b[0]) > 0
+
+
+def test_fused_sa_salvage_with_overflow(small_fm, monkeypatch):
+    """Buffer-overflow lanes splice in oracle streams; the fused-SA
+    prefetch must survive for the CLEAN lanes (dev_mark salvage) and
+    still produce exactly the split path's seeds."""
+    import bwamem_tpu.ops.seeding as sd
+    from bwamem_tpu.ops.fm import DeviceFmIndex
+    from bwamem_tpu.config import MemOptions
+    fwd, fm = small_fm
+    d = DeviceFmIndex.from_host(fm)
+    opt = MemOptions()
+    rng = np.random.default_rng(71)
+    queries = []
+    for i in range(48):
+        n = int(rng.integers(60, 101))
+        off = int(rng.integers(0, len(fwd) - n))
+        q = fwd[off:off + n].copy()
+        if i % 5 == 0:  # low-complexity: many live intervals -> M=4
+            q = np.tile(fwd[off:off + 8], 12)[:n].copy()
+        queries.append(q)
+
+    def run(fuse):
+        monkeypatch.setattr(sd, "FUSE_SA", fuse)
+        s = sd.BatchedSeeder(d, max_len=128, sa_max_steps=1024,
+                             fm_host=fm)
+        s.M = 4  # force interval-buffer overflow on the repetitive reads
+        n_oracle = [0]
+        orig = s._oracle_finish
+
+        def of(*a, **k):
+            n_oracle[0] += 1
+            return orig(*a, **k)
+        s._oracle_finish = of
+        iv = s.interval_arrays(opt, queries)
+        pre = s._sa_prefetch
+        seeds = s.seeds_from_arrays(fm, iv, opt)
+        return iv, seeds, n_oracle[0], pre
+
+    iv_a, seeds_a, n_ora_a, _ = run(False)
+    iv_b, seeds_b, n_ora_b, pre_b = run(True)
+    assert n_ora_b > 0, "no overflow lanes: the salvage path never ran"
+    assert pre_b is not None, "prefetch was dropped despite salvage"
+    assert not pre_b[3].all(), "expected oracle-spliced intervals"
+    for x, y in zip(iv_a, iv_b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for name, x, y in zip(["rid", "rbeg", "qb", "len"], seeds_a,
+                          seeds_b):
+        np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y),
+            err_msg=f"salvaged fused-SA seeds field {name} diverged")
