@@ -217,7 +217,13 @@ class FmIndex:
 
     def sa_lookup(self, k: int) -> int:
         """bwt_sa: walk inverse Psi to the previous sampled row
-        (software/bwt.c:104-114)."""
+        (software/bwt.c:104-114).  Native C walk when available
+        (oracle/nsmem.py); the Python walk below is the spec."""
+        from ..oracle import nsmem, smem as _osmem
+        if _osmem._NATIVE and nsmem.available():
+            v = nsmem.sa_lookup_batch_native(self, [k])
+            if v is not None:
+                return int(v[0])
         sa = 0
         mask = self.sa_intv - 1
         while k & mask:

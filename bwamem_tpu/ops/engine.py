@@ -269,21 +269,63 @@ class JaxSeedingEngine:
                         cb.flat = (chain_off_full, sd_off, o_rb, o_qb,
                                    o_ln)
                         return cb
-                    from ..core.chain import Chain
-                    rb_l, qb_l, ln_l = (o_rb.tolist(), o_qb.tolist(),
-                                        o_ln.tolist())
-                    c_off_l, sd_off_l = c_off.tolist(), sd_off.tolist()
-                    for bi, i in enumerate(dev_idx):
-                        lst = []
-                        for c in range(c_off_l[bi], c_off_l[bi + 1]):
-                            lo, hi = sd_off_l[c], sd_off_l[c + 1]
-                            seeds_c = list(zip(rb_l[lo:hi],
-                                               qb_l[lo:hi],
-                                               ln_l[lo:hi]))
-                            lst.append(Chain(pos=seeds_c[0][0],
-                                             seeds=seeds_c))
-                        chains[i] = lst
-                    dev_idx = []  # handled
+                    # mixed chunk: chain the host reads (native-oracle
+                    # mem_chain) and splice them into the flat arrays
+                    # in global read order — dropping to Chain objects
+                    # here used to push the WHOLE chunk onto the Python
+                    # wave path, whose fixed LQ=128 served every
+                    # long-read extension with the scalar host kernel
+                    from ..core.chain import mem_chain
+                    hch = {i: mem_chain(opt, self.fm_host, l_pac,
+                                        reads[i].seq_nt4)
+                           for i in host_idx}
+                    dev_pos = {i: bi for bi, i in enumerate(dev_idx)}
+                    n_chains = np.zeros(len(reads), np.int64)
+                    n_chains[np.asarray(dev_idx, np.int64)] = \
+                        np.diff(c_off)
+                    for i, lst in hch.items():
+                        n_chains[i] = len(lst)
+                    chain_off_full = np.zeros(len(reads) + 1, np.int64)
+                    np.cumsum(n_chains, out=chain_off_full[1:])
+                    seed_cnt = []  # per chain, in global order
+                    rb_p, qb_p, ln_p = [], [], []
+                    sd_cnt_dev = np.diff(sd_off)
+                    for i in range(len(reads)):
+                        bi = dev_pos.get(i)
+                        if bi is not None:
+                            c0, c1 = int(c_off[bi]), int(c_off[bi + 1])
+                            if c1 > c0:
+                                seed_cnt.append(sd_cnt_dev[c0:c1])
+                                lo = int(sd_off[c0])
+                                hi = int(sd_off[c1])
+                                rb_p.append(o_rb[lo:hi])
+                                qb_p.append(o_qb[lo:hi])
+                                ln_p.append(o_ln[lo:hi])
+                        else:
+                            for c in hch.get(i, ()):
+                                seed_cnt.append(
+                                    np.asarray([c.n], np.int64))
+                                rb_p.append(np.asarray(
+                                    [s[0] for s in c.seeds], o_rb.dtype))
+                                qb_p.append(np.asarray(
+                                    [s[1] for s in c.seeds], o_qb.dtype))
+                                ln_p.append(np.asarray(
+                                    [s[2] for s in c.seeds], o_ln.dtype))
+                    sd_off_full = np.zeros(
+                        int(chain_off_full[-1]) + 1, np.int64)
+                    if seed_cnt:
+                        np.cumsum(np.concatenate(seed_cnt),
+                                  out=sd_off_full[1:])
+                    cb = ChainBatch()
+                    cb.flat = (
+                        chain_off_full, sd_off_full,
+                        np.concatenate(rb_p) if rb_p
+                        else o_rb[:0],
+                        np.concatenate(qb_p) if qb_p
+                        else o_qb[:0],
+                        np.concatenate(ln_p) if ln_p
+                        else o_ln[:0])
+                    return cb
             if dev_idx:
                 if streams is None:
                     # x1 is never consumed on the mem path — skip its

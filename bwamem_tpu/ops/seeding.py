@@ -633,11 +633,18 @@ class BatchedSeeder:
                     ramp = (np.arange(n_fresh, dtype=np.int64)
                             - np.repeat(excl, szk[fr]))
                     fkeys = base + ramp
-                    if n_fresh <= 768:
-                        # few keys: the host psi-walk beats a padded
+                    from ..oracle import nsmem
+                    nat = nsmem.available()
+                    if n_fresh <= (8192 if nat else 768):
+                        # few keys: the host psi-walk (one C call when
+                        # the native oracle is built) beats a padded
                         # device dispatch round trip
-                        fv = np.asarray([fm_host.sa_lookup(int(kk))
-                                         for kk in fkeys], np.int64)
+                        fv = (nsmem.sa_lookup_batch_native(
+                            fm_host, fkeys) if nat else None)
+                        if fv is None:
+                            fv = np.asarray(
+                                [fm_host.sa_lookup(int(kk))
+                                 for kk in fkeys], np.int64)
                         fo = np.zeros(n_fresh, bool)
                     else:
                         fv, fo = self._resolve_keys_device(fkeys)

@@ -18,13 +18,32 @@ The batched TPU implementation (bwamem_tpu.ops.smem) is verified to
 produce identical interval lists.
 """
 
+import os
 from typing import List, Optional, Tuple
 
 Intv = Tuple[int, int, int, int]
 
+# kill switch consistent with the other native-path toggles
+_NATIVE = os.environ.get("BWAMEM_TPU_NATIVE_ORACLE", "1") != "0"
+
 
 def smem1(fm, q, x: int, min_intv: int) -> Tuple[int, List[Intv]]:
-    """Collect SMEMs covering position x; return (next_start, mems)."""
+    """Collect SMEMs covering position x; return (next_start, mems).
+
+    Dispatches to the C twin (native/hostsmem.cpp) when available —
+    the reference's CPU fallback is C too (software/bwt.c:299-414);
+    the Python body below remains the executable spec and parity
+    oracle."""
+    if _NATIVE:
+        from . import nsmem
+        r = nsmem.smem1_native(fm, q, x, min_intv) \
+            if nsmem.available() else None
+        if r is not None:
+            return r
+    return _smem1_py(fm, q, x, min_intv)
+
+
+def _smem1_py(fm, q, x: int, min_intv: int) -> Tuple[int, List[Intv]]:
     mem: List[Intv] = []
     if q[x] > 3:
         return x + 1, mem

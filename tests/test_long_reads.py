@@ -126,10 +126,14 @@ def test_engine_bucket_routing_long(small_fm):
     for i, q in enumerate(_long_queries(fwd, rng, n=24)):
         if i % 3 == 0:
             q = q[:101]  # mixed-length chunk
+        if i % 11 == 1:  # oversize: host-chained, spliced into flat
+            off = int(rng.integers(0, len(fwd) - 280))
+            q = fwd[off:off + 280]
         reads.append(Read(name=f"r{i}",
                           seq="".join(bases[b] if b < 4 else "N"
                                       for b in q),
                           qual="I" * len(q), comment=None))
+    assert any(len(r.seq) > 256 for r in reads)
     eng = JaxSeedingEngine(fm)
     assert eng.dev_max_len >= 256
     chains = eng.chain_batch(opt, reads)
