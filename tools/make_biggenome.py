@@ -25,6 +25,7 @@ def main():
     ap.add_argument('outdir')
     ap.add_argument('--mbp', type=float, default=4.0)
     ap.add_argument('--n-se', type=int, default=2000)
+    ap.add_argument('--n-pe', type=int, default=0)
     ap.add_argument('--seed', type=int, default=20260817)
     ap.add_argument('--read-len', type=int, default=101)
     args = ap.parse_args()
@@ -63,6 +64,22 @@ def main():
         se.append((f"b{i}_{name}_{pos}", read))
     write_fastq(os.path.join(args.outdir, "reads_se.fq"), se)
     print("reads written:", len(se))
+
+    if args.n_pe:  # FR pairs, insert ~300+-30 (make_testdata's model)
+        r1, r2 = [], []
+        while len(r1) < args.n_pe:
+            name, seq = contigs[int(rng.integers(0, len(contigs)))]
+            insert = max(L + 10, int(rng.normal(300, 30)))
+            pos = int(rng.integers(0, len(seq) - insert))
+            frag = seq[pos:pos + insert].tobytes().decode()
+            if 'N' in frag:
+                continue
+            qname = f"pe{len(r1)}_{name}_{pos}"
+            r1.append((qname + "/1", mutate(rng, frag[:L])))
+            r2.append((qname + "/2", mutate(rng, revcomp(frag[-L:]))))
+        write_fastq(os.path.join(args.outdir, "reads_1.fq"), r1)
+        write_fastq(os.path.join(args.outdir, "reads_2.fq"), r2)
+        print("pairs written:", len(r1))
 
     t0 = time.perf_counter()
     from bwamem_tpu.index.build import build_index
