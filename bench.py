@@ -91,7 +91,8 @@ def main():
     if n_pool > 1:
         from bwamem_tpu.core.mt import WorkerPool
         # spawn: a fork of the live axon device client wedges the claim
-        pool = WorkerPool(fm, bns, pac, n_pool, method="spawn")
+        pool = WorkerPool(fm, bns, pac, n_pool, method="spawn",
+                          index_prefix=os.path.join(data, "genome.fa"))
 
     engine = None
     try:

@@ -218,7 +218,8 @@ def main_mem(argv):
     pool = None
     if opt.n_threads > 1:
         from .core.mt import WorkerPool
-        pool = WorkerPool(fm, bns, pac, opt.n_threads)
+        pool = WorkerPool(fm, bns, pac, opt.n_threads,
+                          index_prefix=args[0])
 
     if dist_spec is not None:
         # multi-host pod slice: jax.distributed rendezvous before any

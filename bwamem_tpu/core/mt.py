@@ -32,7 +32,7 @@ class WorkerPool:
     """Fork-based pool over the host-side per-read pipeline stages."""
 
     def __init__(self, fm, bns, pac, n_workers: int,
-                 method: str = None):
+                 method: str = None, index_prefix: str = None):
         import multiprocessing as mp
         if method is None:
             # the axon remote-device client has import-time connection
@@ -46,12 +46,18 @@ class WorkerPool:
         if method == "spawn":
             # spawn when a live remote-device client exists in the
             # parent: forking it duplicates the tunnel connection state
-            # and wedges the device claim.  The index is pickled to
-            # each worker once; workers scrub the device env so any
-            # accidental jax import stays on CPU.
+            # and wedges the device claim.  With index_prefix, workers
+            # re-load the index from disk (OS page cache shares the
+            # bytes) instead of receiving a GB-scale pickle; workers
+            # scrub the device env so any accidental jax import stays
+            # on CPU.
             ctx = mp.get_context("spawn")
-            self._pool = ctx.Pool(self.n, initializer=_init_spawn,
-                                  initargs=(fm, bns, pac))
+            if index_prefix is not None:
+                self._pool = ctx.Pool(self.n, initializer=_init_spawn_load,
+                                      initargs=(index_prefix,))
+            else:
+                self._pool = ctx.Pool(self.n, initializer=_init_spawn,
+                                      initargs=(fm, bns, pac))
         else:
             _G["fm"], _G["bns"], _G["pac"] = fm, bns, pac
             ctx = mp.get_context("fork")
@@ -115,6 +121,18 @@ def _init_spawn(fm, bns, pac):
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     os.environ["JAX_PLATFORMS"] = "cpu"
     _G["fm"], _G["bns"], _G["pac"] = fm, bns, pac
+
+
+def _init_spawn_load(index_prefix):
+    """Spawn initializer that avoids pickling the index: each worker
+    re-loads the artifacts from disk (bwa_idx_load analog); repeated
+    loads share pages through the OS cache, so at GB index scale
+    startup is I/O-bound once instead of pickle-bound per worker."""
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    from ..index import load_index
+    fm, bns = load_index(index_prefix)
+    _G["fm"], _G["bns"], _G["pac"] = fm, bns, bns.pac
 
 
 def _w_align(job):
