@@ -116,7 +116,13 @@ def main():
     import copy
     import random
     rep = int(os.environ.get("BWAMEM_TPU_BENCH_REP", "16"))
-    n_chunks = int(os.environ.get("BWAMEM_TPU_BENCH_CHUNKS", "4"))
+    # 32 chunks: the 4-chunk measured region was ~45% pipeline edges
+    # (first-chunk seed lead-in + last-chunk finalize drain).  Measured
+    # chunk-count curve (same session, distinct-read chunks): 4 -> 20.4k,
+    # 8 -> 23.0k, 16 -> 29.7k, 32 -> 32.7k, 64 -> 29.6k reads/s — longer
+    # runs amortize the edges until tunnel-rate drift dominates (~8 s
+    # measured region is the sweet spot).
+    n_chunks = int(os.environ.get("BWAMEM_TPU_BENCH_CHUNKS", "32"))
     # distinct read ORDER per chunk: the axon relay returns repeated
     # identical dispatches anomalously fast, so byte-identical chunks
     # flatter the number (round-2 verdict).  Shuffling keeps the
