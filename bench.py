@@ -115,7 +115,14 @@ def main():
     # per chunk lifted measured throughput ~15%)
     import copy
     import random
-    rep = int(os.environ.get("BWAMEM_TPU_BENCH_REP", "16"))
+    rep = int(os.environ.get("BWAMEM_TPU_BENCH_REP", "0"))
+    if rep <= 0:
+        # size chunks to exactly fill one seeding lane group: a chunk
+        # just past LANES pays a second near-empty smem dispatch at
+        # full fixed cost (PE A/B: 9600-read chunks 24.0k reads/s vs
+        # 7800-read 25.9k; SE keeps the old 16x500=8000)
+        lanes = int(os.environ.get("BWAMEM_TPU_LANES", "8192"))
+        rep = max(1, lanes // max(len(reads), 1))
     # 32 chunks: the 4-chunk measured region was ~45% pipeline edges
     # (first-chunk seed lead-in + last-chunk finalize drain).  Measured
     # chunk-count curve (same session, distinct-read chunks): 4 -> 20.4k,
