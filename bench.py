@@ -137,18 +137,28 @@ def main():
     # BWAMEM_TPU_BENCH_LEGACY=1 restores the round-2 identical-chunk
     # workload for comparability.
     legacy = os.environ.get("BWAMEM_TPU_BENCH_LEGACY")
-    chunks = []
-    for ci in range(n_chunks):
-        c = [copy.copy(r) for r in reads * rep]
-        if not legacy:
-            if pe:  # shuffle PAIRS: mates must stay interleaved
-                pairs = [c[i:i + 2] for i in range(0, len(c), 2)]
-                random.Random(1000 + ci).shuffle(pairs)
-                c = [r for p in pairs for r in p]
-            else:
-                random.Random(1000 + ci).shuffle(c)
-        chunks.append(c)
-    n_work = sum(len(c) for c in chunks)
+
+    def make_chunks(seed_base: int):
+        out = []
+        for ci in range(n_chunks):
+            c = [copy.copy(r) for r in reads * rep]
+            if not legacy:
+                if pe:  # shuffle PAIRS: mates must stay interleaved
+                    pairs = [c[i:i + 2] for i in range(0, len(c), 2)]
+                    random.Random(seed_base + ci).shuffle(pairs)
+                    c = [r for p in pairs for r in p]
+                else:
+                    random.Random(seed_base + ci).shuffle(c)
+            out.append(c)
+        return out
+
+    n_work = n_chunks * len(reads) * rep
+    # self-describing workload record (resolved rep is workload scale:
+    # cross-round numbers are only comparable at equal rep/chunk size)
+    sys.stderr.write(
+        "[bench] workload: rep=%d chunk=%d reads, n_chunks=%d, "
+        "total=%d reads%s\n" % (rep, len(reads) * rep, n_chunks, n_work,
+                                " (PE)" if pe else ""))
 
     sys.stderr.write("[bench] engine ready (device tables uploaded)\n")
     sys.stderr.flush()
@@ -184,20 +194,32 @@ def main():
         import cProfile
         prof = cProfile.Profile()
         prof.enable()
-    t0 = time.perf_counter()
-    pl.process_chunk_stream(opt, fm, bns, pac, iter(chunks), None, "",
-                            engine, verbose=0, pool=pool)
-    dt = time.perf_counter() - t0
+    # median-of-N passes: single-pass numbers swing with the ±20%
+    # tunnel-rate variance, so the REPORTED statistic is the median
+    # (round-3 verdict: the headline must be driver-reproducible);
+    # per-pass numbers go to stderr.
+    n_pass = max(1, int(os.environ.get("BWAMEM_TPU_BENCH_PASSES", "3")))
+    pass_rps = []
+    for pi in range(n_pass):
+        chunks = make_chunks(1000 + 100 * pi)
+        t0 = time.perf_counter()
+        pl.process_chunk_stream(opt, fm, bns, pac, iter(chunks), None,
+                                "", engine, verbose=0, pool=pool)
+        dt = time.perf_counter() - t0
+        pass_rps.append(n_work / dt)
+        sys.stderr.write("[bench] pass %d/%d: %.1f reads/s (%.2f s)\n"
+                         % (pi + 1, n_pass, pass_rps[-1], dt))
+        sys.stderr.flush()
     if prof is not None:
         prof.disable()
         import pstats
         pstats.Stats(prof, stream=sys.stderr).sort_stats(
             "tottime").print_stats(45)
-    rps = n_work / dt
+    rps = sorted(pass_rps)[len(pass_rps) // 2]
     if pool is not None:
         pool.close()
     if stages:
-        stages["total"] = dt
+        stages["total"] = sum(n_work / r for r in pass_rps)
         stages["kernel_time"] = engine.kernel_time
         stages["n_dispatches"] = engine.n_dispatches
         stages.update(engine.kernel_time_by_tag)

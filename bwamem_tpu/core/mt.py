@@ -53,8 +53,13 @@ class WorkerPool:
             # on CPU.
             ctx = mp.get_context("spawn")
             if index_prefix is not None:
+                # ship cheap invariants so a worker that loads on-disk
+                # artifacts diverging from the parent's in-memory index
+                # (rebuilt in memory, stale dump) fails loudly instead
+                # of silently producing different output
+                inv = (int(fm.primary), int(fm.seq_len), int(bns.l_pac))
                 self._pool = ctx.Pool(self.n, initializer=_init_spawn_load,
-                                      initargs=(index_prefix,))
+                                      initargs=(index_prefix, inv))
             else:
                 self._pool = ctx.Pool(self.n, initializer=_init_spawn,
                                       initargs=(fm, bns, pac))
@@ -123,15 +128,23 @@ def _init_spawn(fm, bns, pac):
     _G["fm"], _G["bns"], _G["pac"] = fm, bns, pac
 
 
-def _init_spawn_load(index_prefix):
+def _init_spawn_load(index_prefix, invariants=None):
     """Spawn initializer that avoids pickling the index: each worker
     re-loads the artifacts from disk (bwa_idx_load analog); repeated
     loads share pages through the OS cache, so at GB index scale
-    startup is I/O-bound once instead of pickle-bound per worker."""
+    startup is I/O-bound once instead of pickle-bound per worker.
+    load_sa8=False: the dense-SA sidecar is device-only (ops.fm) and
+    these workers are host-only — skipping it saves ~1 GB/Gbp of RSS
+    per worker."""
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     os.environ["JAX_PLATFORMS"] = "cpu"
     from ..index import load_index
-    fm, bns = load_index(index_prefix)
+    fm, bns = load_index(index_prefix, load_sa8=False)
+    if invariants is not None:
+        got = (int(fm.primary), int(fm.seq_len), int(bns.l_pac))
+        assert got == tuple(invariants), (
+            f"worker-loaded index at {index_prefix!r} diverges from the "
+            f"parent's in-memory index: {got} != {tuple(invariants)}")
     _G["fm"], _G["bns"], _G["pac"] = fm, bns, bns.pac
 
 

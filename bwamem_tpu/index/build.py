@@ -46,10 +46,14 @@ def build_index(fasta_path: str, prefix: str = None, sa_intv: int = 32,
     log("[bwa_index] done")
 
 
-def load_index(prefix: str):
+def load_index(prefix: str, load_sa8: bool = True):
     """bwa_idx_load(BWA_IDX_ALL) equivalent: returns (FmIndex, BntSeq with
-    pac loaded) (reference: software/bwa.c:312-334)."""
+    pac loaded) (reference: software/bwa.c:312-334).  load_sa8=False
+    skips the dense-SA device sidecar (used only by ops.fm device
+    upload) — host-only consumers like spawn workers save its ~1 GB/Gbp
+    of RSS and disk I/O."""
     fm = FmIndex.restore(prefix + ".bwt", prefix + ".sa")
-    fm.restore_sa8(prefix + ".sa8")
+    if load_sa8:
+        fm.restore_sa8(prefix + ".sa8")
     bns = bns_restore(prefix, load_pac_file=True)
     return fm, bns

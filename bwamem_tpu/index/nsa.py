@@ -69,6 +69,13 @@ def available() -> bool:
     return _load() is not None
 
 
+def _force_i64() -> bool:
+    """Test hook (mirrors ops.fm's BWAMEM_TPU_FORCE_I64): route small
+    texts through the int64 SA-IS entry points so the width human-scale
+    construction needs is fuzz-tested without a >2^31-char text."""
+    return bool(os.environ.get("BWAMEM_TPU_NSA_FORCE_I64"))
+
+
 def suffix_array_native(bases: np.ndarray) -> np.ndarray:
     """Suffix array of `bases` (uint8 values 0..3) including the
     sentinel row: length n+1 with SA[0] == n — same convention as
@@ -80,7 +87,7 @@ def suffix_array_native(bases: np.ndarray) -> np.ndarray:
     bases = np.ascontiguousarray(bases, dtype=np.uint8)
     # the +1 alphabet shift and the sentinel live in the C++ accessor
     # (no n-byte text copy — at Gbp scale that is 2 GB of peak RSS)
-    if n + 1 <= np.iinfo(np.int32).max:
+    if n + 1 <= np.iinfo(np.int32).max and not _force_i64():
         sa = np.empty(n + 1, dtype=np.int32)
         rc = lib.bt_sais_bases_32(bases, n, sa)
     else:

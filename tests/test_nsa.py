@@ -54,6 +54,44 @@ def test_fmindex_native_vs_numpy_byte_parity():
         assert (fa.L2 == fb.L2).all()
 
 
+def test_sais_i64_fuzz_vs_i32(monkeypatch):
+    """The int64 entry points (bt_sais_bases_64 / bt_bwt_from_sa64) are
+    the path human-scale (>2^31-char) construction takes; force small
+    texts through them and require identical SA/BWT/primary."""
+    rng = np.random.default_rng(19)
+    for _ in range(25):
+        n = int(rng.integers(1, 3000))
+        t = rng.integers(0, 4, size=n).astype(np.uint8)
+        monkeypatch.delenv("BWAMEM_TPU_NSA_FORCE_I64", raising=False)
+        sa32 = nsa.suffix_array_native(t)
+        bwt32, pri32 = nsa.bwt_from_sa(t, sa32)
+        assert sa32.dtype == np.int32
+        monkeypatch.setenv("BWAMEM_TPU_NSA_FORCE_I64", "1")
+        sa64 = nsa.suffix_array_native(t)
+        bwt64, pri64 = nsa.bwt_from_sa(t, sa64)
+        assert sa64.dtype == np.int64
+        assert (sa32.astype(np.int64) == sa64).all()
+        assert (bwt32 == bwt64).all()
+        assert pri32 == pri64
+
+
+def test_fmindex_i64_builder_byte_parity(monkeypatch):
+    """Full FmIndex.build through the forced-int64 native builder must
+    yield byte-identical artifacts (the at-scale 3 Gbp build only
+    differs from this by n)."""
+    rng = np.random.default_rng(23)
+    for n in [100, 129, 4096]:
+        t = rng.integers(0, 4, size=n).astype(np.uint8)
+        monkeypatch.delenv("BWAMEM_TPU_NSA_FORCE_I64", raising=False)
+        fa = FmIndex.build(t)
+        monkeypatch.setenv("BWAMEM_TPU_NSA_FORCE_I64", "1")
+        fb = FmIndex.build(t)
+        assert fa.primary == fb.primary
+        assert (fa.bwt == fb.bwt).all()
+        assert (fa.sa == fb.sa).all()
+        assert (fa.L2 == fb.L2).all()
+
+
 def test_interleave_occ_native_parity():
     from bwamem_tpu.index.fmindex import interleave_occ
     rng = np.random.default_rng(3)
