@@ -206,17 +206,25 @@ class DeviceFmIndex:
         cdt = np.int32 if int(fm.seq_len) + 2 < (1 << 31) else np.int64
         if os.environ.get("BWAMEM_TPU_FORCE_I64"):  # test the wide path
             cdt = np.int64
+        # denser sample when the index ships the .sa8 sidecar:
+        # identical values, ~4x fewer lock-step psi-walk iterations.
+        # Past the size cap (MB of device memory/upload) the sparse .sa
+        # wins: at 3 Gbp the sidecar is ~6 GB of tunnel upload for a
+        # walk that is already table-size-independent on device.
+        sa8 = getattr(fm, "sa8", None)
+        if sa8 is not None:
+            cap_mb = float(os.environ.get("BWAMEM_TPU_SA8_MAX_MB",
+                                          "2048"))
+            if sa8.nbytes > cap_mb * (1 << 20):
+                sa8 = None
         return cls(
             blocks=blocks,
             L2=jnp.asarray(fm.L2.astype(cdt)),
             primary=jnp.asarray(cdt(fm.primary)),
             seq_len=jnp.asarray(cdt(fm.seq_len)),
-            # denser sample when the index ships the .sa8 sidecar:
-            # identical values, ~4x fewer lock-step psi-walk iterations
-            sa=jnp.asarray((fm.sa8 if getattr(fm, "sa8", None) is not None
+            sa=jnp.asarray((sa8 if sa8 is not None
                             else fm.sa).astype(cdt)),
-            sa_intv=int(fm.sa8_intv
-                        if getattr(fm, "sa8", None) is not None
+            sa_intv=int(fm.sa8_intv if sa8 is not None
                         else fm.sa_intv),
         )
 

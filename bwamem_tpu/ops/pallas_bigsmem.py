@@ -43,7 +43,7 @@ try:
 except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
-from .pallas_smem import (Z, ONE, BLK, _OC2, _make_kernel,
+from .pallas_smem import (Z, ONE, BLK, _OC2, _CW, M30, _make_kernel,
                           _make_superstep_kernel, _make_sa_kernel,
                           _pack_q, _scal_row)
 
@@ -57,7 +57,10 @@ MC_BIG = int(os.environ.get("BWAMEM_TPU_BIG_MC", "2"))
 def smem1_pallas_big_available(n_blocks: int, cdt, L: int, M: int,
                                out_cap: int = 48) -> bool:
     """Feasibility gate (no table-size cap: that is the point).  The
-    caller picks big-vs-VMEM by n_blocks (pallas_smem.MAX_BLOCKS)."""
+    caller picks big-vs-VMEM by n_blocks (pallas_smem.MAX_BLOCKS).
+    int64 genomes (the canonical 3 Gbp human regime) run the WIDE
+    radix-2^30 paired-plane kernels; gate BWAMEM_TPU_PALLAS_BIGSMEM64=0
+    to fall back to the emulated-int64 XLA twin."""
     if not _HAVE_PALLAS:
         return False
     flag = os.environ.get("BWAMEM_TPU_PALLAS_BIGSMEM", "1")
@@ -66,7 +69,10 @@ def smem1_pallas_big_available(n_blocks: int, cdt, L: int, M: int,
     if jax.default_backend() != "tpu" and flag != "force":
         return False
     if cdt != jnp.int32:
-        return False
+        if cdt != jnp.int64:
+            return False
+        if os.environ.get("BWAMEM_TPU_PALLAS_BIGSMEM64", "1") == "0":
+            return False
     return (L % 32 == 0 and L <= 256 and M <= 32
             and 2 * M <= _OC2 and out_cap <= _OC2)
 
@@ -79,7 +85,11 @@ def sa_pallas_big_available(cdt, sa_intv: int) -> bool:
         return False
     if jax.default_backend() != "tpu" and flag != "force":
         return False
-    return cdt == jnp.int32 and (sa_intv & (sa_intv - 1)) == 0
+    if cdt == jnp.int64 \
+            and os.environ.get("BWAMEM_TPU_PALLAS_BIGSMEM64", "1") == "0":
+        return False
+    return cdt in (jnp.int32, jnp.int64) \
+        and (sa_intv & (sa_intv - 1)) == 0
 
 
 def prep_table_wide(blocks: jnp.ndarray) -> jnp.ndarray:
@@ -95,10 +105,16 @@ def prep_table_wide(blocks: jnp.ndarray) -> jnp.ndarray:
 
 
 def prep_sa_wide(sa: jnp.ndarray) -> jnp.ndarray:
-    """(n_sa,) sampled SA -> (ceil(n/128), 128) int32 wide rows."""
-    n = sa.shape[0]
+    """(n_sa,) sampled SA -> (rows, 128) int32 wide rows.  int32 SA:
+    128 entries/row.  int64 SA (wide kernels): entries bitcast to
+    little-endian (lo32, hi32) int32 pairs — 64 entries/row, entry j
+    of row at lanes (2j, 2j+1)."""
+    if sa.dtype == jnp.int64:
+        s = lax.bitcast_convert_type(sa, jnp.int32).reshape(-1)
+    else:
+        s = sa.astype(jnp.int32)
+    n = s.shape[0]
     pad = (-n) % 128
-    s = sa.astype(jnp.int32)
     if pad:
         s = jnp.concatenate([s, jnp.zeros(pad, jnp.int32)])
     return s.reshape(-1, 128)
@@ -163,10 +179,13 @@ def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int):
     lax.fori_loop(0, C // U, drain, 0)
 
 
-def _dma_factory(Cmax: int, MC: int):
+def _dma_factory(Cmax: int, MC: int, wide: bool = False):
     """gather_factory for the pallas_smem kernel makers: per call,
     fetch each lane's 512-byte row and cut out its 16-word occ block,
-    returning the (12, C) words the shared occ4T math consumes."""
+    returning (ck coordinate (4, C), bwt words (8, C)).  wide=True
+    converts the 64-bit checkpoints (lo/hi word pairs riding the same
+    rows) to radix-2^30 paired planes — the int64-genome path."""
+    cw = _CW(wide)
 
     def factory(tbl_ref, scratch):
         idxv, idxs, rows, sems, bsem = scratch
@@ -182,31 +201,48 @@ def _dma_factory(Cmax: int, MC: int):
             for g in range(8):
                 wf = wf + jnp.where(sub == np.int32(g),
                                     rT[g * 16:(g + 1) * 16, :], Z)
-            # _WL order: checkpoint lo words (0,2,4,6) then bwt (8..15);
-            # hi checkpoint words are zero for int32 genomes
-            return jnp.concatenate(
-                [wf[0:1], wf[2:3], wf[4:5], wf[6:7], wf[8:16]], axis=0)
+            wlo = jnp.concatenate(
+                [wf[0:1], wf[2:3], wf[4:5], wf[6:7]], axis=0)
+            words = wf[8:16]
+            if not wide:
+                # hi checkpoint words are zero for int32 genomes
+                return (wlo,), words
+            whi = jnp.concatenate(
+                [wf[1:2], wf[3:4], wf[5:6], wf[7:8]], axis=0)
+            return cw.from_ck(wlo, whi), words
 
         return gather_words, MC
 
     return factory
 
 
-def _sa_fetch_factory(blk: int):
+def _sa_fetch_factory(blk: int, wide: bool = False):
     """sa_fetch_factory for _make_sa_kernel: fetch the wide row holding
-    each lane's sampled-SA slot and select its lane."""
+    each lane's sampled-SA slot and select its lane.  wide=True reads
+    int64 entries as (lo32, hi32) lane pairs (prep_sa_wide layout) and
+    returns radix-2^30 paired planes."""
+    cw = _CW(wide)
 
     def factory(sa_ref, scratch):
         idxv, idxs, rows, sems, bsem = scratch
 
         def sa_fetch(si):                              # (1, blk)
-            rowi = lax.shift_right_logical(si, np.int32(7))
-            lanei = si & np.int32(127)
+            if wide:
+                rowi = lax.shift_right_logical(si, np.int32(6))
+                lanei = (si & np.int32(63)) * np.int32(2)
+            else:
+                rowi = lax.shift_right_logical(si, np.int32(7))
+                lanei = si & np.int32(127)
             _wave(sa_ref, idxv, idxs, rows, sems, bsem, rowi, blk)
             rT = rows[0:blk, :].T                      # (128, blk)
             sl = lax.broadcasted_iota(jnp.int32, (128, blk), 0)
-            return jnp.sum(jnp.where(sl == lanei, rT, Z), axis=0,
+            lo32 = jnp.sum(jnp.where(sl == lanei, rT, Z), axis=0,
                            keepdims=True)
+            if not wide:
+                return (lo32,)
+            hi32 = jnp.sum(jnp.where(sl == lanei + ONE, rT, Z), axis=0,
+                           keepdims=True)
+            return cw.from_ck(lo32, hi32)
 
         return sa_fetch
 
@@ -220,9 +256,45 @@ def _pick_mc(M: int) -> int:
     return mc
 
 
-def _common_specs(L, blk):
+_M30_64 = np.int64((1 << 30) - 1)
+
+
+def _split30(v):
+    """int64 array -> (hi, lo) int32 radix-2^30 planes (host-side XLA,
+    before the x64-disabled pallas_call)."""
+    v = v.astype(jnp.int64)
+    return ((v >> np.int64(30)).astype(jnp.int32),
+            (v & _M30_64).astype(jnp.int32))
+
+
+def _join30(hi, lo):
+    """(hi, lo) int32 planes -> int64 (hi*2^30 + lo)."""
+    return hi.astype(jnp.int64) * np.int64(1 << 30) + lo.astype(jnp.int64)
+
+
+def _scal_row_wide(primary, L2, seq_len=None):
+    """(1, 16) scalar row: primary hi/lo, L2[0..4] hi/lo, seq_len
+    hi/lo, pad (the wide twin of pallas_smem._scal_row)."""
+    vals = [primary.astype(jnp.int64).reshape(1),
+            L2.astype(jnp.int64).reshape(5)]
+    if seq_len is not None:
+        vals.append(seq_len.astype(jnp.int64).reshape(1))
+    v = jnp.concatenate(vals)
+    hi = (v >> np.int64(30)).astype(jnp.int32)
+    lo = (v & _M30_64).astype(jnp.int32)
+    row = jnp.stack([hi, lo], axis=1).reshape(-1)
+    pad = 16 - row.shape[0]
+    return jnp.concatenate([row, jnp.zeros(pad, jnp.int32)]).reshape(1, 16)
+
+
+def _is_wide(L2) -> bool:
+    return L2.dtype == jnp.int64
+
+
+def _common_specs(L, blk, wide=False):
     return [
-        pl.BlockSpec((1, 8), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 16 if wide else 8), lambda b: (0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((L // 2, blk), lambda b: (0, b)),
         pl.BlockSpec((8, blk), lambda b: (0, b)),
@@ -232,8 +304,10 @@ def _common_specs(L, blk):
 def smem1_pallas_big(tblw, primary, L2, q, qlen, x, min_intv, active,
                      L: int, M: int, interpret=None, packed=False):
     """Drop-in twin of pallas_smem.smem1_pallas backed by the DMA-wave
-    gather; `tblw` is prep_table_wide(blocks)."""
+    gather; `tblw` is prep_table_wide(blocks).  int64 L2/coordinates
+    run the wide paired-plane kernel and return int64 m0/m1/ms."""
     i32 = jnp.int32
+    wide = _is_wide(L2)
     B = q.shape[0]
     blk = min(BLK, B)
     assert B % blk == 0, (B, blk)
@@ -241,38 +315,62 @@ def smem1_pallas_big(tblw, primary, L2, q, qlen, x, min_intv, active,
     Cmax = 2 * MC * blk
 
     qT = _pack_q(q, L, packed).T
-    params = jnp.concatenate([
-        qlen.astype(i32)[None, :],
-        x.astype(i32)[None, :],
-        min_intv.astype(i32)[None, :],
-        active.astype(i32)[None, :],
-        jnp.zeros((4, B), i32),
-    ], axis=0)
+    if wide:
+        mi_hi, mi_lo = _split30(min_intv)
+        params = jnp.concatenate([
+            qlen.astype(i32)[None, :],
+            x.astype(i32)[None, :],
+            mi_hi[None, :], mi_lo[None, :],
+            active.astype(i32)[None, :],
+            jnp.zeros((3, B), i32),
+        ], axis=0)
+        scal = _scal_row_wide(primary, L2)
+    else:
+        params = jnp.concatenate([
+            qlen.astype(i32)[None, :],
+            x.astype(i32)[None, :],
+            min_intv.astype(i32)[None, :],
+            active.astype(i32)[None, :],
+            jnp.zeros((4, B), i32),
+        ], axis=0)
+        scal = _scal_row(primary, L2)
 
-    R = 3 + 5 * M + ((-(3 + 5 * M)) % 8)
+    ncp = 2 if wide else 1
+    R = 3 + (3 * ncp + 2) * M
+    R += (-R) % 8
     kernel = _make_kernel(L, M, blk, 128,
-                          gather_factory=_dma_factory(Cmax, MC))
+                          gather_factory=_dma_factory(Cmax, MC, wide),
+                          wide=wide)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kernel,
             grid=(B // blk,),
-            in_specs=_common_specs(L, blk),
+            in_specs=_common_specs(L, blk, wide),
             out_specs=pl.BlockSpec((R, blk), lambda b: (0, b)),
             out_shape=jax.ShapeDtypeStruct((R, B), i32),
             scratch_shapes=_scratch_shapes(Cmax),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(_scal_row(primary, L2), tblw, qT, params)
+        )(scal, tblw, qT, params)
     ret = out[0]
     n_mem = out[1]
     over = out[2] != 0
-    m0 = out[3:3 + M].T
-    m1 = out[3 + M:3 + 2 * M].T
-    ms = out[3 + 2 * M:3 + 3 * M].T
-    mqb = out[3 + 3 * M:3 + 4 * M].T
-    mqe = out[3 + 4 * M:3 + 5 * M].T
+    r = 3
+    coords = []
+    for _ in range(3):
+        if wide:
+            hi = out[r:r + M].T
+            lo = out[r + M:r + 2 * M].T
+            coords.append(_join30(hi, lo))
+            r += 2 * M
+        else:
+            coords.append(out[r:r + M].T)
+            r += M
+    m0, m1, ms = coords
+    mqb = out[r:r + M].T
+    mqe = out[r + M:r + 2 * M].T
     return ret, n_mem, m0, m1, ms, mqb, mqe, over
 
 
@@ -282,8 +380,10 @@ def superstep_pallas_big(tblw, primary, L2, q, qlen, min_intv, active,
                          NEED_X1: bool = True, interpret=None,
                          packed=False):
     """Drop-in twin of pallas_smem.superstep_pallas for HBM-resident
-    tables.  Same returns."""
+    tables.  Same returns; int64 L2 runs the wide kernel and returns
+    int64 o0/o1/os."""
     i32 = jnp.int32
+    wide = _is_wide(L2)
     B = q.shape[0]
     blk = min(BLK, B)
     assert B % blk == 0, (B, blk)
@@ -291,40 +391,66 @@ def superstep_pallas_big(tblw, primary, L2, q, qlen, min_intv, active,
     Cmax = 2 * MC * blk
 
     qT = _pack_q(q, L, packed).T
-    params = jnp.concatenate([
-        qlen.astype(i32)[None, :],
-        min_intv.astype(i32)[None, :],
-        active.astype(i32)[None, :],
-        split_len.astype(i32)[None, :],
-        split_width.astype(i32)[None, :],
-        jnp.zeros((3, B), i32),
-    ], axis=0)
+    if wide:
+        mi_hi, mi_lo = _split30(min_intv)
+        params = jnp.concatenate([
+            qlen.astype(i32)[None, :],
+            mi_hi[None, :], mi_lo[None, :],
+            active.astype(i32)[None, :],
+            split_len.astype(i32)[None, :],
+            split_width.astype(i32)[None, :],
+            jnp.zeros((2, B), i32),
+        ], axis=0)
+        scal = _scal_row_wide(primary, L2)
+    else:
+        params = jnp.concatenate([
+            qlen.astype(i32)[None, :],
+            min_intv.astype(i32)[None, :],
+            active.astype(i32)[None, :],
+            split_len.astype(i32)[None, :],
+            split_width.astype(i32)[None, :],
+            jnp.zeros((3, B), i32),
+        ], axis=0)
+        scal = _scal_row(primary, L2)
 
     OC = OUT_CAP
-    R = 2 + 5 * OC + ((-(2 + 5 * OC)) % 8)
+    ncp = 2 if wide else 1
+    R = 2 + (3 * ncp + 2) * OC
+    R += (-R) % 8
     kernel = _make_superstep_kernel(
-        L, M, blk, 128, OC, gather_factory=_dma_factory(Cmax, MC))
+        L, M, blk, 128, OC, gather_factory=_dma_factory(Cmax, MC, wide),
+        wide=wide)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kernel,
             grid=(B // blk,),
-            in_specs=_common_specs(L, blk),
+            in_specs=_common_specs(L, blk, wide),
             out_specs=pl.BlockSpec((R, blk), lambda b: (0, b)),
             out_shape=jax.ShapeDtypeStruct((R, B), i32),
             scratch_shapes=_scratch_shapes(Cmax),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(_scal_row(primary, L2), tblw, qT, params)
+        )(scal, tblw, qT, params)
     n_out = out[0]
     over = out[1] != 0
-    o0 = out[2:2 + OC].T
-    o1 = (out[2 + OC:2 + 2 * OC].T if NEED_X1
-          else jnp.zeros((1, 1), i32))
-    os_ = out[2 + 2 * OC:2 + 3 * OC].T
-    oqb = out[2 + 3 * OC:2 + 4 * OC].T
-    oqe = out[2 + 4 * OC:2 + 5 * OC].T
+    r = 2
+    coords = []
+    for _ in range(3):
+        if wide:
+            hi = out[r:r + OC].T
+            lo = out[r + OC:r + 2 * OC].T
+            coords.append(_join30(hi, lo))
+            r += 2 * OC
+        else:
+            coords.append(out[r:r + OC].T)
+            r += OC
+    o0, o1, os_ = coords
+    if not NEED_X1:
+        o1 = jnp.zeros((1, 1), o0.dtype)
+    oqb = out[r:r + OC].T
+    oqe = out[r + OC:r + 2 * OC].T
     return (o0, o1, os_, oqb.astype(jnp.uint8), oqe.astype(jnp.uint8),
             n_out.astype(jnp.uint8), over)
 
@@ -332,8 +458,10 @@ def superstep_pallas_big(tblw, primary, L2, q, qlen, min_intv, active,
 def sa_lookup_pallas_big(tblw, saw, primary, L2, seq_len, sa_intv: int,
                          k, max_steps: int = 1024, interpret=None):
     """Drop-in twin of pallas_smem.sa_lookup_pallas for HBM-resident
-    tables; `saw` is prep_sa_wide(sa)."""
+    tables; `saw` is prep_sa_wide(sa).  int64 L2 runs the wide walk
+    (int64 keys/values)."""
     i32 = jnp.int32
+    wide = _is_wide(L2)
     B = k.shape[0]
     blk = min(BLK, B)
     assert B % blk == 0, (B, blk)
@@ -341,32 +469,43 @@ def sa_lookup_pallas_big(tblw, saw, primary, L2, seq_len, sa_intv: int,
         f"sa_intv must be a power of two, got {sa_intv}"
     sa_shift = int(np.log2(sa_intv))
 
-    params = jnp.concatenate([
-        k.astype(i32)[None, :], jnp.zeros((7, B), i32)], axis=0)
-    scal = jnp.concatenate([
-        primary.astype(i32).reshape(1),
-        L2.astype(i32).reshape(5),
-        seq_len.astype(i32).reshape(1),
-        jnp.zeros(1, i32)]).reshape(1, 8)
+    if wide:
+        k_hi, k_lo = _split30(k)
+        params = jnp.concatenate([
+            k_hi[None, :], k_lo[None, :], jnp.zeros((6, B), i32)],
+            axis=0)
+        scal = _scal_row_wide(primary, L2, seq_len)
+    else:
+        params = jnp.concatenate([
+            k.astype(i32)[None, :], jnp.zeros((7, B), i32)], axis=0)
+        scal = jnp.concatenate([
+            primary.astype(i32).reshape(1),
+            L2.astype(i32).reshape(5),
+            seq_len.astype(i32).reshape(1),
+            jnp.zeros(1, i32)]).reshape(1, 8)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     out = _sa_walk_big_fn(B, blk, sa_shift, max_steps,
-                          bool(interpret))(scal, tblw, saw, params)
+                          bool(interpret), wide)(scal, tblw, saw, params)
+    if wide:
+        return _join30(out[0], out[1]), out[2] != 0
     return out[0], out[1] != 0
 
 
 @lru_cache(maxsize=None)
 def _sa_walk_big_fn(B: int, blk: int, sa_shift: int, max_steps: int,
-                    interpret: bool):
+                    interpret: bool, wide: bool = False):
     """Memoized jitted big-walk callable (see pallas_smem._sa_walk_fn:
     per-invocation pallas_call construction made every standalone
     dispatch recompile)."""
     i32 = jnp.int32
     kernel = _make_sa_kernel(
         blk, 128, 128, sa_shift, max_steps,
-        gather_factory=_dma_factory(2 * blk, 1),
-        sa_fetch_factory=_sa_fetch_factory(blk))
+        gather_factory=_dma_factory(2 * blk, 1, wide),
+        sa_fetch_factory=_sa_fetch_factory(blk, wide),
+        wide=wide)
+    sw = 16 if wide else 8
 
     def run(scal, tblw, saw, params):
         with jax.enable_x64(False):
@@ -374,7 +513,7 @@ def _sa_walk_big_fn(B: int, blk: int, sa_shift: int, max_steps: int,
                 kernel,
                 grid=(B // blk,),
                 in_specs=[
-                    pl.BlockSpec((1, 8), lambda b: (0, 0),
+                    pl.BlockSpec((1, sw), lambda b: (0, 0),
                                  memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pl.ANY),

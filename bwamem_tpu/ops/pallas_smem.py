@@ -79,6 +79,176 @@ _OC2 = 64
 # packed bwt words; the hi checkpoint words are zero for int32 genomes
 _WL = [0, 2, 4, 6, 8, 9, 10, 11, 12, 13, 14, 15]
 
+M30 = np.int32((1 << 30) - 1)
+B30 = np.int32(1 << 30)
+
+
+class _CW:
+    """Coordinate-plane arithmetic for the Mosaic kernels.
+
+    A coordinate value is a TUPLE of int32 planes of equal shape:
+    1 plane for int32 genomes (ops are pass-through, so the traced
+    program is exactly the historical one), 2 planes — radix-2^30
+    (hi, lo), lo in [0, 2^30) — for int64 genomes, the reference's
+    canonical human regime (3 GB BWT whose doubled pack exceeds 2^31,
+    software/bwa.c:286-301, hardware/afu_core.v:1428-1432).
+
+    Radix 2^30 instead of 2^32 keeps every plane nonnegative for valid
+    coordinates: comparisons stay signed int32 and carries are plain
+    compares — the Mosaic VPU has no unsigned compare or carry flag.
+    The only negative transient is k-1 at k == 0, which normalizes to
+    hi == -1 (caught by ge0 exactly like the scalar sign test).
+    """
+
+    def __init__(self, wide: bool):
+        self.wide = wide
+        self.n = 2 if wide else 1
+
+    # --- constructors ---------------------------------------------------
+    def wrap_i32(self, v):
+        """Small nonnegative int32 array/scalar -> coordinate."""
+        if not self.wide:
+            return (v,)
+        return (jnp.zeros_like(v), v)
+
+    def const(self, c: int):
+        if not self.wide:
+            return (np.int32(c),)
+        assert 0 <= c < (1 << 30)
+        return (Z, np.int32(c))
+
+    def zeros(self, shape):
+        return tuple(jnp.zeros(shape, jnp.int32) for _ in range(self.n))
+
+    def full(self, shape, c: int):
+        return tuple(jnp.full(shape, np.int32(c), jnp.int32)
+                     for _ in range(self.n))
+
+    def from_ck(self, wlo, whi):
+        """64-bit checkpoint words (lo32, hi32 int32 bit patterns) ->
+        coordinate planes."""
+        if not self.wide:
+            return (wlo,)
+        hi = lax.shift_left(whi, np.int32(2)) \
+            + lax.shift_right_logical(wlo, np.int32(30))
+        return (hi, wlo & M30)
+
+    # --- structure ------------------------------------------------------
+    def map(self, f, *vals):
+        return tuple(f(*ps) for ps in zip(*vals))
+
+    def row(self, a, m, w: int = 1):
+        return tuple(p[m:m + w] for p in a)
+
+    def colslice(self, a, lo, hi):
+        return tuple(p[:, lo:hi] for p in a)
+
+    def cat0(self, vals):
+        """Sublane-axis concat of a list of coordinates."""
+        return tuple(jnp.concatenate(ps, axis=0) for ps in zip(*vals))
+
+    def cat1(self, vals):
+        """Lane-axis concat of a list of coordinates."""
+        return tuple(jnp.concatenate(ps, axis=1) for ps in zip(*vals))
+
+    def where(self, cond, a, b):
+        return tuple(jnp.where(cond, pa, pb) for pa, pb in zip(a, b))
+
+    # --- arithmetic -----------------------------------------------------
+    def addi(self, a, v):
+        """a + v for int32 v with 0 <= v < 2^30 (array or scalar)."""
+        if not self.wide:
+            return (a[0] + v,)
+        lo = a[1] + v
+        carry = jnp.where(lo >= B30, ONE, Z)
+        return (a[0] + carry, lo - jnp.where(carry != Z, B30, Z))
+
+    def subi(self, a, v):
+        """a - v for int32 v with 0 <= v < 2^30 (array or scalar)."""
+        if not self.wide:
+            return (a[0] - v,)
+        lo = a[1] - v
+        borrow = jnp.where(lo < Z, ONE, Z)
+        return (a[0] - borrow, lo + jnp.where(borrow != Z, B30, Z))
+
+    def add(self, a, b):
+        if not self.wide:
+            return (a[0] + b[0],)
+        lo = a[1] + b[1]
+        carry = jnp.where(lo >= B30, ONE, Z)
+        return (a[0] + b[0] + carry, lo - jnp.where(carry != Z, B30, Z))
+
+    def sub(self, a, b):
+        if not self.wide:
+            return (a[0] - b[0],)
+        lo = a[1] - b[1]
+        borrow = jnp.where(lo < Z, ONE, Z)
+        return (a[0] - b[0] - borrow,
+                lo + jnp.where(borrow != Z, B30, Z))
+
+    # --- comparisons (values normalized; planes broadcast) --------------
+    def lt(self, a, b):
+        if not self.wide:
+            return a[0] < b[0]
+        return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] < b[1]))
+
+    def le(self, a, b):
+        if not self.wide:
+            return a[0] <= b[0]
+        return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] <= b[1]))
+
+    def ge(self, a, b):
+        return ~self.lt(a, b)
+
+    def eq(self, a, b):
+        if not self.wide:
+            return a[0] == b[0]
+        return (a[0] == b[0]) & (a[1] == b[1])
+
+    def ne(self, a, b):
+        return ~self.eq(a, b)
+
+    def ge0(self, a):
+        return a[0] >= Z
+
+    def lti(self, a, v):
+        """a < v for small nonnegative int32 v."""
+        if not self.wide:
+            return a[0] < v
+        return (a[0] < Z) | ((a[0] == Z) & (a[1] < v))
+
+    def lei(self, a, v):
+        if not self.wide:
+            return a[0] <= v
+        return (a[0] < Z) | ((a[0] == Z) & (a[1] <= v))
+
+    def max1(self, a):
+        """maximum(a, 1)."""
+        if not self.wide:
+            return (jnp.maximum(a[0], ONE),)
+        return self.where(self.lti(a, ONE), self.const(1), a)
+
+    # --- bit extraction (valid for normalized nonnegative values) -------
+    def blkrow(self, a):
+        """(a >> 7) as a single int32 plane (occ-block index; int32 up
+        to 2^38-char genomes)."""
+        if not self.wide:
+            return lax.shift_right_logical(a[0], np.int32(7))
+        return lax.shift_left(a[0], np.int32(23)) \
+            + lax.shift_right_logical(a[1], np.int32(7))
+
+    def shr_i32(self, a, s: int):
+        """(a >> s) as int32 for static 0 < s <= 30."""
+        if not self.wide:
+            return lax.shift_right_logical(a[0], np.int32(s))
+        return lax.shift_left(a[0], np.int32(30 - s)) \
+            + lax.shift_right_logical(a[1], np.int32(s))
+
+    def andm(self, a, m):
+        """a & m for int32 m with 2^30 % (m+1) == 0 (low bits live in
+        the lo plane)."""
+        return a[-1] & m
+
 
 def smem1_pallas_available(n_blocks: int, cdt, L: int, M: int,
                            out_cap: int = 48) -> bool:
@@ -158,7 +328,7 @@ def _gather_planes(tbl_ref, blkidx, NBP, C):
 
 
 def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
-                 gather_words=None, MC=None):
+                 gather_words=None, MC=None, cw=None):
     """Shared tracer for one smem1 pass (fwd + bwd) over a lane block.
     Returns smem1_sub(x, min_iv, act) -> (ret, n_mem, m0, m1, ms, mqb,
     mqe, over) with act/over as int32 (1, blk) rows.  Exact port of
@@ -167,11 +337,18 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
     half the upload; sel_q decodes nibbles in place.
 
     `gather_words` (optional) replaces the one-hot byte-plane gather:
-    gather_words(blkidx (1, C)) -> (12, C) int32 occ-block words in _WL
-    order — the hook the HBM-resident DMA path (ops.pallas_bigsmem)
+    gather_words(blkidx (1, C)) -> (ck coordinate (4, C), words int32
+    (8, C)) — the hook the HBM-resident DMA path (ops.pallas_bigsmem)
     plugs in.  `MC` overrides the backward-pass chunk width (defaults
-    to the one-hot VMEM-slab formula)."""
+    to the one-hot VMEM-slab formula).
+
+    `cw` (_CW) sets the coordinate width: every interval coordinate
+    (ik0/ik1/s, the m0/m1/ms buffers, min_iv) is a cw-tuple of int32
+    planes; primary and L2 entries are cw-tuples of scalars.  The
+    narrow (1-plane) default traces the historical int32 program."""
     i32 = jnp.int32
+    if cw is None:
+        cw = _CW(False)
     if MC is None:
         MC = max(1, min(M, (4 << 20) // (NBP * 2 * blk * 2)))
         while M % MC:
@@ -181,6 +358,8 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
     jvM = lax.broadcasted_iota(i32, (M, blk), 0)
     j4 = lax.broadcasted_iota(i32, (4, blk), 0)
     zM = jnp.zeros((M, blk), i32)
+    czM = cw.zeros((M, blk))
+    cz1 = cw.zeros((1, blk))
 
     def excl_prefix(v):
         """Exclusive prefix sum along the M sublanes (static loop —
@@ -208,6 +387,9 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
     def set_rowM(a, idx, v):
         return jnp.where(jvM == idx, v, a)
 
+    def cset_rowM(a, idx, v):
+        return cw.map(lambda p, q2: set_rowM(p, idx, q2), a, v)
+
     def row0(a, m):
         # row m rebased to sublane offset 0: Mosaic cannot lane-concat
         # slices whose layouts carry their source sublane offsets
@@ -224,26 +406,30 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
             out = jnp.where(valid_rows, out, Z)
         return out
 
+    def crev_rows(a, n, valid_rows=None):
+        return cw.map(lambda p: rev_rows(p, n, valid_rows), a)
+
     def occ4T(k2):
-        """Batched bwt_occ4 over (1, C) coordinates: the one-hot MXU
-        row gather + SWAR popcounts (software/bwt.c:187-204; RTL
-        BWT_OCC4 hardware/afu_core.v:5653-5897).  Returns (4, C)."""
-        C = k2.shape[1]
+        """Batched bwt_occ4 over (1, C) coordinates: the row gather +
+        SWAR popcounts (software/bwt.c:187-204; RTL BWT_OCC4
+        hardware/afu_core.v:5653-5897).  k2 is a cw-tuple; returns a
+        cw-tuple of (4, C)."""
+        C = k2[0].shape[1]
         j8w = lax.broadcasted_iota(i32, (8, C), 0)
-        valid = k2 >= Z
-        kk = k2 - jnp.where(k2 >= primary, ONE, Z)
-        kk = jnp.where(valid, kk, Z)
-        blkidx = lax.shift_right_logical(kk, np.int32(7))
+        valid = cw.ge0(k2)
+        kk = cw.subi(k2, jnp.where(cw.ge(k2, primary), ONE, Z))
+        kk = cw.where(valid, kk, cw.zeros(kk[0].shape))
+        blkidx = cw.blkrow(kk)
         if gather_words is None:
             rows = _gather_planes(tbl_ref, blkidx, NBP, C)
             w = (rows[0:12] | lax.shift_left(rows[12:24], np.int32(8))
                  | lax.shift_left(rows[24:36], np.int32(16))
                  | lax.shift_left(rows[36:48], np.int32(24)))
+            ck = (w[0:4],)
+            words = w[4:12]
         else:
-            w = gather_words(blkidx)
-        ck = w[0:4]
-        words = w[4:12]
-        off = kk & np.int32(127)
+            ck, words = gather_words(blkidx)
+        off = cw.andm(kk, np.int32(127))
         wi = lax.shift_right_logical(off, np.int32(4))
         r = (~off) & np.int32(15)
         pmask = ~(lax.shift_left(ONE, r + r) - ONE)
@@ -257,52 +443,63 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
         c1 = jnp.sum(_popc(lb & ~hb), axis=0, keepdims=True)
         c0 = (off + ONE) - c1 - c2 - c3
         within = jnp.concatenate([c0, c1, c2, c3], axis=0)
-        return jnp.where(valid, ck + within, Z)
+        return cw.where(valid, cw.addi(ck, within),
+                        cw.zeros((4, C)))
 
     def extendT(x0, x1, s, is_back):
         """Batched bwt_extend (software/bwt.c:416-429): (1, C)
-        intervals -> (4, C) candidates per base."""
-        C = x0.shape[1]
+        cw-tuples -> (4, C) cw-tuple candidates per base."""
+        C = x0[0].shape[1]
         fwd = x0 if is_back else x1
-        k2 = jnp.concatenate([fwd - ONE, fwd - ONE + s], axis=1)
+        fm1 = cw.subi(fwd, ONE)
+        k2 = cw.cat1([fm1, cw.add(fm1, s)])
         both = occ4T(k2)
-        tk, tl = both[:, :C], both[:, C:]
-        l2r = jnp.concatenate(
-            [jnp.zeros((1, C), i32) + L2[c] for c in range(4)], axis=0)
-        occ_side = l2r + ONE + tk
-        oks = tl - tk
-        bump = jnp.where((fwd <= primary)
-                         & (fwd + s - ONE >= primary), ONE, Z)
-        prev = (x1 if is_back else x0) + bump
+        tk = cw.colslice(both, 0, C)
+        tl = cw.colslice(both, C, 2 * C)
+        l2r = cw.cat0([cw.map(lambda pz, sc: pz + sc,
+                              cw.zeros((1, C)), L2[c])
+                       for c in range(4)])
+        occ_side = cw.add(cw.addi(l2r, ONE), tk)
+        oks = cw.sub(tl, tk)
+        bump = jnp.where(cw.le(fwd, primary)
+                         & cw.ge(cw.subi(cw.add(fwd, s), ONE), primary),
+                         ONE, Z)
+        prev = cw.addi((x1 if is_back else x0), bump)
         same3 = prev
-        same2 = same3 + oks[3:4]
-        same1 = same2 + oks[2:3]
-        same0 = same1 + oks[1:2]
-        same = jnp.concatenate([same0, same1, same2, same3], axis=0)
+        same2 = cw.add(same3, cw.row(oks, 3))
+        same1 = cw.add(same2, cw.row(oks, 2))
+        same0 = cw.add(same1, cw.row(oks, 1))
+        same = cw.cat0([same0, same1, same2, same3])
         if is_back:
             return occ_side, same, oks
         return same, occ_side, oks
 
     def sel_L2(idx):
-        out = jnp.zeros((1, blk), i32)
+        out = cw.zeros((1, blk))
         for c in range(5):
-            out = out + jnp.where(idx == np.int32(c), L2[c], Z)
+            out = cw.map(lambda p, sc: p + jnp.where(
+                idx == np.int32(c), sc, Z), out, L2[c])
         return out
+
+    def csel4(a, cc):
+        """Select row cc of a (4, blk) cw-tuple -> (1, blk)."""
+        return cw.map(lambda p: jnp.sum(jnp.where(j4 == cc, p, Z),
+                                        axis=0, keepdims=True), a)
 
     def any_live(st):
         return jnp.max(jnp.where(st[-1] == Z, ONE, Z)) > Z
 
     def smem1_sub(x, min_iv_in, act):
         qlen = q_len_holder[0]
-        min_iv = jnp.maximum(min_iv_in, ONE)
+        min_iv = cw.max1(min_iv_in)
 
         # ---- bwt_set_intv (software/bwt.h:80) -------------------------
         qx = sel_q(x)
         bad = jnp.where((qx > np.int32(3)) | (act == Z), ONE, Z)
         qx_c = jnp.where(bad != Z, Z, qx)
-        ik0 = sel_L2(qx_c) + ONE
-        ik1 = sel_L2(np.int32(3) - qx_c) + ONE
-        iks = sel_L2(qx_c + ONE) - sel_L2(qx_c)
+        ik0 = cw.addi(sel_L2(qx_c), ONE)
+        ik1 = cw.addi(sel_L2(np.int32(3) - qx_c), ONE)
+        iks = cw.sub(sel_L2(qx_c + ONE), sel_L2(qx_c))
         ikend = x + ONE
 
         # ---- forward extension (software/bwt.c:790-801) ---------------
@@ -315,34 +512,31 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
             is_amb = cb > np.int32(3)
             o0, o1, os_ = extendT(ik0, ik1, iks, is_back=False)
             cc = jnp.where(is_amb, Z, np.int32(3) - cb)
-            n0 = jnp.sum(jnp.where(j4 == cc, o0, Z), axis=0,
-                         keepdims=True)
-            n1 = jnp.sum(jnp.where(j4 == cc, o1, Z), axis=0,
-                         keepdims=True)
-            ns = jnp.sum(jnp.where(j4 == cc, os_, Z), axis=0,
-                         keepdims=True)
-            changed = ns != iks
-            small = ns < min_iv
+            n0 = csel4(o0, cc)
+            n1 = csel4(o1, cc)
+            ns = csel4(os_, cc)
+            changed = cw.ne(ns, iks)
+            small = cw.lt(ns, min_iv)
             live = done == Z
             push = live & (at_end | is_amb | changed)
             stop = live & (at_end | is_amb | (changed & small))
             idx = jnp.where(push, n_curr, np.int32(M))
-            c0 = set_rowM(c0, idx, ik0)
-            c1 = set_rowM(c1, idx, ik1)
-            cs = set_rowM(cs, idx, iks)
+            c0 = cset_rowM(c0, idx, ik0)
+            c1 = cset_rowM(c1, idx, ik1)
+            cs = cset_rowM(cs, idx, iks)
             cend = set_rowM(cend, idx, ikend)
             n_curr = n_curr + jnp.where(push, ONE, Z)
             cont = live & ~stop
-            ik0 = jnp.where(cont, n0, ik0)
-            ik1 = jnp.where(cont, n1, ik1)
-            iks = jnp.where(cont, ns, iks)
+            ik0 = cw.where(cont, n0, ik0)
+            ik1 = cw.where(cont, n1, ik1)
+            iks = cw.where(cont, ns, iks)
             ikend = jnp.where(cont, i + ONE, ikend)
             done = jnp.where(stop, ONE, done)
             i = i + jnp.where(done == Z, ONE, Z)
             return (i, ik0, ik1, iks, ikend, c0, c1, cs, cend, n_curr,
                     done)
 
-        st = (x + ONE, ik0, ik1, iks, ikend, zM, zM, zM, zM,
+        st = (x + ONE, ik0, ik1, iks, ikend, czM, czM, czM, zM,
               jnp.zeros((1, blk), i32), bad)
         st = lax.while_loop(any_live, fwd_body, st)
         (_, _, _, _, _, c0, c1, cs, cend, n_curr, _) = st
@@ -351,9 +545,9 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
         last = jnp.clip(n_curr - ONE, Z, np.int32(M - 1))
         ret = jnp.where(n_curr > Z, sel_rowM(cend, last), x + ONE)
 
-        p0 = rev_rows(c0, n_curr)
-        p1 = rev_rows(c1, n_curr)
-        ps = rev_rows(cs, n_curr)
+        p0 = crev_rows(c0, n_curr)
+        p1 = crev_rows(c1, n_curr)
+        ps = crev_rows(cs, n_curr)
         pend = rev_rows(cend, n_curr)
 
         # ---- backward extension (software/bwt.c:808-831) ---------------
@@ -369,66 +563,82 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
             # MC prev rows share one occ4T matmul (lane-axis concat of
             # rebased rows); chunks beyond the max live interval count
             # are skipped (typically only chunk 0 runs)
-            rows0, rows1, rowss = [], [], []
+            rows0 = [[] for _ in range(cw.n)]
+            rows1 = [[] for _ in range(cw.n)]
+            rowss = [[] for _ in range(cw.n)]
             j4c = lax.broadcasted_iota(i32, (4, MC * blk), 0)
             ct = jnp.concatenate([csel] * MC, axis=1)
             for mc in range(0, M, MC):
                 def live_chunk(mc=mc):
-                    x0c = jnp.concatenate(
-                        [row0(p0, m) for m in range(mc, mc + MC)], axis=1)
-                    x1c = jnp.concatenate(
-                        [row0(p1, m) for m in range(mc, mc + MC)], axis=1)
-                    ssc = jnp.concatenate(
-                        [row0(ps, m) for m in range(mc, mc + MC)], axis=1)
+                    x0c = cw.map(lambda p: jnp.concatenate(
+                        [row0(p, m) for m in range(mc, mc + MC)],
+                        axis=1), p0)
+                    x1c = cw.map(lambda p: jnp.concatenate(
+                        [row0(p, m) for m in range(mc, mc + MC)],
+                        axis=1), p1)
+                    ssc = cw.map(lambda p: jnp.concatenate(
+                        [row0(p, m) for m in range(mc, mc + MC)],
+                        axis=1), ps)
                     o0, o1, os_ = extendT(x0c, x1c, ssc, is_back=True)
-                    r0 = jnp.sum(jnp.where(j4c == ct, o0, Z), axis=0,
-                                 keepdims=True)
-                    r1 = jnp.sum(jnp.where(j4c == ct, o1, Z), axis=0,
-                                 keepdims=True)
-                    rs = jnp.sum(jnp.where(j4c == ct, os_, Z), axis=0,
-                                 keepdims=True)
-                    return r0, r1, rs
+
+                    def selc(a):
+                        return cw.map(lambda p: jnp.sum(
+                            jnp.where(j4c == ct, p, Z), axis=0,
+                            keepdims=True), a)
+                    return selc(o0) + selc(o1) + selc(os_)
 
                 def dead_chunk():
                     zr = jnp.zeros((1, MC * blk), i32)
-                    return zr, zr, zr
+                    return (zr,) * (3 * cw.n)
 
-                r0, r1, rs = lax.cond(np.int32(mc) < n_max, live_chunk,
-                                      dead_chunk)
+                rr = lax.cond(np.int32(mc) < n_max, live_chunk,
+                              dead_chunk)
+                r0, r1, rs = (rr[:cw.n], rr[cw.n:2 * cw.n],
+                              rr[2 * cw.n:])
                 for m in range(MC):
-                    rows0.append(r0[:, m * blk:(m + 1) * blk])
-                    rows1.append(r1[:, m * blk:(m + 1) * blk])
-                    rowss.append(rs[:, m * blk:(m + 1) * blk])
-            n0 = jnp.concatenate(rows0, axis=0)       # (M, blk)
-            n1 = jnp.concatenate(rows1, axis=0)
-            ns = jnp.concatenate(rowss, axis=0)
+                    for p in range(cw.n):
+                        rows0[p].append(r0[p][:, m * blk:(m + 1) * blk])
+                        rows1[p].append(r1[p][:, m * blk:(m + 1) * blk])
+                        rowss[p].append(rs[p][:, m * blk:(m + 1) * blk])
+            n0 = tuple(jnp.concatenate(rw, axis=0) for rw in rows0)
+            n1 = tuple(jnp.concatenate(rw, axis=0) for rw in rows1)
+            ns = tuple(jnp.concatenate(rw, axis=0) for rw in rowss)
 
             present = (jvM < n_prev) & live
-            fail = (c < Z) | (ns < min_iv)
+            fail = (c < Z) | cw.lt(ns, min_iv)
             nonfail = present & ~fail
 
             # dedup: prev nonfail size strictly before each row
-            prev_s = jnp.zeros((M, blk), i32)
-            run = jnp.full((1, blk), np.int32(-1), i32)
+            prev_s = cw.zeros((M, blk))
+            run = tuple(jnp.full((1, blk), np.int32(-1), i32)
+                        for _ in range(cw.n))
             for m in range(M):
-                prev_s = jnp.where(jvM == np.int32(m), run, prev_s)
-                run = jnp.where(nonfail[m:m + 1], ns[m:m + 1], run)
+                prev_s = cw.map(
+                    lambda p, rp: jnp.where(jvM == np.int32(m), rp, p),
+                    prev_s, run)
+                run = cw.map(
+                    lambda rp, nsp: jnp.where(nonfail[m:m + 1],
+                                              nsp[m:m + 1], rp),
+                    run, ns)
             nf = jnp.where(nonfail, ONE, Z)
             nf_before = excl_prefix(nf)
             first_nf = nonfail & (nf_before == Z)
-            keep = nonfail & (first_nf | (ns != prev_s))
+            keep = nonfail & (first_nf | cw.ne(ns, prev_s))
             kp = jnp.where(keep, ONE, Z)
             pos = excl_prefix(kp)
             tgt = jnp.where(keep, pos, np.int32(M))
-            nc0 = jnp.zeros((M, blk), i32)
-            nc1 = jnp.zeros((M, blk), i32)
-            ncs = jnp.zeros((M, blk), i32)
+            nc0 = cw.zeros((M, blk))
+            nc1 = cw.zeros((M, blk))
+            ncs = cw.zeros((M, blk))
             ncend = jnp.zeros((M, blk), i32)
             for m in range(M):
                 hit = tgt[m:m + 1] == jvM             # (M, blk)
-                nc0 = nc0 + jnp.where(hit, n0[m:m + 1], Z)
-                nc1 = nc1 + jnp.where(hit, n1[m:m + 1], Z)
-                ncs = ncs + jnp.where(hit, ns[m:m + 1], Z)
+                nc0 = cw.map(lambda a, s_: a + jnp.where(
+                    hit, s_[m:m + 1], Z), nc0, n0)
+                nc1 = cw.map(lambda a, s_: a + jnp.where(
+                    hit, s_[m:m + 1], Z), nc1, n1)
+                ncs = cw.map(lambda a, s_: a + jnp.where(
+                    hit, s_[m:m + 1], Z), ncs, ns)
                 ncend = ncend + jnp.where(hit, pend[m:m + 1], Z)
             n_curr_new = jnp.sum(kp, axis=0, keepdims=True)
 
@@ -447,10 +657,13 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
                 return jnp.sum(jnp.where(first_cand, a, Z), axis=0,
                                keepdims=True)
 
+            def csel_fc(a):
+                return cw.map(sel_fc, a)
+
             midx = jnp.where(do_mem, n_mem, np.int32(M))
-            m0 = set_rowM(m0, midx, sel_fc(p0))
-            m1 = set_rowM(m1, midx, sel_fc(p1))
-            ms = set_rowM(ms, midx, sel_fc(ps))
+            m0 = cset_rowM(m0, midx, csel_fc(p0))
+            m1 = cset_rowM(m1, midx, csel_fc(p1))
+            ms = cset_rowM(ms, midx, csel_fc(ps))
             mqb = set_rowM(mqb, midx, i + ONE)
             mqe = set_rowM(mqe, midx, sel_fc(pend))
             n_mem = n_mem + jnp.where(do_mem, ONE, Z)
@@ -460,7 +673,7 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
                     mqb, mqe, n_mem, done)
 
         bdone = jnp.where((bad != Z) | (n_curr == Z), ONE, Z)
-        st = (x - ONE, p0, p1, ps, pend, n_curr, zM, zM, zM, zM, zM,
+        st = (x - ONE, p0, p1, ps, pend, n_curr, czM, czM, czM, zM, zM,
               jnp.zeros((1, blk), i32), bdone)
         st = lax.while_loop(any_live, bwd_body, st)
         (_, _, _, _, _, _, m0, m1, ms, mqb, mqe, n_mem, _) = st
@@ -468,9 +681,9 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
         # reverse mem to qb-ascending (software/bwt.c:833), zeros
         # outside the first n_mem rows (ops.select.permute_cols(valid))
         validm = jvM < n_mem
-        m0 = rev_rows(m0, n_mem, validm)
-        m1 = rev_rows(m1, n_mem, validm)
-        ms = rev_rows(ms, n_mem, validm)
+        m0 = crev_rows(m0, n_mem, validm)
+        m1 = crev_rows(m1, n_mem, validm)
+        ms = crev_rows(ms, n_mem, validm)
         mqb = rev_rows(mqb, n_mem, validm)
         mqe = rev_rows(mqe, n_mem, validm)
         return ret, n_mem, m0, m1, ms, mqb, mqe, overflow
@@ -485,27 +698,53 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
     return smem1_sub, bind_qlen, excl_prefix, jvM
 
 
-def _make_kernel(L, M, blk, NBP, gather_factory=None):
+def _read_scal(sc_ref, wide: bool):
+    """Decode the scalar row: (primary, L2[0..4], seq_len) as cw-tuples
+    of scalars.  Narrow layout (1, 8): [primary, L2*5, seq_len, 0];
+    wide (1, 16): hi/lo scalar pairs in the same order."""
+    if not wide:
+        return ((sc_ref[0, 0],),
+                [(sc_ref[0, 1 + c],) for c in range(5)],
+                (sc_ref[0, 6],))
+    return ((sc_ref[0, 0], sc_ref[0, 1]),
+            [(sc_ref[0, 2 + 2 * c], sc_ref[0, 3 + 2 * c])
+             for c in range(5)],
+            (sc_ref[0, 12], sc_ref[0, 13]))
+
+
+def _kernel_rows(M, wide: bool, base: int):
+    """Output row count for `base` int32 rows + 3 coordinate buffers of
+    M rows + 2 int32 buffers of M rows, 8-padded."""
+    n = base + (3 * (2 if wide else 1) + 2) * M
+    return n + ((-n) % 8)
+
+
+def _make_kernel(L, M, blk, NBP, gather_factory=None, wide=False):
     """Single-pass kernel (the _smem1_impl twin; parity surface).
     `gather_factory(tbl_ref, scratch) -> (gather_words, MC)` swaps in
     the HBM DMA gather (ops.pallas_bigsmem); scratch refs follow the
-    output ref in the kernel signature."""
+    output ref in the kernel signature.  wide=True runs the radix-2^30
+    paired-plane coordinate path for int64 genomes."""
     i32 = jnp.int32
+    cw = _CW(wide)
 
     def kernel(sc_ref, tbl_ref, q_ref, par_ref, out_ref, *scratch):
-        primary = sc_ref[0, 0]
-        L2 = [sc_ref[0, 1 + c] for c in range(5)]
+        primary, L2, _ = _read_scal(sc_ref, wide)
         qlen = par_ref[0:1, :]
         x = par_ref[1:2, :]
-        min_iv = par_ref[2:3, :]
-        active = par_ref[3:4, :]
+        if wide:
+            min_iv = (par_ref[2:3, :], par_ref[3:4, :])
+            active = par_ref[4:5, :]
+        else:
+            min_iv = (par_ref[2:3, :],)
+            active = par_ref[3:4, :]
         qp = q_ref[:, :].astype(i32)
 
         gw, MC = (gather_factory(tbl_ref, scratch)
                   if gather_factory is not None else (None, None))
         smem1_sub, bind_qlen, _, _ = _build_smem1(
             L, M, blk, NBP, primary, L2, qp, tbl_ref,
-            gather_words=gw, MC=MC)
+            gather_words=gw, MC=MC, cw=cw)
         bind_qlen(qlen)
         (ret, n_mem, m0, m1, ms, mqb, mqe, overflow) = smem1_sub(
             x, min_iv, active)
@@ -513,46 +752,56 @@ def _make_kernel(L, M, blk, NBP, gather_factory=None):
         out_ref[0:1, :] = ret
         out_ref[1:2, :] = n_mem
         out_ref[2:3, :] = overflow
-        out_ref[3:3 + M, :] = m0
-        out_ref[3 + M:3 + 2 * M, :] = m1
-        out_ref[3 + 2 * M:3 + 3 * M, :] = ms
-        out_ref[3 + 3 * M:3 + 4 * M, :] = mqb
-        out_ref[3 + 4 * M:3 + 5 * M, :] = mqe
-        pad = -(3 + 5 * M) % 8
+        r = 3
+        for buf in (m0, m1, ms):
+            for p in buf:
+                out_ref[r:r + M, :] = p
+                r += M
+        out_ref[r:r + M, :] = mqb
+        out_ref[r + M:r + 2 * M, :] = mqe
+        r += 2 * M
+        pad = (-r) % 8
         if pad:
-            out_ref[3 + 5 * M:3 + 5 * M + pad, :] = \
-                jnp.zeros((pad, blk), i32)
+            out_ref[r:r + pad, :] = jnp.zeros((pad, blk), i32)
 
     return kernel
 
 
-def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP, gather_factory=None):
+def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP, gather_factory=None,
+                           wide=False):
     """The WHOLE per-read SMEM iterator in one kernel: rounds of
     pass1 + re-seed test + pass2 + ordered merge + stream append
     (ops.smem.smem_superstep's round_body, software/bwamem.c:110-241),
     with zero Mosaic<->XLA transitions inside the loop.
-    `gather_factory` as in _make_kernel."""
+    `gather_factory`/`wide` as in _make_kernel."""
     i32 = jnp.int32
+    cw = _CW(wide)
     assert 2 * M <= _OC2 and OUT_CAP <= _OC2
 
     def kernel(sc_ref, tbl_ref, q_ref, par_ref, out_ref, *scratch):
-        primary = sc_ref[0, 0]
-        L2 = [sc_ref[0, 1 + c] for c in range(5)]
+        primary, L2, _ = _read_scal(sc_ref, wide)
         qlen = par_ref[0:1, :]
-        min_intv = par_ref[1:2, :]
-        active = par_ref[2:3, :]
-        split_len = par_ref[3:4, :]
-        split_width = par_ref[4:5, :]
+        if wide:
+            min_intv = (par_ref[1:2, :], par_ref[2:3, :])
+            active = par_ref[3:4, :]
+            split_len = par_ref[4:5, :]
+            split_width = par_ref[5:6, :]
+        else:
+            min_intv = (par_ref[1:2, :],)
+            active = par_ref[2:3, :]
+            split_len = par_ref[3:4, :]
+            split_width = par_ref[4:5, :]
         qp = q_ref[:, :].astype(i32)
 
         gw, MC = (gather_factory(tbl_ref, scratch)
                   if gather_factory is not None else (None, None))
         smem1_sub, bind_qlen, excl_prefix, jvM = _build_smem1(
             L, M, blk, NBP, primary, L2, qp, tbl_ref,
-            gather_words=gw, MC=MC)
+            gather_words=gw, MC=MC, cw=cw)
         bind_qlen(qlen)
         jvO = lax.broadcasted_iota(i32, (_OC2, blk), 0)
         zO = jnp.zeros((_OC2, blk), i32)
+        czO = cw.zeros((_OC2, blk))
 
         def varroll(a, n):
             """Circular roll of the _OC2 sublanes down by per-lane n
@@ -574,6 +823,9 @@ def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP, gather_factory=None):
                                       vals[m:m + 1], Z)
             return out
 
+        def cplace(vals, rank, nrows):
+            return cw.map(lambda p: place(p, rank, nrows), vals)
+
         def round_body(st):
             (x, n_out, o0, o1, os_, oqb, oqe, over, done) = st
             act = jnp.where(done == Z, ONE, Z)
@@ -594,17 +846,18 @@ def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP, gather_factory=None):
                 return jnp.sum(jnp.where(first_hit, a, Z), axis=0,
                                keepdims=True)
 
-            bs = sel_fh(ms)
+            bs = cw.map(sel_fh, ms)
             bqb = sel_fh(mqb)
             bqe = sel_fh(mqe)
             need2 = ((act != Z) & (n_mem > Z) & (split_len > Z)
-                     & (best_len >= split_len) & (bs <= split_width)
+                     & (best_len >= split_len)
+                     & cw.le(bs, cw.wrap_i32(split_width))
                      & (ov1 == Z))
             x2 = lax.shift_right_logical(bqb + bqe, ONE)
             n2act = jnp.where(need2, ONE, Z)
+            mi2 = cw.where(need2, cw.addi(bs, ONE), cw.const(1))
             (_r2, n2, s0, s1, ss, sqb, sqe, ov2p) = smem1_sub(
-                jnp.where(need2, x2, Z), jnp.where(need2, bs + ONE, ONE),
-                n2act)
+                jnp.where(need2, x2, Z), mi2, n2act)
             n2 = jnp.where(need2, n2, Z)
             ov2 = jnp.where(need2 & ((ov2p != Z) | (n2 > np.int32(M))),
                             ONE, Z)
@@ -621,9 +874,9 @@ def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP, gather_factory=None):
             kp = jnp.where(keep_s, ONE, Z)
             pos = excl_prefix(kp)
             tgt = jnp.where(keep_s, pos, np.int32(M))
-            cs0 = place(s0, tgt, M)[:M]
-            cs1 = place(s1, tgt, M)[:M]
-            css = place(ss, tgt, M)[:M]
+            cs0 = cw.map(lambda p: place(p, tgt, M)[:M], s0)
+            cs1 = cw.map(lambda p: place(p, tgt, M)[:M], s1)
+            css = cw.map(lambda p: place(p, tgt, M)[:M], ss)
             csqb = place(sqb, tgt, M)[:M]
             csqe = place(sqe, tgt, M)[:M]
             ckey_s = place(key_s, tgt, M)[:M]
@@ -660,9 +913,12 @@ def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP, gather_factory=None):
                 g = place(mv, rank_m, M) + place(sv, rank_s, M)
                 return jnp.where(in_app, varroll(g, n_out), buf)
 
-            o0 = append(o0, m0, cs0)
-            o1 = append(o1, m1, cs1)
-            os_ = append(os_, ms, css)
+            def cappend(buf, mv, sv):
+                return cw.map(append, buf, mv, sv)
+
+            o0 = cappend(o0, m0, cs0)
+            o1 = cappend(o1, m1, cs1)
+            os_ = cappend(os_, ms, css)
             oqb = append(oqb, mqb, csqb)
             oqe = append(oqe, mqe, csqe)
 
@@ -681,7 +937,7 @@ def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP, gather_factory=None):
 
         x0 = jnp.zeros((1, blk), i32)
         done0 = jnp.where((active == Z) | (x0 >= qlen), ONE, Z)
-        st = (x0, jnp.zeros((1, blk), i32), zO, zO, zO, zO, zO,
+        st = (x0, jnp.zeros((1, blk), i32), czO, czO, czO, zO, zO,
               jnp.zeros((1, blk), i32), done0)
         st = lax.while_loop(any_live, round_body, st)
         (_, n_out, o0, o1, os_, oqb, oqe, over, _) = st
@@ -689,15 +945,17 @@ def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP, gather_factory=None):
         OC = OUT_CAP
         out_ref[0:1, :] = n_out
         out_ref[1:2, :] = over
-        out_ref[2:2 + OC, :] = o0[:OC]
-        out_ref[2 + OC:2 + 2 * OC, :] = o1[:OC]
-        out_ref[2 + 2 * OC:2 + 3 * OC, :] = os_[:OC]
-        out_ref[2 + 3 * OC:2 + 4 * OC, :] = oqb[:OC]
-        out_ref[2 + 4 * OC:2 + 5 * OC, :] = oqe[:OC]
-        pad = -(2 + 5 * OC) % 8
+        r = 2
+        for buf in (o0, o1, os_):
+            for p in buf:
+                out_ref[r:r + OC, :] = p[:OC]
+                r += OC
+        out_ref[r:r + OC, :] = oqb[:OC]
+        out_ref[r + OC:r + 2 * OC, :] = oqe[:OC]
+        r += 2 * OC
+        pad = (-r) % 8
         if pad:
-            out_ref[2 + 5 * OC:2 + 5 * OC + pad, :] = \
-                jnp.zeros((pad, blk), i32)
+            out_ref[r:r + pad, :] = jnp.zeros((pad, blk), i32)
 
     return kernel
 
@@ -868,7 +1126,8 @@ def prep_sa_table(sa: jnp.ndarray) -> jnp.ndarray:
 
 
 def _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps,
-                    gather_factory=None, sa_fetch_factory=None):
+                    gather_factory=None, sa_fetch_factory=None,
+                    wide=False):
     """One inverse-Psi walk step = ONE occ-row gather: bwt_b0's word
     select and occ's popcounts share the row at (k - (k>primary)) >> 7
     (they differ only at k == primary / k == seq_len, where the result
@@ -876,16 +1135,21 @@ def _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps,
 
     `gather_factory` as in _make_kernel; `sa_fetch_factory(sa_ref,
     scratch) -> sa_fetch` replaces the sampled-SA plane gather with
-    sa_fetch(slot (1, blk)) -> (1, blk) int32 values (the HBM DMA
-    path)."""
+    sa_fetch(slot (1, blk)) -> (1, blk) coordinate values (the HBM DMA
+    path).  wide=True walks radix-2^30 paired-plane coordinates
+    (int64 genomes); params carry (k hi, k lo) rows and the output is
+    (vals hi, vals lo, over)."""
     i32 = jnp.int32
+    cw = _CW(wide)
     mask = np.int32((1 << sa_shift) - 1)
+    assert sa_shift <= 30
 
     def kernel(sc_ref, tbl_ref, sa_ref, par_ref, out_ref, *scratch):
-        primary = sc_ref[0, 0]
-        L2 = [sc_ref[0, 1 + c] for c in range(5)]
-        seq_len = sc_ref[0, 6]
-        k0 = par_ref[0:1, :]
+        primary, L2, seq_len = _read_scal(sc_ref, wide)
+        if wide:
+            k0 = (par_ref[0:1, :], par_ref[1:2, :])
+        else:
+            k0 = (par_ref[0:1, :],)
 
         gw = (gather_factory(tbl_ref, scratch)[0]
               if gather_factory is not None else None)
@@ -894,28 +1158,31 @@ def _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps,
         j8 = lax.broadcasted_iota(i32, (8, blk), 0)
 
         def walk_step(st):
-            k, steps, it, done = st
-            act = ((k & mask) != Z) & (done == Z)
-            x = k - jnp.where(k > primary, ONE, Z)
-            blkidx = lax.shift_right_logical(x, np.int32(7))
+            steps, it, done = st[-3:]
+            k = st[:-3]
+            act = (cw.andm(k, mask) != Z) & (done == Z)
+            x = cw.subi(k, jnp.where(cw.lt(primary, k), ONE, Z))
+            blkidx = cw.blkrow(x)
             if gw is None:
                 rows = _gather_planes(tbl_ref, blkidx, NBP, blk)
                 w = (rows[0:12]
                      | lax.shift_left(rows[12:24], np.int32(8))
                      | lax.shift_left(rows[24:36], np.int32(16))
                      | lax.shift_left(rows[36:48], np.int32(24)))
+                ck = (w[0:4],)
+                words = w[4:12]
             else:
-                w = gw(blkidx)
-            ck = w[0:4]
-            words = w[4:12]
-            # bwt_B0: word (x>>4)&7, shift ((~x)&15)*2
-            wi8 = lax.shift_right_logical(x, np.int32(4)) & np.int32(7)
+                ck, words = gw(blkidx)
+            # bwt_B0: word (x>>4)&7, shift ((~x)&15)*2 — bits 0..6 of
+            # x live entirely in the lo plane (2^30 ≡ 0 mod 128)
+            xlo = x[-1]
+            wi8 = lax.shift_right_logical(xlo, np.int32(4)) & np.int32(7)
             word = jnp.sum(jnp.where(j8 == wi8, words, Z), axis=0,
                            keepdims=True)
-            sh = ((~x) & np.int32(15))
+            sh = ((~xlo) & np.int32(15))
             c = lax.shift_right_logical(word, sh + sh) & np.int32(3)
             # occ(k, c): checkpoint + masked popcount at offset x&127
-            off = x & np.int32(127)
+            off = xlo & np.int32(127)
             wi = lax.shift_right_logical(off, np.int32(4))
             r = (~off) & np.int32(15)
             pmask = ~(lax.shift_left(ONE, r + r) - ONE)
@@ -935,42 +1202,63 @@ def _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps,
                         + jnp.where(c == np.int32(2), v2, Z)
                         + jnp.where(c == np.int32(3), v3, Z))
 
-            occ = selc(ck[0:1] + c0, ck[1:2] + c1, ck[2:3] + c2,
-                       ck[3:4] + c3)
-            l2c = selc(*(jnp.zeros((1, blk), i32) + L2[cc]
-                         for cc in range(4)))
-            l2c1 = selc(*(jnp.zeros((1, blk), i32) + L2[cc + 1]
-                          for cc in range(4)))
-            occ = jnp.where(k == seq_len, l2c1 - l2c, occ)
-            nxt = l2c + occ
-            k2 = jnp.where(k == primary, Z, nxt)
-            k = jnp.where(act, k2, k)
+            def cselc(vs):
+                return cw.map(selc, *vs)
+
+            occ = cselc([cw.addi(cw.row(ck, cc), cnt)
+                         for cc, cnt in enumerate((c0, c1, c2, c3))])
+            l2c = cselc([cw.map(lambda pz, sc: pz + sc,
+                                cw.zeros((1, blk)), L2[cc])
+                         for cc in range(4)])
+            l2c1 = cselc([cw.map(lambda pz, sc: pz + sc,
+                                 cw.zeros((1, blk)), L2[cc + 1])
+                          for cc in range(4)])
+            occ = cw.where(cw.eq(k, cw.map(
+                lambda pz, sc: pz + sc, cw.zeros((1, blk)), seq_len)),
+                cw.sub(l2c1, l2c), occ)
+            nxt = cw.add(l2c, occ)
+            k2 = cw.where(cw.eq(k, cw.map(
+                lambda pz, sc: pz + sc, cw.zeros((1, blk)), primary)),
+                cw.zeros((1, blk)), nxt)
+            k = cw.where(act, k2, k)
             steps = steps + jnp.where(act, ONE, Z)
-            done = jnp.where((k & mask) == Z, ONE, done)
-            return (k, steps, it + ONE, done)
+            done = jnp.where(cw.andm(k, mask) == Z, ONE, done)
+            return k + (steps, it + ONE, done)
 
         def cond(st):
-            k, _, it, done = st
+            it, done = st[-2], st[-1]
             return (jnp.max(jnp.where(done == Z, ONE, Z)) > Z) \
                 & (it < np.int32(max_steps))
 
-        done0 = jnp.where((k0 & mask) == Z, ONE, Z)
-        st = (k0, jnp.zeros((1, blk), i32), Z, done0)
-        k_fin, steps, _, _ = lax.while_loop(cond, walk_step, st)
+        done0 = jnp.where(cw.andm(k0, mask) == Z, ONE, Z)
+        st = k0 + (jnp.zeros((1, blk), i32), Z, done0)
+        st = lax.while_loop(cond, walk_step, st)
+        k_fin, steps = st[:-3], st[-3]
 
-        over = jnp.where((k_fin & mask) != Z, ONE, Z)
-        si = lax.shift_right_logical(k_fin, np.int32(sa_shift))
+        over = jnp.where(cw.andm(k_fin, mask) != Z, ONE, Z)
+        si = cw.shr_i32(k_fin, sa_shift)
         if sa_fetch is None:
             sb = _gather_planes(sa_ref, si, NSP, blk)
-            sa_val = (sb[0:1] | lax.shift_left(sb[1:2], np.int32(8))
-                      | lax.shift_left(sb[2:3], np.int32(16))
-                      | lax.shift_left(sb[3:4], np.int32(24)))
+            sa_val = ((sb[0:1] | lax.shift_left(sb[1:2], np.int32(8))
+                       | lax.shift_left(sb[2:3], np.int32(16))
+                       | lax.shift_left(sb[3:4], np.int32(24))),)
         else:
             sa_val = sa_fetch(si)
-        vals = jnp.where(over != Z, np.int32(-1), steps + sa_val)
-        out_ref[0:1, :] = vals
-        out_ref[1:2, :] = over
-        out_ref[2:8, :] = jnp.zeros((6, blk), i32)
+        vals = cw.addi(sa_val, steps)
+        if wide:
+            # -1 sentinel = (hi -1, lo 2^30-1): hi*2^30 + lo == -1
+            vals = cw.where(over != Z, (jnp.full((1, blk), ALL1, i32),
+                                        jnp.full((1, blk), M30, i32)),
+                            vals)
+            out_ref[0:1, :] = vals[0]
+            out_ref[1:2, :] = vals[1]
+            out_ref[2:3, :] = over
+            out_ref[3:8, :] = jnp.zeros((5, blk), i32)
+        else:
+            out_ref[0:1, :] = jnp.where(over != Z, np.int32(-1),
+                                        vals[0])
+            out_ref[1:2, :] = over
+            out_ref[2:8, :] = jnp.zeros((6, blk), i32)
 
     return kernel
 

@@ -69,15 +69,18 @@ def smem_iter_step(blocks, primary, L2,
 
     Returns (pass1 outputs..., need2, pass2 outputs...)."""
     if PALLAS == "big":
-        # HBM-resident DMA-wave pass kernel (big tables)
+        # HBM-resident DMA-wave pass kernel (big tables); int64
+        # genomes keep min_intv wide (the wide kernel splits it into
+        # radix-2^30 planes itself)
         from . import pallas_bigsmem as _pbig
         _tblw = _pbig.prep_table_wide(blocks)
+        _wide = L2.dtype == jnp.int64
 
         def _impl(x_, mi_, act_):
-            return _pbig.smem1_pallas_big(_tblw, primary, L2, q, qlen,
-                                          x_.astype(jnp.int32),
-                                          mi_.astype(jnp.int32), act_,
-                                          L, M, packed=QPACKED)
+            return _pbig.smem1_pallas_big(
+                _tblw, primary, L2, q, qlen, x_.astype(jnp.int32),
+                mi_ if _wide else mi_.astype(jnp.int32), act_,
+                L, M, packed=QPACKED)
     elif PALLAS:
         # Mosaic pass kernel (callers gate with smem1_pallas_available)
         from . import pallas_smem as _psm
@@ -208,11 +211,12 @@ def smem_superstep(blocks, primary, L2,
         # (pallas_bigsmem.smem1_pallas_big_available)
         if PALLAS == "big":
             from . import pallas_bigsmem as _pbig
+            _wide = L2.dtype == jnp.int64
             r = _pbig.superstep_pallas_big(
                 _pbig.prep_table_wide(blocks), primary, L2, q, qlen,
-                min_intv.astype(jnp.int32), active, split_len,
-                split_width, L=L, M=M, OUT_CAP=OUT_CAP, NEED_X1=True,
-                packed=QPACKED)
+                min_intv if _wide else min_intv.astype(jnp.int32),
+                active, split_len, split_width, L=L, M=M,
+                OUT_CAP=OUT_CAP, NEED_X1=True, packed=QPACKED)
         else:
             from . import pallas_smem as _psm
             r = _psm.superstep_pallas(
@@ -639,11 +643,13 @@ def smem_superstep_sa(blocks, primary, L2, seq_len, sa, sa_tbl, sa_planes,
     keys, n_keys = ragged_expand(c0, sizes, KEY_CAP)
     kovf = n_keys > KEY_CAP
     if SA_PALLAS == "big":
-        # sa_tbl/sa_planes carry the WIDE tables in big mode
+        # sa_tbl/sa_planes carry the WIDE tables in big mode; int64
+        # genomes keep the keys wide for the paired-plane walk
         from .pallas_bigsmem import sa_lookup_pallas_big
         vals, over_sa = sa_lookup_pallas_big(
             sa_tbl, sa_planes, primary, L2, seq_len, SA_INTV,
-            keys.astype(i32), max_steps=SA_STEPS)
+            keys if L2.dtype == jnp.int64 else keys.astype(i32),
+            max_steps=SA_STEPS)
     elif SA_PALLAS:
         from .pallas_smem import sa_lookup_pallas
         vals, over_sa = sa_lookup_pallas(
