@@ -137,12 +137,20 @@ def _scratch_shapes(Cmax: int):
     ]
 
 
-def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int):
+def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
+          pair: bool = False):
     """Issue one DMA wave: rows[j] = tbl[rowi[0, j]] for j < C.  The
     per-lane indices are VPU vectors; DMA starts need scalars, so they
     bounce VMEM -> SMEM first (one small DMA), then a scalar loop
     issues all C row copies before draining them — the copies fly
-    together, ~20 ns marginal each."""
+    together, ~20 ns marginal each.
+
+    pair=True: the wave carries bwt_2occ4 pairs — lane j >= C/2 is
+    the l-side of lane j - C/2's k-side (extendT's cat layout), and
+    once the interval shrinks below the 1024-base row span the two
+    sides usually share a row.  Duplicate second-half DMAs are skipped
+    (the caller repairs rows via a lane roll) — the 2occ4 same-block
+    fusion of software/bwt.c:217-242 at row granularity."""
     idxv[0:1, 0:C] = rowi
     cpb = pltpu.make_async_copy(idxv.at[0:1, pl.ds(0, C)],
                                 idxs.at[0:1, pl.ds(0, C)], bsem)
@@ -164,27 +172,71 @@ def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int):
             rows.at[pl.ds(j, 1), :],
             sems.at[j & np.int32(nsem - 1)])
 
-    def issue(j8, c):
+    if not pair:
+        def issue(j8, c):
+            for u in range(U):
+                _cp(j8 * np.int32(U) + np.int32(u)).start()
+            return c
+
+        lax.fori_loop(0, C // U, issue, 0)
+
+        def drain(j8, c):
+            for u in range(U):
+                _cp(j8 * np.int32(U) + np.int32(u)).wait()
+            return c
+
+        lax.fori_loop(0, C // U, drain, 0)
+        return
+
+    H = C // 2
+    assert H % U == 0, (C, U)
+
+    def issue1(j8, c):
         for u in range(U):
             _cp(j8 * np.int32(U) + np.int32(u)).start()
         return c
 
-    lax.fori_loop(0, C // U, issue, 0)
+    lax.fori_loop(0, H // U, issue1, 0)
 
-    def drain(j8, c):
+    def issue2(j8, c):
+        for u in range(U):
+            j = np.int32(H) + j8 * np.int32(U) + np.int32(u)
+
+            @pl.when(idxs[0, j] != idxs[0, j - np.int32(H)])
+            def _():
+                _cp(j).start()
+        return c
+
+    lax.fori_loop(0, H // U, issue2, 0)
+
+    def drain1(j8, c):
         for u in range(U):
             _cp(j8 * np.int32(U) + np.int32(u)).wait()
         return c
 
-    lax.fori_loop(0, C // U, drain, 0)
+    lax.fori_loop(0, H // U, drain1, 0)
+
+    def drain2(j8, c):
+        for u in range(U):
+            j = np.int32(H) + j8 * np.int32(U) + np.int32(u)
+
+            @pl.when(idxs[0, j] != idxs[0, j - np.int32(H)])
+            def _():
+                _cp(j).wait()
+        return c
+
+    lax.fori_loop(0, H // U, drain2, 0)
 
 
-def _dma_factory(Cmax: int, MC: int, wide: bool = False):
+def _dma_factory(Cmax: int, MC: int, wide: bool = False,
+                 dedup: bool = False):
     """gather_factory for the pallas_smem kernel makers: per call,
     fetch each lane's 512-byte row and cut out its 16-word occ block,
     returning (ck coordinate (4, C), bwt words (8, C)).  wide=True
     converts the 64-bit checkpoints (lo/hi word pairs riding the same
-    rows) to radix-2^30 paired planes — the int64-genome path."""
+    rows) to radix-2^30 paired planes — the int64-genome path.
+    dedup=True skips second-half DMAs whose row matches the paired
+    first-half lane (extendT's k/l layout) and repairs by lane roll."""
     cw = _CW(wide)
 
     def factory(tbl_ref, scratch):
@@ -195,8 +247,16 @@ def _dma_factory(Cmax: int, MC: int, wide: bool = False):
             assert C <= Cmax, (C, Cmax)
             rowi = lax.shift_right_logical(blkidx, np.int32(3))
             sub = blkidx & np.int32(7)
-            _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C)
+            _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C,
+                  pair=dedup)
             rT = rows[0:C, :].T                       # (128, C)
+            if dedup:
+                H = C // 2
+                rolled = pltpu.roll(rT, H, axis=1)
+                rro = pltpu.roll(rowi, H, axis=1)
+                lanepos = lax.broadcasted_iota(jnp.int32, (1, C), 1)
+                same = (lanepos >= np.int32(H)) & (rowi == rro)
+                rT = jnp.where(same, rolled, rT)
             wf = jnp.zeros((16, C), jnp.int32)
             for g in range(8):
                 wf = wf + jnp.where(sub == np.int32(g),
@@ -338,8 +398,10 @@ def smem1_pallas_big(tblw, primary, L2, q, qlen, x, min_intv, active,
     ncp = 2 if wide else 1
     R = 3 + (3 * ncp + 2) * M
     R += (-R) % 8
+    dedup = os.environ.get("BWAMEM_TPU_BIG_DEDUP", "0") != "0"
     kernel = _make_kernel(L, M, blk, 128,
-                          gather_factory=_dma_factory(Cmax, MC, wide),
+                          gather_factory=_dma_factory(Cmax, MC, wide,
+                                                      dedup),
                           wide=wide)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -417,8 +479,10 @@ def superstep_pallas_big(tblw, primary, L2, q, qlen, min_intv, active,
     ncp = 2 if wide else 1
     R = 2 + (3 * ncp + 2) * OC
     R += (-R) % 8
+    dedup = os.environ.get("BWAMEM_TPU_BIG_DEDUP", "0") != "0"
     kernel = _make_superstep_kernel(
-        L, M, blk, 128, OC, gather_factory=_dma_factory(Cmax, MC, wide),
+        L, M, blk, 128, OC,
+        gather_factory=_dma_factory(Cmax, MC, wide, dedup),
         wide=wide)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

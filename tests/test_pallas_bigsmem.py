@@ -192,3 +192,29 @@ def test_fused_sa_big_matches_split(small_fm, monkeypatch):
             np.asarray(x), np.asarray(y),
             err_msg=f"big fused-SA seeds field {name} diverged")
     assert len(seeds_b[0]) > 0
+
+
+def test_smem1_big_dedup_matches_xla(small_fm, monkeypatch):
+    """BWAMEM_TPU_BIG_DEDUP=1 skips second-half (l-side) DMAs whose row
+    matches the paired k-side lane and repairs by lane roll — results
+    must be identical (the bwt_2occ4 same-block fusion,
+    software/bwt.c:217-242, at 512 B row granularity)."""
+    from bwamem_tpu.ops.smem import _smem1_impl
+    from bwamem_tpu.ops import pallas_bigsmem as pbig
+    monkeypatch.setenv("BWAMEM_TPU_BIG_DEDUP", "1")
+    fwd, fm = small_fm
+    rng = np.random.default_rng(29)
+    B, L, M = 128, 128, 16
+    d, (q, qlen, x, mi, act) = _case_args(fwd, fm, B, L, rng, True,
+                                          True, True)
+    ref = _smem1_impl(d.blocks, d.primary, d.L2, q, qlen, x, mi, act,
+                      L, M, 0)
+    tblw = jax.jit(pbig.prep_table_wide)(d.blocks)
+    out = pbig.smem1_pallas_big(tblw, d.primary, d.L2, q, qlen, x,
+                                mi.astype(jnp.int32), act, L, M,
+                                interpret=True)
+    names = ["ret", "n_mem", "m0", "m1", "ms", "mqb", "mqe", "overflow"]
+    for name, a, b in zip(names, ref, out):
+        np.testing.assert_array_equal(
+            np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64),
+            err_msg=f"dedup field {name} diverged")
