@@ -51,6 +51,9 @@ LT_BUCKETS = tuple(int(x) for x in _os.environ.get(
 # the query side widens to 256 and the target cap scales with it
 LT_BUCKETS_LONG = tuple(int(x) for x in _os.environ.get(
     "BWAMEM_TPU_LT_BUCKETS_LONG", "320,544,800").split(","))
+# 512 bp long-fragment chunks: flank targets reach query+2w+margin
+LT_BUCKETS_XL = tuple(int(x) for x in _os.environ.get(
+    "BWAMEM_TPU_LT_BUCKETS_XL", "576,1056").split(","))
 
 
 def _pack4(buf: np.ndarray) -> np.ndarray:
@@ -160,7 +163,7 @@ class JaxSeedingEngine:
         self._seeders = {self.seeder.L: self.seeder}
         self._sa_max_steps = sa_max_steps
         self.dev_max_len = (max_len if mesh is not None else int(
-            _os.environ.get("BWAMEM_TPU_DEV_MAX_LEN", "256")))
+            _os.environ.get("BWAMEM_TPU_DEV_MAX_LEN", "512")))
         self._ext_lq = ext_lq
         self._ext_lt = ext_lt
         self._glo_lq = ext_lq
@@ -178,11 +181,14 @@ class JaxSeedingEngine:
     def _seeder_for(self, max_rl: int) -> BatchedSeeder:
         """Smallest seeding-kernel width covering the chunk's longest
         device-eligible read: the primary bucket (L=max_len, the
-        classic 101 bp regime) or a lazily-built L=256 bucket for
-        150-250 bp chunks."""
+        classic 101 bp regime), a lazily-built L=256 bucket for
+        150-250 bp chunks, or the L=512 long-fragment bucket (HBM DMA
+        kernels only; radix-1024 merge key, int32 wire) — the
+        reference's accelerator caps at ~101 bp, so everything past
+        that is an improvement on it."""
         if max_rl <= self.max_len:
             return self.seeder
-        L = 256
+        L = 256 if max_rl <= 256 else 512
         s = self._seeders.get(L)
         if s is None:
             s = BatchedSeeder(self.dfm, max_len=L,
@@ -195,11 +201,14 @@ class JaxSeedingEngine:
     def _ext_shapes(self, reads):
         """Per-chunk extension-kernel shapes: (LQ, LT_max, lt_buckets).
         Chunks of classic <=128 bp reads keep the tuned 128/544 shapes;
-        longer chunks widen the query side to 256."""
+        longer chunks widen the query side to 256, and long-fragment
+        (257-512 bp) chunks to 512."""
         max_rl = max((len(r.seq_nt4) for r in reads), default=0)
         if max_rl <= self._ext_lq:
             return self._ext_lq, self._ext_lt, LT_BUCKETS
-        return 256, LT_BUCKETS_LONG[-1], LT_BUCKETS_LONG
+        if max_rl <= 256:
+            return 256, LT_BUCKETS_LONG[-1], LT_BUCKETS_LONG
+        return 512, LT_BUCKETS_XL[-1], LT_BUCKETS_XL
 
     def chain_batch(self, opt, reads, traces=None,
                     trace_seeds=False) -> List[list]:

@@ -73,7 +73,10 @@ def smem1_pallas_big_available(n_blocks: int, cdt, L: int, M: int,
             return False
         if os.environ.get("BWAMEM_TPU_PALLAS_BIGSMEM64", "1") == "0":
             return False
-    return (L % 32 == 0 and L <= 256 and M <= 32
+    # L == 512: the long-fragment bucket (radix-1024 merge key, int32
+    # qb/qe wire) — a capability the reference's accelerator lacks
+    # entirely (101-byte query BRAM, hardware/afu_core.v:4437-4441)
+    return (L % 32 == 0 and L <= 512 and M <= 32
             and 2 * M <= _OC2 and out_cap <= _OC2)
 
 
@@ -515,7 +518,10 @@ def superstep_pallas_big(tblw, primary, L2, q, qlen, min_intv, active,
         o1 = jnp.zeros((1, 1), o0.dtype)
     oqb = out[r:r + OC].T
     oqe = out[r + OC:r + 2 * OC].T
-    return (o0, o1, os_, oqb.astype(jnp.uint8), oqe.astype(jnp.uint8),
+    # query coords ride uint8 for the classic buckets; the 512 bp
+    # bucket's values reach 512, so its wire stays int32
+    wdt = jnp.uint8 if L <= 256 else jnp.int32
+    return (o0, o1, os_, oqb.astype(wdt), oqe.astype(wdt),
             n_out.astype(jnp.uint8), over)
 
 

@@ -269,7 +269,9 @@ def smem1_pallas_available(n_blocks: int, cdt, L: int, M: int,
     # operands stay <= 255 even at L=256) and qb/qe ride the uint8
     # wire, where the one overflowing value qe==256 wires as 0 and is
     # decoded by the consumer (a real interval always has qe >= 1).
-    # The XLA twin shares the same bound.
+    # The XLA twin shares the same bound.  (L == 512 is served by the
+    # HBM DMA kernels — smem1_pallas_big_available — whose merge key
+    # switches to radix-1024 and whose wire widens past uint8.)
     return (L % 32 == 0 and L <= 256 and M <= 32
             and 2 * M <= _OC2 and out_cap <= _OC2)
 
@@ -863,9 +865,12 @@ def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP, gather_factory=None,
                             ONE, Z)
 
             # ordered merge (software/bwamem.c:206-238): key qb-major,
-            # (qlen-qe)-minor in one int32
-            key_m = mqb * np.int32(256) + (qlen - mqe)
-            key_s = sqb * np.int32(256) + (qlen - sqe)
+            # (qlen-qe)-minor in one int32 (radix 256 for the classic
+            # <=256 bp buckets — trace-identical to rounds 1-3 — and
+            # 1024 for the 512 bp bucket, still < 2^19)
+            KR = np.int32(256 if L <= 256 else 1024)
+            key_m = mqb * KR + (qlen - mqe)
+            key_s = sqb * KR + (qlen - sqe)
             valid_m = jvM < n_mem
             keep_s = ((jvM < n2)
                       & ((sqe - sqb) >= lax.shift_right_logical(

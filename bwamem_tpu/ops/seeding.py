@@ -84,6 +84,12 @@ class BatchedSeeder:
         self.sa_max_steps = int(sa_max_steps)
         self.fm_host = fm_host  # host oracle for overflow fallback
         self.timer = timer      # engine's kernel-time accounting
+        # per-bucket stream caps: long-fragment (512 bp) reads emit
+        # ~2x the intervals/occurrences of the classic buckets, so the
+        # 512 bucket widens its output stream and compact wire
+        env_oc = int(_os.environ.get("BWAMEM_TPU_OUT_CAP", "48"))
+        self.out_cap = env_oc if self.L <= 256 else max(env_oc, 64)
+        self.gcap_per = GCAP_PER if self.L <= 256 else 2 * GCAP_PER
         # Mosaic SMEM kernel (ops.pallas_smem): single-chip dispatches
         # only — the mesh path keeps the XLA impl whose gathers become
         # collectives under sharded tables
@@ -94,7 +100,7 @@ class BatchedSeeder:
         self.use_pallas = (kernels is None and LANES % 128 == 0
                            and smem1_pallas_available(
             dfm.blocks.shape[0], dfm.cdt, self.L, self.M,
-            out_cap=int(_os.environ.get("BWAMEM_TPU_OUT_CAP", "48"))))
+            out_cap=self.out_cap))
         # Mosaic SA walk (pallas_smem.sa_lookup_pallas): one occ-row
         # gather per inverse-Psi step, sampled-SA finish in-kernel
         self.use_pallas_sa = (kernels is None and SA_SLICE % 128 == 0
@@ -108,13 +114,12 @@ class BatchedSeeder:
         # VMEM kernels; the crossover is pallas_smem.MAX_BLOCKS.
         from .pallas_bigsmem import (smem1_pallas_big_available,
                                      sa_pallas_big_available)
-        out_cap_env = int(_os.environ.get("BWAMEM_TPU_OUT_CAP", "48"))
         self.use_pallas_big = (
             kernels is None and LANES % 128 == 0
             and (not self.use_pallas or _FORCE_BIG_TEST)
             and smem1_pallas_big_available(
                 dfm.blocks.shape[0], dfm.cdt, self.L, self.M,
-                out_cap=out_cap_env))
+                out_cap=self.out_cap))
         self.use_pallas_sa_big = (
             kernels is None and SA_SLICE % 128 == 0
             and (not self.use_pallas_sa or _FORCE_BIG_TEST)
@@ -224,7 +229,7 @@ class BatchedSeeder:
         import jax.numpy as jnp
         start_width = 2 if (opt.flag & MEM_F_NO_EXACT) else 1
         sl_init = int(opt.min_seed_len * opt.split_factor + .499)
-        out_cap = int(_os.environ.get("BWAMEM_TPU_OUT_CAP", "48"))
+        out_cap = self.out_cap
         pend = []
         for lo in range(0, len(queries), LANES):
             grp = queries[lo:lo + LANES]
@@ -238,7 +243,7 @@ class BatchedSeeder:
                 slens[i] = min(sl_init, len(qq))
             active = np.zeros(B, dtype=bool)
             active[:len(grp)] = True
-            gcap = GCAP_PER * B if self.kernels is None else 0
+            gcap = self.gcap_per * B if self.kernels is None else 0
             step_fn = (self.kernels.superstep if self.kernels is not None
                        else smem_superstep)
             kw = dict(GCAP=gcap) if gcap else {}
@@ -405,7 +410,7 @@ class BatchedSeeder:
         import jax.numpy as jnp
         start_width = 2 if (opt.flag & MEM_F_NO_EXACT) else 1
         sl_init = int(opt.min_seed_len * opt.split_factor + .499)
-        out_cap = int(_os.environ.get("BWAMEM_TPU_OUT_CAP", "48"))
+        out_cap = self.out_cap
         # fused SA needs the compact wire (smem_superstep_sa asserts
         # GCAP > 0): GCAP_PER=0 falls back to the split path
         fuse = FUSE_SA and self.kernels is None and GCAP_PER > 0
@@ -429,7 +434,7 @@ class BatchedSeeder:
                 slens[i] = min(sl_init, len(qq))
             active = np.zeros(B, dtype=bool)
             active[:len(grp)] = True
-            gcap = GCAP_PER * B if self.kernels is None else 0
+            gcap = self.gcap_per * B if self.kernels is None else 0
             step_fn = (self.kernels.superstep if self.kernels is not None
                        else smem_superstep)
             kw = dict(GCAP=gcap) if gcap else {}

@@ -115,8 +115,8 @@ def smem_iter_step(blocks, primary, L2,
     x2 = ((bqb + bqe) >> 1).astype(jnp.int32)
     mi2 = bs + 1
     r2 = _impl(jnp.where(need2, x2, 0), jnp.where(need2, mi2, 1), need2)
-    return (_pack(_truncate(r1, M, M_OUT)) + (need2,)
-            + _pack(_truncate(r2, M, M_OUT)))
+    return (_pack(_truncate(r1, M, M_OUT), L) + (need2,)
+            + _pack(_truncate(r2, M, M_OUT), L))
 
 
 def _truncate(r, M: int, M_OUT: int):
@@ -128,18 +128,20 @@ def _truncate(r, M: int, M_OUT: int):
             mqb[:, :M_OUT], mqe[:, :M_OUT], over)
 
 
-def _pack(r):
+def _pack(r, L: int = 128):
     """Wire-pack a round's outputs for the device->host hop: query
     coordinates (<= L+1 <= 256) and counts (<= M+1) travel as uint8 —
     the tunnel link runs at ~20-70 MB/s, so the per-round transfer
-    volume, not device compute (~5 ms/round), dominates seeding time."""
+    volume, not device compute (~5 ms/round), dominates seeding time.
+    The 512 bp bucket's coordinates exceed uint8 and stay int32."""
     ret, n_mem, m0, m1, ms, mqb, mqe, over = r
-    return (ret.astype(jnp.uint8), n_mem.astype(jnp.uint8), m0, m1, ms,
-            mqb.astype(jnp.uint8), mqe.astype(jnp.uint8), over)
+    wdt = jnp.uint8 if L <= 256 else jnp.int32
+    return (ret.astype(wdt), n_mem.astype(jnp.uint8), m0, m1, ms,
+            mqb.astype(wdt), mqe.astype(wdt), over)
 
 
 def _compact_streams(o0, o1, os_, oqb, oqe, n_out, over, OUT_CAP,
-                     GCAP, NEED_X1):
+                     GCAP, NEED_X1, wdt=jnp.uint8):
     """Cross-lane compaction of the per-lane interval streams before
     the device->host fetch: one lax.sort (valid-first, stable order =
     lane-major) packs the ~15%-occupied (B, OUT_CAP) buffers into GCAP
@@ -167,7 +169,7 @@ def _compact_streams(o0, o1, os_, oqb, oqe, n_out, over, OUT_CAP,
                        is_stable=False)
     c0, cs, cqb, cqe = (o[:GCAP] for o in out[2:6])
     c1 = out[6][:GCAP] if NEED_X1 else jnp.zeros((1,), o0.dtype)
-    return (c0, c1, cs, cqb.astype(jnp.uint8), cqe.astype(jnp.uint8),
+    return (c0, c1, cs, cqb.astype(wdt), cqe.astype(wdt),
             n_eff.astype(jnp.uint8), over)
 
 
@@ -225,7 +227,9 @@ def smem_superstep(blocks, primary, L2,
                 split_width, L=L, M=M, OUT_CAP=OUT_CAP, NEED_X1=True,
                 packed=QPACKED)
         if GCAP:
-            return _compact_streams(*r, OUT_CAP, GCAP, NEED_X1)
+            return _compact_streams(
+                *r, OUT_CAP, GCAP, NEED_X1,
+                wdt=jnp.uint8 if L <= 256 else jnp.int32)
         if not NEED_X1:
             r = (r[0], jnp.zeros((1, 1), r[0].dtype)) + r[2:]
         return r
@@ -272,10 +276,12 @@ def smem_superstep(blocks, primary, L2,
         ov2 = need2 & (ov2 | (n2 > M))
 
         # ordered merge (software/bwamem.c:206-238): key is qb-major,
-        # (qlen-qe)-minor — both fields <= L < 256 so one int32 encodes
-        # the reference's (qb<<32)|(qlen-qe) uint64 comparator exactly
-        key_m = mqb * 256 + (qlen[:, None] - mqe)
-        key_s = sqb * 256 + (qlen[:, None] - sqe)
+        # (qlen-qe)-minor — one int32 encodes the reference's
+        # (qb<<32)|(qlen-qe) uint64 comparator exactly (radix 256 for
+        # the classic <=256 bp buckets, 1024 for the 512 bp bucket)
+        KR = 256 if L <= 256 else 1024
+        key_m = mqb * KR + (qlen[:, None] - mqe)
+        key_s = sqb * KR + (qlen[:, None] - sqe)
         valid_m = jj < n_mem[:, None]
         # sub filter: len >= best_len/2 and ends after the round's start
         keep_s = ((jj < n2[:, None]) & ((sqe - sqb) >= (best_len[:, None] >> 1))
@@ -357,15 +363,16 @@ def smem_superstep(blocks, primary, L2,
     st = lax.while_loop(round_cond, round_body, st)
     (_, n_out, o0, o1, os_, oqb, oqe, over_c, _) = st
     over = over_c != 0
+    wdt = jnp.uint8 if L <= 256 else jnp.int32
     if GCAP:
         return _compact_streams(o0, o1, os_, oqb, oqe, n_out, over,
-                                OUT_CAP, GCAP, NEED_X1)
+                                OUT_CAP, GCAP, NEED_X1, wdt=wdt)
     if not NEED_X1:
         # the mem path only consumes (x0, s, qb, qe); skipping x1 cuts
         # a third of the coordinate download (fastmap/tests pass
         # NEED_X1=True for full-tuple parity)
         o1 = jnp.zeros((1, 1), o0.dtype)
-    return (o0, o1, os_, oqb.astype(jnp.uint8), oqe.astype(jnp.uint8),
+    return (o0, o1, os_, oqb.astype(wdt), oqe.astype(wdt),
             n_out.astype(jnp.uint8), over)
 
 

@@ -218,3 +218,48 @@ def test_smem1_big_dedup_matches_xla(small_fm, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64),
             err_msg=f"dedup field {name} diverged")
+
+
+def test_superstep_big_L512(small_fm, monkeypatch):
+    """The 512 bp long-fragment bucket: radix-1024 merge key + int32
+    qb/qe wire.  300-500 bp queries through the DMA superstep must
+    match the XLA twin exactly."""
+    from bwamem_tpu.ops.smem import smem_superstep
+    from bwamem_tpu.ops import pallas_bigsmem as pbig
+    monkeypatch.setenv("BWAMEM_TPU_PALLAS_BIGSMEM", "force")
+    fwd, fm = small_fm
+    from bwamem_tpu.ops.fm import DeviceFmIndex
+    d = DeviceFmIndex.from_host(fm)
+    rng = np.random.default_rng(37)
+    B, L, M, OC = 128, 512, 16, 64
+    q = np.full((B, L), 4, dtype=np.int8)
+    qlen = np.zeros(B, np.int32)
+    for i in range(B):
+        n = int(rng.integers(280, L + 1))
+        off = int(rng.integers(0, len(fwd) - n))
+        q[i, :n] = fwd[off:off + n]
+        for _ in range(int(rng.integers(0, 6))):
+            q[i, int(rng.integers(0, n))] = int(rng.integers(0, 5))
+        qlen[i] = n
+    act = np.ones(B, bool)
+    act[B - 1] = False
+    q8 = jnp.asarray(q)
+    args = (q8, jnp.asarray(qlen), jnp.full(B, 1, jnp.int64),
+            jnp.asarray(act), jnp.minimum(jnp.asarray(qlen), 28),
+            jnp.full(B, 10, jnp.int32))
+    kw = dict(L=L, M=M, OUT_CAP=OC, NEED_X1=True)
+    ref = smem_superstep(d.blocks, d.primary, d.L2, *args,
+                         PALLAS=False, **kw)
+    out = smem_superstep(d.blocks, d.primary, d.L2, *args,
+                         PALLAS="big", **kw)
+    n_ref = np.asarray(ref[5])
+    np.testing.assert_array_equal(np.asarray(out[5]), n_ref)
+    np.testing.assert_array_equal(np.asarray(out[6]), np.asarray(ref[6]))
+    valid = (np.arange(OC)[None, :] < n_ref[:, None]) \
+        & ~np.asarray(ref[6])[:, None]
+    for name, a, b in zip(["o0", "o1", "os", "oqb", "oqe"],
+                          out[:5], ref[:5]):
+        av = np.where(valid, np.asarray(a, np.int64), 0)
+        bv = np.where(valid, np.asarray(b, np.int64), 0)
+        np.testing.assert_array_equal(av, bv, err_msg=name)
+    assert np.asarray(ref[3]).dtype == np.int32  # int32 wire past 256
