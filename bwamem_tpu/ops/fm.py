@@ -107,7 +107,26 @@ def global_any(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gather_rows(blocks: jnp.ndarray, blk: jnp.ndarray) -> jnp.ndarray:
-    """Row gather from the (n_blocks, 16) uint32 occ-block table.
+    """Block gather from the occ table: returns [..., 16] uint32 rows.
+
+    Two device layouts: (n_blocks, 16) uint32 for small tables, and
+    WIDE (ceil(n/8), 128) int32 (8 blocks per row) for big ones — the
+    TPU tiles arrays at (8, 128), so a (n, 16) layout pads its lane
+    axis 8x (a 3 GB human-scale table would occupy 24 GB of HBM).  The
+    wide layout is also exactly the Mosaic DMA row format
+    (pallas_bigsmem.prep_table_wide), so the device pays zero reshape."""
+    if blocks.shape[1] == 2 * WORDS_PER_BLOCK * 4:
+        sub = (blk & 7).astype(jnp.int32)
+        rows = _gather_rows_raw(blocks, (blk >> 3).astype(jnp.int32))
+        idx = (sub[..., None] * WORDS_PER_BLOCK
+               + jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32))
+        out = jnp.take_along_axis(rows, idx, axis=-1)
+        return lax.bitcast_convert_type(out, jnp.uint32)
+    return _gather_rows_raw(blocks, blk)
+
+
+def _gather_rows_raw(blocks: jnp.ndarray, blk: jnp.ndarray) -> jnp.ndarray:
+    """Row gather from the table (any row width).
 
     XLA lowers a TPU row gather to one serialized copy per index —
     ~1.7 us/row, which at 2048 lanes makes every occ lookup ~3.5 ms and
@@ -127,11 +146,13 @@ def _gather_rows(blocks: jnp.ndarray, blk: jnp.ndarray) -> jnp.ndarray:
 
         def local(rel, ok):
             with table_axis(None):
-                rows = _gather_rows(blocks, rel)
-            return jnp.where(ok[..., None], rows, jnp.uint32(0))
+                rows = _gather_rows_raw(blocks, rel)
+            return jnp.where(ok[..., None], rows,
+                             jnp.zeros((), blocks.dtype))
 
         return _sharded_lookup(local, blk, axis, local_n)
-    if n_blocks > _ONEHOT_MAX or _ONEHOT_MAX <= 0:
+    if (n_blocks > _ONEHOT_MAX or _ONEHOT_MAX <= 0
+            or blocks.shape[1] != WORDS_PER_BLOCK):
         return blocks[blk]
     if os.environ.get("BWAMEM_TPU_PALLAS_GATHER"):
         # explicit-VMEM one-hot matmul kernel; measured slightly slower
@@ -191,6 +212,15 @@ class DeviceFmIndex:
         """Coordinate dtype (int32 for sub-Gbp genomes, else int64)."""
         return self.L2.dtype
 
+    @property
+    def n_blocks(self):
+        """Occ-block count under either device layout ((n, 16) narrow
+        or (rows, 128) wide; wide counts the <=7 padding blocks of the
+        last row — harmless for the availability gates)."""
+        if self.blocks.shape[1] == 2 * WORDS_PER_BLOCK * 4:
+            return self.blocks.shape[0] * 8
+        return self.blocks.shape[0]
+
     @classmethod
     def from_host(cls, fm) -> "DeviceFmIndex":
         """Upload a host FmIndex (bwamem_tpu.index.fmindex.FmIndex).
@@ -200,8 +230,27 @@ class DeviceFmIndex:
         right after them (software/bwtindex.c:128-150).  The device copy
         is repacked to uniform 16-word rows (zero-padded tail) so one
         gather row == one occ block; the closing checkpoint is dropped
-        (occ queries never index past block seq_len>>7)."""
-        blocks = jnp.asarray(_uniform_blocks(fm.bwt, int(fm.seq_len)))
+        (occ queries never index past block seq_len>>7).
+
+        Tables past the one-hot crossover upload in the WIDE
+        (ceil(n/8), 128) int32 layout: the TPU tiles at (8, 128), so a
+        (n, 16) array pads 8x in HBM (24 GB for the 3 GB human-scale
+        table) — and wide is already the Mosaic DMA row format, so
+        prep_table_wide becomes a no-op."""
+        blocks_np = _uniform_blocks(fm.bwt, int(fm.seq_len))
+        nb = blocks_np.shape[0]
+        try:
+            from .pallas_smem import MAX_BLOCKS as _wide_thresh
+        except Exception:  # pragma: no cover
+            _wide_thresh = 24576
+        if nb > _wide_thresh:
+            pad = (-nb) % 8
+            if pad:
+                blocks_np = np.concatenate(
+                    [blocks_np, np.zeros((pad, WORDS_PER_BLOCK),
+                                         blocks_np.dtype)])
+            blocks_np = blocks_np.reshape(-1, 128).view(np.int32)
+        blocks = jnp.asarray(blocks_np)
         # +2 margin: interval arithmetic forms seq_len+1 style values
         cdt = np.int32 if int(fm.seq_len) + 2 < (1 << 31) else np.int64
         if os.environ.get("BWAMEM_TPU_FORCE_I64"):  # test the wide path

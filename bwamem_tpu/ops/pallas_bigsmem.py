@@ -98,7 +98,11 @@ def sa_pallas_big_available(cdt, sa_intv: int) -> bool:
 def prep_table_wide(blocks: jnp.ndarray) -> jnp.ndarray:
     """(n_blocks, 16) uint32 occ table -> (ceil(n/8), 128) int32 wide
     rows (8 blocks = 512 bytes each, the Mosaic DMA alignment unit).
-    Stays in HBM; one reshape, no byte planes."""
+    Stays in HBM; one reshape, no byte planes.  Tables uploaded in the
+    wide layout (ops.fm big-table default — the (n, 16) layout tiles
+    8x in HBM) pass through untouched."""
+    if blocks.shape[1] == 128:
+        return blocks
     nb = blocks.shape[0]
     pad = (-nb) % 8
     b = blocks

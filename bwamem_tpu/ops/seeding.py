@@ -99,13 +99,13 @@ class BatchedSeeder:
         # widths fall back to the XLA impls instead of asserting
         self.use_pallas = (kernels is None and LANES % 128 == 0
                            and smem1_pallas_available(
-            dfm.blocks.shape[0], dfm.cdt, self.L, self.M,
+            dfm.n_blocks, dfm.cdt, self.L, self.M,
             out_cap=self.out_cap))
         # Mosaic SA walk (pallas_smem.sa_lookup_pallas): one occ-row
         # gather per inverse-Psi step, sampled-SA finish in-kernel
         self.use_pallas_sa = (kernels is None and SA_SLICE % 128 == 0
                               and sa_pallas_available(
-            dfm.blocks.shape[0], int(dfm.sa.shape[0]), dfm.cdt,
+            dfm.n_blocks, int(dfm.sa.shape[0]), dfm.cdt,
             sa_intv=dfm.sa_intv))
         # HBM-resident DMA-wave kernels (ops.pallas_bigsmem): the path
         # for tables past the one-hot crossover — the reference's own
@@ -118,7 +118,7 @@ class BatchedSeeder:
             kernels is None and LANES % 128 == 0
             and (not self.use_pallas or _FORCE_BIG_TEST)
             and smem1_pallas_big_available(
-                dfm.blocks.shape[0], dfm.cdt, self.L, self.M,
+                dfm.n_blocks, dfm.cdt, self.L, self.M,
                 out_cap=self.out_cap))
         self.use_pallas_sa_big = (
             kernels is None and SA_SLICE % 128 == 0
@@ -144,7 +144,12 @@ class BatchedSeeder:
         import jax
         from . import pallas_bigsmem as pbig
         if self._pa_tblw is None:
-            self._pa_tblw = jax.jit(pbig.prep_table_wide)(self.dfm.blocks)
+            blk = self.dfm.blocks
+            # tables uploaded wide (ops.fm big-table layout) are
+            # ALREADY the DMA row format — a jitted pass-through would
+            # duplicate the 3 GB buffer in HBM
+            self._pa_tblw = (blk if blk.shape[1] == 128
+                             else jax.jit(pbig.prep_table_wide)(blk))
             self._pa_saw = jax.jit(pbig.prep_sa_wide)(self.dfm.sa)
 
     def _sa_dispatch(self, pad: np.ndarray):
