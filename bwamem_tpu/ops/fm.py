@@ -266,16 +266,29 @@ class DeviceFmIndex:
                                           "2048"))
             if sa8.nbytes > cap_mb * (1 << 20):
                 sa8 = None
-        return cls(
+        sa_arr = (sa8 if sa8 is not None else fm.sa).astype(cdt)
+        obj = cls(
             blocks=blocks,
             L2=jnp.asarray(fm.L2.astype(cdt)),
             primary=jnp.asarray(cdt(fm.primary)),
             seq_len=jnp.asarray(cdt(fm.seq_len)),
-            sa=jnp.asarray((sa8 if sa8 is not None
-                            else fm.sa).astype(cdt)),
+            sa=jnp.asarray(sa_arr),
             sa_intv=int(fm.sa8_intv if sa8 is not None
                         else fm.sa_intv),
         )
+        # big tables also pre-pack the sampled SA into the Mosaic DMA
+        # wide-row layout on the HOST: the device-side bitcast of an
+        # int64 (n,) array materializes (n, 2) int32, which the TPU
+        # tiles at 64x lane padding (96 GB at 3 Gbp)
+        obj.saw_host = None
+        if nb > _wide_thresh:
+            s = (sa_arr.view(np.int32) if sa_arr.dtype == np.int64
+                 else sa_arr.astype(np.int32))
+            pad = (-len(s)) % 128
+            if pad:
+                s = np.concatenate([s, np.zeros(pad, np.int32)])
+            obj.saw_host = s.reshape(-1, 128)
+        return obj
 
 
 def _uniform_blocks(bwt: np.ndarray, seq_len: int) -> np.ndarray:

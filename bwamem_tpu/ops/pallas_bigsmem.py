@@ -179,17 +179,28 @@ def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
             rows.at[pl.ds(j, 1), :],
             sems.at[j & np.int32(nsem - 1)])
 
+    # negative row ids mark dead lanes (done iterator lanes, dead
+    # backward-chunk rows): their fetches are skipped outright — the
+    # consumer masks those lanes regardless, so no repair is needed
     if not pair:
         def issue(j8, c):
             for u in range(U):
-                _cp(j8 * np.int32(U) + np.int32(u)).start()
+                j = j8 * np.int32(U) + np.int32(u)
+
+                @pl.when(idxs[0, j] >= Z)
+                def _():
+                    _cp(j).start()
             return c
 
         lax.fori_loop(0, C // U, issue, 0)
 
         def drain(j8, c):
             for u in range(U):
-                _cp(j8 * np.int32(U) + np.int32(u)).wait()
+                j = j8 * np.int32(U) + np.int32(u)
+
+                @pl.when(idxs[0, j] >= Z)
+                def _():
+                    _cp(j).wait()
             return c
 
         lax.fori_loop(0, C // U, drain, 0)
@@ -200,7 +211,11 @@ def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
 
     def issue1(j8, c):
         for u in range(U):
-            _cp(j8 * np.int32(U) + np.int32(u)).start()
+            j = j8 * np.int32(U) + np.int32(u)
+
+            @pl.when(idxs[0, j] >= Z)
+            def _():
+                _cp(j).start()
         return c
 
     lax.fori_loop(0, H // U, issue1, 0)
@@ -209,7 +224,8 @@ def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
         for u in range(U):
             j = np.int32(H) + j8 * np.int32(U) + np.int32(u)
 
-            @pl.when(idxs[0, j] != idxs[0, j - np.int32(H)])
+            @pl.when((idxs[0, j] >= Z)
+                     & (idxs[0, j] != idxs[0, j - np.int32(H)]))
             def _():
                 _cp(j).start()
         return c
@@ -218,7 +234,11 @@ def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
 
     def drain1(j8, c):
         for u in range(U):
-            _cp(j8 * np.int32(U) + np.int32(u)).wait()
+            j = j8 * np.int32(U) + np.int32(u)
+
+            @pl.when(idxs[0, j] >= Z)
+            def _():
+                _cp(j).wait()
         return c
 
     lax.fori_loop(0, H // U, drain1, 0)
@@ -227,7 +247,8 @@ def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
         for u in range(U):
             j = np.int32(H) + j8 * np.int32(U) + np.int32(u)
 
-            @pl.when(idxs[0, j] != idxs[0, j - np.int32(H)])
+            @pl.when((idxs[0, j] >= Z)
+                     & (idxs[0, j] != idxs[0, j - np.int32(H)]))
             def _():
                 _cp(j).wait()
         return c

@@ -411,17 +411,26 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
     def crev_rows(a, n, valid_rows=None):
         return cw.map(lambda p: rev_rows(p, n, valid_rows), a)
 
-    def occ4T(k2):
+    def occ4T(k2, live=None):
         """Batched bwt_occ4 over (1, C) coordinates: the row gather +
         SWAR popcounts (software/bwt.c:187-204; RTL BWT_OCC4
         hardware/afu_core.v:5653-5897).  k2 is a cw-tuple; returns a
-        cw-tuple of (4, C)."""
+        cw-tuple of (4, C).
+
+        Lanes with k2 < 0 (dead backward-chunk rows ride as zero
+        coordinates -> k-1 == -1) and lanes outside `live` (done
+        iterator lanes in the lockstep straggler tail) mark their
+        block index -1: the DMA wave skips those fetches entirely and
+        the one-hot gather misses to zero rows — the result is masked
+        by `valid` either way, so only the wasted fetch disappears
+        (~half of all backward-chunk DMA slots are dead rows)."""
         C = k2[0].shape[1]
         j8w = lax.broadcasted_iota(i32, (8, C), 0)
         valid = cw.ge0(k2)
+        fetch_ok = valid if live is None else (valid & live)
         kk = cw.subi(k2, jnp.where(cw.ge(k2, primary), ONE, Z))
         kk = cw.where(valid, kk, cw.zeros(kk[0].shape))
-        blkidx = cw.blkrow(kk)
+        blkidx = jnp.where(fetch_ok, cw.blkrow(kk), np.int32(-1))
         if gather_words is None:
             rows = _gather_planes(tbl_ref, blkidx, NBP, C)
             w = (rows[0:12] | lax.shift_left(rows[12:24], np.int32(8))
@@ -448,14 +457,16 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
         return cw.where(valid, cw.addi(ck, within),
                         cw.zeros((4, C)))
 
-    def extendT(x0, x1, s, is_back):
+    def extendT(x0, x1, s, is_back, live=None):
         """Batched bwt_extend (software/bwt.c:416-429): (1, C)
-        cw-tuples -> (4, C) cw-tuple candidates per base."""
+        cw-tuples -> (4, C) cw-tuple candidates per base.  `live`
+        (1, C) masks lanes whose fetches may be skipped (occ4T)."""
         C = x0[0].shape[1]
         fwd = x0 if is_back else x1
         fm1 = cw.subi(fwd, ONE)
         k2 = cw.cat1([fm1, cw.add(fm1, s)])
-        both = occ4T(k2)
+        both = occ4T(k2, live=None if live is None
+                     else jnp.concatenate([live, live], axis=1))
         tk = cw.colslice(both, 0, C)
         tl = cw.colslice(both, C, 2 * C)
         l2r = cw.cat0([cw.map(lambda pz, sc: pz + sc,
@@ -512,7 +523,8 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
             ii = jnp.clip(jnp.minimum(i, qlen - ONE), Z, np.int32(L - 1))
             cb = sel_q(ii)
             is_amb = cb > np.int32(3)
-            o0, o1, os_ = extendT(ik0, ik1, iks, is_back=False)
+            o0, o1, os_ = extendT(ik0, ik1, iks, is_back=False,
+                                  live=(done == Z))
             cc = jnp.where(is_amb, Z, np.int32(3) - cb)
             n0 = csel4(o0, cc)
             n1 = csel4(o1, cc)
@@ -581,7 +593,9 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
                     ssc = cw.map(lambda p: jnp.concatenate(
                         [row0(p, m) for m in range(mc, mc + MC)],
                         axis=1), ps)
-                    o0, o1, os_ = extendT(x0c, x1c, ssc, is_back=True)
+                    o0, o1, os_ = extendT(
+                        x0c, x1c, ssc, is_back=True,
+                        live=jnp.concatenate([live] * MC, axis=1))
 
                     def selc(a):
                         return cw.map(lambda p: jnp.sum(
@@ -1167,7 +1181,11 @@ def _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps,
             k = st[:-3]
             act = (cw.andm(k, mask) != Z) & (done == Z)
             x = cw.subi(k, jnp.where(cw.lt(primary, k), ONE, Z))
-            blkidx = cw.blkrow(x)
+            # done lanes mark -1: the straggler tail of the lockstep
+            # walk otherwise re-fetches every lane every step (the DMA
+            # wave skips negatives; one-hot misses to zero rows, and
+            # inactive lanes discard the result either way)
+            blkidx = jnp.where(act, cw.blkrow(x), np.int32(-1))
             if gw is None:
                 rows = _gather_planes(tbl_ref, blkidx, NBP, blk)
                 w = (rows[0:12]

@@ -150,7 +150,12 @@ class BatchedSeeder:
             # duplicate the 3 GB buffer in HBM
             self._pa_tblw = (blk if blk.shape[1] == 128
                              else jax.jit(pbig.prep_table_wide)(blk))
-            self._pa_saw = jax.jit(pbig.prep_sa_wide)(self.dfm.sa)
+            saw_host = getattr(self.dfm, "saw_host", None)
+            # host-packed wide SA rows (big tables): the device-side
+            # int64 bitcast tiles at 64x lane padding
+            self._pa_saw = (jax.device_put(jnp.asarray(saw_host))
+                            if saw_host is not None
+                            else jax.jit(pbig.prep_sa_wide)(self.dfm.sa))
 
     def _sa_dispatch(self, pad: np.ndarray):
         """One batched bwt_sa dispatch (Mosaic walk kernel when
@@ -459,8 +464,14 @@ class BatchedSeeder:
                     sa_t, sa_p = self._pa_tbl, self._pa_sa
                 else:
                     sa_t, sa_p = z8, z8
+                # Mosaic SA modes never touch the raw sampled-SA array
+                # inside the dispatch — pass a 1-slot dummy instead of
+                # threading the (GB-scale at human size) dead argument
+                # through the jit
+                sa_arg = (d.sa if not self.sa_pallas_mode
+                          else jnp.zeros(1, d.sa.dtype))
                 dev = smem_superstep_sa(
-                    d.blocks, d.primary, d.L2, d.seq_len, d.sa,
+                    d.blocks, d.primary, d.L2, d.seq_len, sa_arg,
                     sa_t, sa_p,
                     *common,
                     jnp.int32(opt.min_seed_len), jnp.int32(opt.max_occ),

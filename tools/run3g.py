@@ -17,6 +17,12 @@ import os
 import sys
 import time
 
+# the bench.py lane-group defaults (one maximal group per chunk/stage)
+os.environ.setdefault("BWAMEM_TPU_LANES", "8192")
+os.environ.setdefault("BWAMEM_TPU_WAVE", "2048")
+os.environ.setdefault("BWAMEM_TPU_SA_SLICE", "32768")
+os.environ.setdefault("BWAMEM_TPU_WAVE_EXT", "16384")
+
 sys.path.insert(0, os.path.join(os.path.dirname(
     os.path.abspath(__file__)), ".."))
 
