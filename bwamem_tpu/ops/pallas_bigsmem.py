@@ -273,7 +273,12 @@ def _dma_factory(Cmax: int, MC: int, wide: bool = False,
         def gather_words(blkidx):
             C = blkidx.shape[1]
             assert C <= Cmax, (C, Cmax)
-            rowi = lax.shift_right_logical(blkidx, np.int32(3))
+            # ARITHMETIC shift: dead lanes ride blkidx == -1 and must
+            # stay negative so the wave's >= 0 guard skips them (a
+            # logical shift turns -1 into a huge in-range-looking row
+            # id -> out-of-bounds DMA; interpret mode silently clamps,
+            # the chip faults)
+            rowi = lax.shift_right_arithmetic(blkidx, np.int32(3))
             sub = blkidx & np.int32(7)
             _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C,
                   pair=dedup)
