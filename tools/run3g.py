@@ -93,7 +93,12 @@ def main():
         chunks = []
         for ci in range(args.bench_chunks):
             c = [copy.copy(r) for r in reads * rep]
-            random.Random(1000 + ci).shuffle(c)
+            if args.pe:  # shuffle PAIRS: mates must stay interleaved
+                pairs = [c[i:i + 2] for i in range(0, len(c), 2)]
+                random.Random(1000 + ci).shuffle(pairs)
+                c = [r for p in pairs for r in p]
+            else:
+                random.Random(1000 + ci).shuffle(c)
             chunks.append(c)
         n_work = sum(len(c) for c in chunks)
         # warm
