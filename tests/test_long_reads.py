@@ -144,3 +144,44 @@ def test_engine_bucket_routing_long(small_fm):
         want = mem_chain(opt, fm, l_pac, r.seq_nt4)
         assert [(c.pos, list(map(tuple, c.seeds))) for c in got] == \
             [(c.pos, list(map(tuple, c.seeds))) for c in want], r.name
+
+
+def test_engine_bucket_routing_512(small_fm):
+    """257-512 bp reads route through the L=512 long-fragment bucket
+    (radix-1024 merge key, int32 wire) and must produce exactly the
+    host mem_chain chains; >512 bp reads still host-chain and splice."""
+    from bwamem_tpu.config import MemOptions
+    from bwamem_tpu.core.chain import mem_chain
+    from bwamem_tpu.io.fastq import Read
+    from bwamem_tpu.ops.engine import (JaxSeedingEngine, ChainBatch,
+                                       _chains_from_flat)
+    fwd, fm = small_fm
+    opt = MemOptions()
+    rng = np.random.default_rng(61)
+    bases = "ACGT"
+    reads = []
+    lens = [300, 400, 512, 511, 101, 250, 333, 480, 512, 600]
+    for i in range(20):
+        ln = lens[i % len(lens)]
+        off = int(rng.integers(0, len(fwd) - ln))
+        q = fwd[off:off + ln].copy()
+        if rng.random() < 0.6:
+            for _ in range(int(rng.integers(1, 6))):
+                q[int(rng.integers(0, ln))] = int(rng.integers(0, 5))
+        reads.append(Read(name=f"r{i}",
+                          seq="".join(bases[b] if b < 4 else "N"
+                                      for b in q),
+                          qual="I" * len(q), comment=None))
+    assert any(256 < len(r.seq) <= 512 for r in reads)
+    assert any(len(r.seq) > 512 for r in reads)  # oversize splice path
+    eng = JaxSeedingEngine(fm)
+    assert eng.dev_max_len >= 512
+    assert eng._seeder_for(400).L == 512
+    chains = eng.chain_batch(opt, reads)
+    if isinstance(chains, ChainBatch) and chains.flat is not None:
+        chains = _chains_from_flat(chains.flat, len(reads))
+    l_pac = fm.seq_len >> 1
+    for r, got in zip(reads, chains):
+        want = mem_chain(opt, fm, l_pac, r.seq_nt4)
+        assert [(c.pos, list(map(tuple, c.seeds))) for c in got] == \
+            [(c.pos, list(map(tuple, c.seeds))) for c in want], r.name
