@@ -179,28 +179,20 @@ def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
             rows.at[pl.ds(j, 1), :],
             sems.at[j & np.int32(nsem - 1)])
 
-    # negative row ids mark dead lanes (done iterator lanes, dead
-    # backward-chunk rows): their fetches are skipped outright — the
-    # consumer masks those lanes regardless, so no repair is needed
+    # NOTE a dead-lane skip (mark row -1, pl.when around start/wait)
+    # was MEASURED A LOSS at 256 Mbp (smem 12.7 -> 17.0 s): the
+    # per-DMA scalar branch costs more than the skipped fetch.
     if not pair:
         def issue(j8, c):
             for u in range(U):
-                j = j8 * np.int32(U) + np.int32(u)
-
-                @pl.when(idxs[0, j] >= Z)
-                def _():
-                    _cp(j).start()
+                _cp(j8 * np.int32(U) + np.int32(u)).start()
             return c
 
         lax.fori_loop(0, C // U, issue, 0)
 
         def drain(j8, c):
             for u in range(U):
-                j = j8 * np.int32(U) + np.int32(u)
-
-                @pl.when(idxs[0, j] >= Z)
-                def _():
-                    _cp(j).wait()
+                _cp(j8 * np.int32(U) + np.int32(u)).wait()
             return c
 
         lax.fori_loop(0, C // U, drain, 0)
@@ -211,11 +203,7 @@ def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
 
     def issue1(j8, c):
         for u in range(U):
-            j = j8 * np.int32(U) + np.int32(u)
-
-            @pl.when(idxs[0, j] >= Z)
-            def _():
-                _cp(j).start()
+            _cp(j8 * np.int32(U) + np.int32(u)).start()
         return c
 
     lax.fori_loop(0, H // U, issue1, 0)
@@ -224,8 +212,7 @@ def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
         for u in range(U):
             j = np.int32(H) + j8 * np.int32(U) + np.int32(u)
 
-            @pl.when((idxs[0, j] >= Z)
-                     & (idxs[0, j] != idxs[0, j - np.int32(H)]))
+            @pl.when(idxs[0, j] != idxs[0, j - np.int32(H)])
             def _():
                 _cp(j).start()
         return c
@@ -234,11 +221,7 @@ def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
 
     def drain1(j8, c):
         for u in range(U):
-            j = j8 * np.int32(U) + np.int32(u)
-
-            @pl.when(idxs[0, j] >= Z)
-            def _():
-                _cp(j).wait()
+            _cp(j8 * np.int32(U) + np.int32(u)).wait()
         return c
 
     lax.fori_loop(0, H // U, drain1, 0)
@@ -247,8 +230,7 @@ def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
         for u in range(U):
             j = np.int32(H) + j8 * np.int32(U) + np.int32(u)
 
-            @pl.when((idxs[0, j] >= Z)
-                     & (idxs[0, j] != idxs[0, j - np.int32(H)]))
+            @pl.when(idxs[0, j] != idxs[0, j - np.int32(H)])
             def _():
                 _cp(j).wait()
         return c

@@ -417,20 +417,19 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
         hardware/afu_core.v:5653-5897).  k2 is a cw-tuple; returns a
         cw-tuple of (4, C).
 
-        Lanes with k2 < 0 (dead backward-chunk rows ride as zero
-        coordinates -> k-1 == -1) and lanes outside `live` (done
-        iterator lanes in the lockstep straggler tail) mark their
-        block index -1: the DMA wave skips those fetches entirely and
-        the one-hot gather misses to zero rows — the result is masked
-        by `valid` either way, so only the wasted fetch disappears
-        (~half of all backward-chunk DMA slots are dead rows)."""
+        `live` is accepted for interface stability but unused: marking
+        dead lanes' block ids -1 and pl.when-guarding each DMA start/
+        wait was MEASURED A LOSS at 256 Mbp (smem 12.7 -> 17.0 s/16
+        dispatches) — the per-DMA scalar-core branch costs more than
+        the skipped fetch, so dead lanes fetch row 0 like the FPGA's
+        idle PEs re-polling (cheap, cached)."""
         C = k2[0].shape[1]
         j8w = lax.broadcasted_iota(i32, (8, C), 0)
         valid = cw.ge0(k2)
-        fetch_ok = valid if live is None else (valid & live)
+        del live
         kk = cw.subi(k2, jnp.where(cw.ge(k2, primary), ONE, Z))
         kk = cw.where(valid, kk, cw.zeros(kk[0].shape))
-        blkidx = jnp.where(fetch_ok, cw.blkrow(kk), np.int32(-1))
+        blkidx = cw.blkrow(kk)
         if gather_words is None:
             rows = _gather_planes(tbl_ref, blkidx, NBP, C)
             w = (rows[0:12] | lax.shift_left(rows[12:24], np.int32(8))
@@ -1181,11 +1180,7 @@ def _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps,
             k = st[:-3]
             act = (cw.andm(k, mask) != Z) & (done == Z)
             x = cw.subi(k, jnp.where(cw.lt(primary, k), ONE, Z))
-            # done lanes mark -1: the straggler tail of the lockstep
-            # walk otherwise re-fetches every lane every step (the DMA
-            # wave skips negatives; one-hot misses to zero rows, and
-            # inactive lanes discard the result either way)
-            blkidx = jnp.where(act, cw.blkrow(x), np.int32(-1))
+            blkidx = cw.blkrow(x)
             if gw is None:
                 rows = _gather_planes(tbl_ref, blkidx, NBP, blk)
                 w = (rows[0:12]
