@@ -22,9 +22,17 @@ iterator/merge/output machinery is shared via the gather_factory hooks
 of _make_kernel/_make_superstep_kernel/_make_sa_kernel, so parity is
 inherited from the same traced program.
 
-int32 coordinates (genomes whose doubled pack fits 31 bits, i.e. up to
-~1 Gbp of reference); callers gate with smem1_pallas_big_available()
-and fall back to the XLA twin beyond.
+Coordinates: int32 genomes run single-plane; int64 genomes (the
+canonical 3 Gbp human regime, software/bwa.c:286-301) run the WIDE
+radix-2^30 (hi, lo) paired-plane kernels — the 64-bit occ checkpoints
+already ride the 512 B rows as lo/hi word pairs, and the sampled SA
+packs as lo/hi lane pairs (prep_sa_wide).  Callers gate with
+smem1_pallas_big_available(); BWAMEM_TPU_PALLAS_BIGSMEM64=0 falls back
+to the emulated-int64 XLA twin (measured 2.4x slower at 64 Mbp).
+
+The backward-chunk waves software-pipeline across two buffer slots
+(chunk c+1's row DMAs fly under chunk c's popcount math,
+BWAMEM_TPU_BIG_PIPE=0 disables).
 """
 
 import os
@@ -133,55 +141,86 @@ def prep_sa_wide(sa: jnp.ndarray) -> jnp.ndarray:
 _NSEM = int(os.environ.get("BWAMEM_TPU_BIG_NSEM", "256"))
 
 
-def _scratch_shapes(Cmax: int):
-    nsem = min(Cmax, _NSEM)
-    return [
-        pltpu.VMEM((1, Cmax), jnp.int32),      # idxv: row ids, vector
-        pltpu.SMEM((1, Cmax), jnp.int32),      # idxs: row ids, scalar
-        pltpu.VMEM((Cmax, 128), jnp.int32),    # fetched 512-B rows
-        pltpu.SemaphoreType.DMA((nsem,)),
-        pltpu.SemaphoreType.DMA(()),           # index-bounce semaphore
+def _scratch_shapes(Cmax: int, slots: int = 1):
+    """DMA-wave scratch: per-slot (idxv, idxs, rows) buffer triples,
+    then one wave DMA semaphore per slot and the per-slot index-bounce
+    semaphores.  All of a wave's row copies signal the slot's SINGLE
+    semaphore: equal-size copies make per-copy waits interchangeable,
+    and the drain collapses to ONE wait for the wave's total bytes
+    (a dummy descriptor over the whole row buffer) — half the
+    scalar-core work per wave vs per-copy draining.  slots=2 lets two
+    waves be in flight (the backward-chunk pipeline); separate buffers
+    per slot — Mosaic cannot slice sub-tile rows out of one stacked
+    buffer."""
+    out = []
+    for _ in range(slots):
+        out += [
+            pltpu.VMEM((1, Cmax), jnp.int32),   # idxv: row ids, vector
+            pltpu.SMEM((1, Cmax), jnp.int32),   # idxs: row ids, scalar
+            pltpu.VMEM((Cmax, 128), jnp.int32),  # fetched 512-B rows
+        ]
+    out += [
+        pltpu.SemaphoreType.DMA((slots,)),      # wave sems (1/slot)
+        pltpu.SemaphoreType.DMA((slots,)),      # index-bounce sems
     ]
+    return out
 
 
-def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
-          pair: bool = False):
-    """Issue one DMA wave: rows[j] = tbl[rowi[0, j]] for j < C.  The
-    per-lane indices are VPU vectors; DMA starts need scalars, so they
-    bounce VMEM -> SMEM first (one small DMA), then a scalar loop
-    issues all C row copies before draining them — the copies fly
-    together, ~20 ns marginal each.
+def _split_scratch(scratch):
+    """scratch -> ([(idxv, idxs, rows) per slot], sems, bsem)."""
+    sems, bsem = scratch[-2], scratch[-1]
+    bufs = scratch[:-2]
+    assert len(bufs) % 3 == 0
+    slots = [tuple(bufs[3 * s:3 * s + 3]) for s in range(len(bufs) // 3)]
+    return slots, sems, bsem
+
+
+def _wave_cp(tbl_ref, idxs, rows, sems, slot: int, j):
+    """The j-th row copy of slot's wave (all copies share the slot's
+    semaphore; equal sizes make waits interchangeable)."""
+    return pltpu.make_async_copy(
+        tbl_ref.at[pl.ds(idxs[0, j], 1), :],
+        rows.at[pl.ds(j, 1), :],
+        sems.at[slot])
+
+
+def _wave_start(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
+                slot: int = 0, n_slots: int = 1, pair: bool = False):
+    """Launch one DMA wave into slot's buffers: rows[j] =
+    tbl[rowi[0, j]] for j < C.  The per-lane indices are VPU vectors;
+    DMA starts need scalars, so they bounce VMEM -> SMEM first (one
+    small DMA), then a scalar loop issues all C row copies — the
+    copies fly together, ~20 ns marginal each.  Two slots can be in
+    flight (the backward-chunk pipeline); per-slot semaphore ranges
+    keep their completions separate.
 
     pair=True: the wave carries bwt_2occ4 pairs — lane j >= C/2 is
     the l-side of lane j - C/2's k-side (extendT's cat layout), and
     once the interval shrinks below the 1024-base row span the two
     sides usually share a row.  Duplicate second-half DMAs are skipped
     (the caller repairs rows via a lane roll) — the 2occ4 same-block
-    fusion of software/bwt.c:217-242 at row granularity."""
+    fusion of software/bwt.c:217-242 at row granularity.
+    NOTE a dead-lane skip (mark row -1, pl.when around start/wait)
+    was MEASURED A LOSS at 256 Mbp (smem 12.7 -> 17.0 s): the per-DMA
+    scalar branch costs more than the skipped fetch."""
+    del n_slots
     idxv[0:1, 0:C] = rowi
     cpb = pltpu.make_async_copy(idxv.at[0:1, pl.ds(0, C)],
-                                idxs.at[0:1, pl.ds(0, C)], bsem)
+                                idxs.at[0:1, pl.ds(0, C)],
+                                bsem.at[slot])
     cpb.start()
     cpb.wait()
 
-    nsem = sems.shape[0]
-    assert nsem & (nsem - 1) == 0, nsem
-    # issue/drain in 8-unrolled scalar loops: a plain fori_loop pays
-    # ~20 ns/iteration of loop overhead on the scalar core — at 2*C
+    # issue in 8-unrolled scalar loops: a plain fori_loop pays ~20 ns
+    # per iteration of loop overhead on the scalar core — at 2*C
     # iterations that DOUBLED the wave cost (measured 20 us vs 9 us per
     # 256-DMA step, tools/microbench_bigsmem.py gw)
     U = 8
     assert C % U == 0, (C, U)
 
     def _cp(j):
-        return pltpu.make_async_copy(
-            tbl_ref.at[pl.ds(idxs[0, j], 1), :],
-            rows.at[pl.ds(j, 1), :],
-            sems.at[j & np.int32(nsem - 1)])
+        return _wave_cp(tbl_ref, idxs, rows, sems, slot, j)
 
-    # NOTE a dead-lane skip (mark row -1, pl.when around start/wait)
-    # was MEASURED A LOSS at 256 Mbp (smem 12.7 -> 17.0 s): the
-    # per-DMA scalar branch costs more than the skipped fetch.
     if not pair:
         def issue(j8, c):
             for u in range(U):
@@ -189,13 +228,6 @@ def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
             return c
 
         lax.fori_loop(0, C // U, issue, 0)
-
-        def drain(j8, c):
-            for u in range(U):
-                _cp(j8 * np.int32(U) + np.int32(u)).wait()
-            return c
-
-        lax.fori_loop(0, C // U, drain, 0)
         return
 
     H = C // 2
@@ -219,6 +251,29 @@ def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
 
     lax.fori_loop(0, H // U, issue2, 0)
 
+
+def _wave_drain(tbl_ref, idxv, idxs, rows, sems, bsem, C: int,
+                slot: int = 0, n_slots: int = 1, pair: bool = False):
+    """Wait out slot's in-flight wave (counterpart of _wave_start).
+    All C copies signal the slot's single semaphore, so the whole wave
+    drains in ONE wait sized as C rows (a dummy descriptor over the
+    row buffer) — the per-copy drain loop was half the wave's
+    scalar-core cost.  pair mode still waits per copy (its skip
+    predicate makes the wave's total byte count data-dependent)."""
+    del n_slots
+    U = 8
+
+    def _cp(j):
+        return _wave_cp(tbl_ref, idxs, rows, sems, slot, j)
+
+    if not pair:
+        pltpu.make_async_copy(rows.at[pl.ds(0, C), :],
+                              rows.at[pl.ds(0, C), :],
+                              sems.at[slot]).wait()
+        return
+
+    H = C // 2
+
     def drain1(j8, c):
         for u in range(U):
             _cp(j8 * np.int32(U) + np.int32(u)).wait()
@@ -238,6 +293,15 @@ def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
     lax.fori_loop(0, H // U, drain2, 0)
 
 
+def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
+          slot: int = 0, n_slots: int = 1, pair: bool = False):
+    """Synchronous wave: start + drain (the non-pipelined call sites)."""
+    _wave_start(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C,
+                slot=slot, n_slots=n_slots, pair=pair)
+    _wave_drain(tbl_ref, idxv, idxs, rows, sems, bsem, C,
+                slot=slot, n_slots=n_slots, pair=pair)
+
+
 def _dma_factory(Cmax: int, MC: int, wide: bool = False,
                  dedup: bool = False):
     """gather_factory for the pallas_smem kernel makers: per call,
@@ -250,20 +314,31 @@ def _dma_factory(Cmax: int, MC: int, wide: bool = False,
     cw = _CW(wide)
 
     def factory(tbl_ref, scratch):
-        idxv, idxs, rows, sems, bsem = scratch
+        slot_bufs, sems, bsem = _split_scratch(scratch)
+        n_slots = len(slot_bufs)
 
-        def gather_words(blkidx):
+        def _rowi(blkidx):
+            # arithmetic shift keeps any negative marker negative (a
+            # logical shift would turn it into a huge in-range-looking
+            # row id -> out-of-bounds DMA; interpret silently clamps,
+            # the chip faults)
+            return lax.shift_right_arithmetic(blkidx, np.int32(3))
+
+        def gather_start(blkidx, slot=0):
             C = blkidx.shape[1]
             assert C <= Cmax, (C, Cmax)
-            # ARITHMETIC shift: dead lanes ride blkidx == -1 and must
-            # stay negative so the wave's >= 0 guard skips them (a
-            # logical shift turns -1 into a huge in-range-looking row
-            # id -> out-of-bounds DMA; interpret mode silently clamps,
-            # the chip faults)
-            rowi = lax.shift_right_arithmetic(blkidx, np.int32(3))
+            idxv, idxs, rows = slot_bufs[slot]
+            _wave_start(tbl_ref, idxv, idxs, rows, sems, bsem,
+                        _rowi(blkidx), C, slot=slot, n_slots=n_slots,
+                        pair=dedup)
+
+        def gather_finish(blkidx, slot=0):
+            C = blkidx.shape[1]
+            rowi = _rowi(blkidx)
             sub = blkidx & np.int32(7)
-            _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C,
-                  pair=dedup)
+            idxv, idxs, rows = slot_bufs[slot]
+            _wave_drain(tbl_ref, idxv, idxs, rows, sems, bsem, C,
+                        slot=slot, n_slots=n_slots, pair=dedup)
             rT = rows[0:C, :].T                       # (128, C)
             if dedup:
                 H = C // 2
@@ -286,7 +361,12 @@ def _dma_factory(Cmax: int, MC: int, wide: bool = False,
                 [wf[1:2], wf[3:4], wf[5:6], wf[7:8]], axis=0)
             return cw.from_ck(wlo, whi), words
 
-        return gather_words, MC
+        def gather_words(blkidx):
+            gather_start(blkidx, 0)
+            return gather_finish(blkidx, 0)
+
+        return (gather_words, MC,
+                (gather_start, gather_finish) if n_slots >= 2 else None)
 
     return factory
 
@@ -299,7 +379,8 @@ def _sa_fetch_factory(blk: int, wide: bool = False):
     cw = _CW(wide)
 
     def factory(sa_ref, scratch):
-        idxv, idxs, rows, sems, bsem = scratch
+        slot_bufs, sems, bsem = _split_scratch(scratch)
+        idxv, idxs, rows = slot_bufs[0]
 
         def sa_fetch(si):                              # (1, blk)
             if wide:
@@ -414,6 +495,8 @@ def smem1_pallas_big(tblw, primary, L2, q, qlen, x, min_intv, active,
     R = 3 + (3 * ncp + 2) * M
     R += (-R) % 8
     dedup = os.environ.get("BWAMEM_TPU_BIG_DEDUP", "0") != "0"
+    slots = 2 if os.environ.get("BWAMEM_TPU_BIG_PIPE", "1") != "0" \
+        else 1
     kernel = _make_kernel(L, M, blk, 128,
                           gather_factory=_dma_factory(Cmax, MC, wide,
                                                       dedup),
@@ -427,7 +510,7 @@ def smem1_pallas_big(tblw, primary, L2, q, qlen, x, min_intv, active,
             in_specs=_common_specs(L, blk, wide),
             out_specs=pl.BlockSpec((R, blk), lambda b: (0, b)),
             out_shape=jax.ShapeDtypeStruct((R, B), i32),
-            scratch_shapes=_scratch_shapes(Cmax),
+            scratch_shapes=_scratch_shapes(Cmax, slots),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(scal, tblw, qT, params)
@@ -495,6 +578,8 @@ def superstep_pallas_big(tblw, primary, L2, q, qlen, min_intv, active,
     R = 2 + (3 * ncp + 2) * OC
     R += (-R) % 8
     dedup = os.environ.get("BWAMEM_TPU_BIG_DEDUP", "0") != "0"
+    slots = 2 if os.environ.get("BWAMEM_TPU_BIG_PIPE", "1") != "0" \
+        else 1
     kernel = _make_superstep_kernel(
         L, M, blk, 128, OC,
         gather_factory=_dma_factory(Cmax, MC, wide, dedup),
@@ -508,7 +593,7 @@ def superstep_pallas_big(tblw, primary, L2, q, qlen, min_intv, active,
             in_specs=_common_specs(L, blk, wide),
             out_specs=pl.BlockSpec((R, blk), lambda b: (0, b)),
             out_shape=jax.ShapeDtypeStruct((R, B), i32),
-            scratch_shapes=_scratch_shapes(Cmax),
+            scratch_shapes=_scratch_shapes(Cmax, slots),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(scal, tblw, qT, params)

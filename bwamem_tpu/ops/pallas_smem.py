@@ -330,7 +330,8 @@ def _gather_planes(tbl_ref, blkidx, NBP, C):
 
 
 def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
-                 gather_words=None, MC=None, cw=None):
+                 gather_words=None, MC=None, cw=None,
+                 gather_split=None):
     """Shared tracer for one smem1 pass (fwd + bwd) over a lane block.
     Returns smem1_sub(x, min_iv, act) -> (ret, n_mem, m0, m1, ms, mqb,
     mqe, over) with act/over as int32 (1, blk) rows.  Exact port of
@@ -411,34 +412,20 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
     def crev_rows(a, n, valid_rows=None):
         return cw.map(lambda p: rev_rows(p, n, valid_rows), a)
 
-    def occ4T(k2, live=None):
-        """Batched bwt_occ4 over (1, C) coordinates: the row gather +
-        SWAR popcounts (software/bwt.c:187-204; RTL BWT_OCC4
-        hardware/afu_core.v:5653-5897).  k2 is a cw-tuple; returns a
-        cw-tuple of (4, C).
-
-        `live` is accepted for interface stability but unused: marking
-        dead lanes' block ids -1 and pl.when-guarding each DMA start/
-        wait was MEASURED A LOSS at 256 Mbp (smem 12.7 -> 17.0 s/16
-        dispatches) — the per-DMA scalar-core branch costs more than
-        the skipped fetch, so dead lanes fetch row 0 like the FPGA's
-        idle PEs re-polling (cheap, cached)."""
-        C = k2[0].shape[1]
-        j8w = lax.broadcasted_iota(i32, (8, C), 0)
+    def _occ_prep(k2):
+        """Shared head of bwt_occ4: validity, sentinel-adjusted
+        coordinate, occ-block index."""
         valid = cw.ge0(k2)
-        del live
         kk = cw.subi(k2, jnp.where(cw.ge(k2, primary), ONE, Z))
         kk = cw.where(valid, kk, cw.zeros(kk[0].shape))
-        blkidx = cw.blkrow(kk)
-        if gather_words is None:
-            rows = _gather_planes(tbl_ref, blkidx, NBP, C)
-            w = (rows[0:12] | lax.shift_left(rows[12:24], np.int32(8))
-                 | lax.shift_left(rows[24:36], np.int32(16))
-                 | lax.shift_left(rows[36:48], np.int32(24)))
-            ck = (w[0:4],)
-            words = w[4:12]
-        else:
-            ck, words = gather_words(blkidx)
+        return valid, kk, cw.blkrow(kk)
+
+    def _occ_tail(k2, valid, kk, ck, words):
+        """Shared tail: masked SWAR popcounts within the fetched block
+        + checkpoint add (software/bwt.c:187-204; RTL BWT_OCC4
+        hardware/afu_core.v:5653-5897)."""
+        C = k2[0].shape[1]
+        j8w = lax.broadcasted_iota(i32, (8, C), 0)
         off = cw.andm(kk, np.int32(127))
         wi = lax.shift_right_logical(off, np.int32(4))
         r = (~off) & np.int32(15)
@@ -456,16 +443,59 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
         return cw.where(valid, cw.addi(ck, within),
                         cw.zeros((4, C)))
 
-    def extendT(x0, x1, s, is_back, live=None):
-        """Batched bwt_extend (software/bwt.c:416-429): (1, C)
-        cw-tuples -> (4, C) cw-tuple candidates per base.  `live`
-        (1, C) masks lanes whose fetches may be skipped (occ4T)."""
-        C = x0[0].shape[1]
+    def occ4T(k2, live=None):
+        """Batched bwt_occ4 over (1, C) coordinates: the row gather +
+        _occ_tail.  k2 is a cw-tuple; returns a cw-tuple of (4, C).
+
+        `live` is accepted for interface stability but unused: marking
+        dead lanes' block ids -1 and pl.when-guarding each DMA start/
+        wait was MEASURED A LOSS at 256 Mbp (smem 12.7 -> 17.0 s/16
+        dispatches) — the per-DMA scalar-core branch costs more than
+        the skipped fetch, so dead lanes fetch row 0 like the FPGA's
+        idle PEs re-polling (cheap, cached)."""
+        del live
+        C = k2[0].shape[1]
+        valid, kk, blkidx = _occ_prep(k2)
+        if gather_words is None:
+            rows = _gather_planes(tbl_ref, blkidx, NBP, C)
+            w = (rows[0:12] | lax.shift_left(rows[12:24], np.int32(8))
+                 | lax.shift_left(rows[24:36], np.int32(16))
+                 | lax.shift_left(rows[36:48], np.int32(24)))
+            ck = (w[0:4],)
+            words = w[4:12]
+        else:
+            ck, words = gather_words(blkidx)
+        return _occ_tail(k2, valid, kk, ck, words)
+
+    if gather_split is not None:
+        gs_start, gs_finish = gather_split
+
+        def occ4T_start(k2, slot):
+            """Launch the row wave for k2 into `slot` (the backward-
+            chunk pipeline overlaps this DMA with the previous chunk's
+            popcount math)."""
+            _, _, blkidx = _occ_prep(k2)
+            gs_start(blkidx, slot)
+
+        def occ4T_finish(k2, slot):
+            valid, kk, blkidx = _occ_prep(k2)
+            ck, words = gs_finish(blkidx, slot)
+            return _occ_tail(k2, valid, kk, ck, words)
+
+    def extend_k2(x0, x1, s, is_back):
         fwd = x0 if is_back else x1
         fm1 = cw.subi(fwd, ONE)
-        k2 = cw.cat1([fm1, cw.add(fm1, s)])
-        both = occ4T(k2, live=None if live is None
-                     else jnp.concatenate([live, live], axis=1))
+        return cw.cat1([fm1, cw.add(fm1, s)])
+
+    def extendT(x0, x1, s, is_back, live=None, occ_fn=None):
+        """Batched bwt_extend (software/bwt.c:416-429): (1, C)
+        cw-tuples -> (4, C) cw-tuple candidates per base.  `occ_fn`
+        overrides the occ lookup (the pipelined finish phase)."""
+        C = x0[0].shape[1]
+        del live
+        fwd = x0 if is_back else x1
+        k2 = extend_k2(x0, x1, s, is_back)
+        both = occ_fn(k2) if occ_fn is not None else occ4T(k2)
         tk = cw.colslice(both, 0, C)
         tl = cw.colslice(both, C, 2 * C)
         l2r = cw.cat0([cw.map(lambda pz, sc: pz + sc,
@@ -581,20 +611,49 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
             rowss = [[] for _ in range(cw.n)]
             j4c = lax.broadcasted_iota(i32, (4, MC * blk), 0)
             ct = jnp.concatenate([csel] * MC, axis=1)
-            for mc in range(0, M, MC):
-                def live_chunk(mc=mc):
-                    x0c = cw.map(lambda p: jnp.concatenate(
-                        [row0(p, m) for m in range(mc, mc + MC)],
-                        axis=1), p0)
-                    x1c = cw.map(lambda p: jnp.concatenate(
-                        [row0(p, m) for m in range(mc, mc + MC)],
-                        axis=1), p1)
-                    ssc = cw.map(lambda p: jnp.concatenate(
-                        [row0(p, m) for m in range(mc, mc + MC)],
-                        axis=1), ps)
+
+            def chunk_inputs(mc):
+                x0c = cw.map(lambda p: jnp.concatenate(
+                    [row0(p, m) for m in range(mc, mc + MC)],
+                    axis=1), p0)
+                x1c = cw.map(lambda p: jnp.concatenate(
+                    [row0(p, m) for m in range(mc, mc + MC)],
+                    axis=1), p1)
+                ssc = cw.map(lambda p: jnp.concatenate(
+                    [row0(p, m) for m in range(mc, mc + MC)],
+                    axis=1), ps)
+                return x0c, x1c, ssc
+
+            # chunk-wave pipelining (DMA path): chunk c+1's row wave
+            # launches into the other buffer slot BEFORE chunk c's
+            # drain+popcounts, so its HBM fetches fly under c's VPU
+            # math — the per-wave cost, not iterator work, is what
+            # grows with table size (BASELINE.md round 4)
+            use_pipe = gather_split is not None and M > MC
+
+            def chunk_start(mc, slot):
+                x0c, x1c, ssc = chunk_inputs(mc)
+                occ4T_start(extend_k2(x0c, x1c, ssc, True), slot)
+
+            if use_pipe:
+                @pl.when(Z < n_max)
+                def _():
+                    chunk_start(0, 0)
+
+            for mci, mc in enumerate(range(0, M, MC)):
+                slot = mci & 1
+
+                def live_chunk(mc=mc, slot=slot):
+                    if use_pipe and mc + MC < M:
+                        @pl.when(np.int32(mc + MC) < n_max)
+                        def _():
+                            chunk_start(mc + MC, slot ^ 1)
+                    x0c, x1c, ssc = chunk_inputs(mc)
+                    occ_fn = (None if not use_pipe else
+                              (lambda k2, slot=slot:
+                               occ4T_finish(k2, slot)))
                     o0, o1, os_ = extendT(
-                        x0c, x1c, ssc, is_back=True,
-                        live=jnp.concatenate([live] * MC, axis=1))
+                        x0c, x1c, ssc, is_back=True, occ_fn=occ_fn)
 
                     def selc(a):
                         return cw.map(lambda p: jnp.sum(
@@ -755,11 +814,13 @@ def _make_kernel(L, M, blk, NBP, gather_factory=None, wide=False):
             active = par_ref[3:4, :]
         qp = q_ref[:, :].astype(i32)
 
-        gw, MC = (gather_factory(tbl_ref, scratch)
-                  if gather_factory is not None else (None, None))
+        gf = (gather_factory(tbl_ref, scratch)
+              if gather_factory is not None else (None, None, None))
+        gw, MC = gf[0], gf[1]
+        gsplit = gf[2] if len(gf) > 2 else None
         smem1_sub, bind_qlen, _, _ = _build_smem1(
             L, M, blk, NBP, primary, L2, qp, tbl_ref,
-            gather_words=gw, MC=MC, cw=cw)
+            gather_words=gw, MC=MC, cw=cw, gather_split=gsplit)
         bind_qlen(qlen)
         (ret, n_mem, m0, m1, ms, mqb, mqe, overflow) = smem1_sub(
             x, min_iv, active)
@@ -808,11 +869,13 @@ def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP, gather_factory=None,
             split_width = par_ref[4:5, :]
         qp = q_ref[:, :].astype(i32)
 
-        gw, MC = (gather_factory(tbl_ref, scratch)
-                  if gather_factory is not None else (None, None))
+        gf = (gather_factory(tbl_ref, scratch)
+              if gather_factory is not None else (None, None, None))
+        gw, MC = gf[0], gf[1]
+        gsplit = gf[2] if len(gf) > 2 else None
         smem1_sub, bind_qlen, excl_prefix, jvM = _build_smem1(
             L, M, blk, NBP, primary, L2, qp, tbl_ref,
-            gather_words=gw, MC=MC, cw=cw)
+            gather_words=gw, MC=MC, cw=cw, gather_split=gsplit)
         bind_qlen(qlen)
         jvO = lax.broadcasted_iota(i32, (_OC2, blk), 0)
         zO = jnp.zeros((_OC2, blk), i32)
