@@ -52,16 +52,16 @@ def main():
         for C in (256, 1024):
             def kernel(seed_ref, tbl_ref, out_ref, idxv, idxs, rows,
                        sems, bsem):
-                gw, _ = pbig._dma_factory(C, 1)(
-                    tbl_ref, (idxv, idxs, rows, sems, bsem))
+                gw = pbig._dma_factory(C, 1)(
+                    tbl_ref, (idxv, idxs, rows, sems, bsem))[0]
                 i32 = jnp.int32
                 blki = (lax.broadcasted_iota(i32, (1, C), 1) * 977
                         + seed_ref[0]) % np.int32(nb)
 
                 def step(t, bi):
                     if mode == "full":
-                        w = gw(bi)
-                        dep = w[0:1]
+                        ck, words = gw(bi)   # (ck coord tuple, bwt words)
+                        dep = ck[0][0:1] + words[0:1]
                     else:
                         rowi = lax.shift_right_logical(bi, np.int32(3))
                         pbig._wave(tbl_ref, idxv, idxs, rows, sems,
