@@ -38,9 +38,16 @@ class WorkerPool:
             # the axon remote-device client has import-time connection
             # state that a fork corrupts (wedges the device claim even
             # when the pool forks before engine creation) — spawn
-            # whenever that client can exist in this process
-            default = ("spawn" if os.environ.get("PALLAS_AXON_POOL_IPS")
-                       else "fork")
+            # whenever that client can exist in this process.  Also
+            # prefer spawn once jax is imported AND the index can be
+            # disk-reloaded: jax's runtime threads make os.fork a
+            # documented deadlock risk (popen_fork RuntimeWarning);
+            # fork stays the default only for the jax-free in-memory
+            # case, where it is both safe and cheapest (COW index).
+            default = "fork"
+            if os.environ.get("PALLAS_AXON_POOL_IPS") or (
+                    index_prefix is not None and "jax" in sys.modules):
+                default = "spawn"
             method = os.environ.get("BWAMEM_TPU_POOL_METHOD", default)
         self.n = max(int(n_workers), 1)
         if method == "spawn":
