@@ -324,21 +324,39 @@ def _dma_factory(Cmax: int, MC: int, wide: bool = False,
             # the chip faults)
             return lax.shift_right_arithmetic(blkidx, np.int32(3))
 
-        def gather_start(blkidx, slot=0):
+        def gather_start(blkidx, slot=0, guard=None):
             C = blkidx.shape[1]
             assert C <= Cmax, (C, Cmax)
             idxv, idxs, rows = slot_bufs[slot]
-            _wave_start(tbl_ref, idxv, idxs, rows, sems, bsem,
-                        _rowi(blkidx), C, slot=slot, n_slots=n_slots,
-                        pair=dedup)
 
-        def gather_finish(blkidx, slot=0):
+            def _go():
+                _wave_start(tbl_ref, idxv, idxs, rows, sems, bsem,
+                            _rowi(blkidx), C, slot=slot,
+                            n_slots=n_slots, pair=dedup)
+            if guard is None:
+                _go()
+            else:
+                # per-WAVE skip for a dead dual half (the per-DMA
+                # branch variant measured a loss; one scalar branch
+                # per 2*blk DMAs is noise)
+                pl.when(guard)(_go)
+
+        def gather_finish(blkidx, slot=0, guard=None):
             C = blkidx.shape[1]
             rowi = _rowi(blkidx)
             sub = blkidx & np.int32(7)
             idxv, idxs, rows = slot_bufs[slot]
-            _wave_drain(tbl_ref, idxv, idxs, rows, sems, bsem, C,
-                        slot=slot, n_slots=n_slots, pair=dedup)
+
+            def _go():
+                _wave_drain(tbl_ref, idxv, idxs, rows, sems, bsem, C,
+                            slot=slot, n_slots=n_slots, pair=dedup)
+            if guard is None:
+                _go()
+            else:
+                # guarded by the SAME predicate as the start (a wait
+                # with no matching wave would hang); the tail below
+                # then reads stale rows, masked by the half's done
+                pl.when(guard)(_go)
             rT = rows[0:C, :].T                       # (128, C)
             if dedup:
                 H = C // 2
@@ -578,20 +596,31 @@ def superstep_pallas_big(tblw, primary, L2, q, qlen, min_intv, active,
     R = 2 + (3 * ncp + 2) * OC
     R += (-R) % 8
     dedup = os.environ.get("BWAMEM_TPU_BIG_DEDUP", "0") != "0"
-    slots = 2 if os.environ.get("BWAMEM_TPU_BIG_PIPE", "1") != "0" \
-        else 1
+    pipe = os.environ.get("BWAMEM_TPU_BIG_PIPE", "1") != "0"
+    slots = 2 if pipe else 1
+    # dual-half wave interleaving (BWAMEM_TPU_BIG_HALVES, default 2):
+    # H independent blk-lane halves per kernel instance, their DMA
+    # waves concurrently in flight on 2H scratch slots — hides the
+    # HBM row-fetch latency that dominates big-table supersteps
+    # (measured 1.88x wave overlap at H=2, gwk microbench)
+    halves = int(os.environ.get("BWAMEM_TPU_BIG_HALVES", "2"))
+    if not pipe or halves < 1 or B % (halves * blk) != 0:
+        halves = 1
+    W = halves * blk
+    if halves > 1:
+        slots = 2 * halves
     kernel = _make_superstep_kernel(
         L, M, blk, 128, OC,
         gather_factory=_dma_factory(Cmax, MC, wide, dedup),
-        wide=wide)
+        wide=wide, halves=halves)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kernel,
-            grid=(B // blk,),
-            in_specs=_common_specs(L, blk, wide),
-            out_specs=pl.BlockSpec((R, blk), lambda b: (0, b)),
+            grid=(B // W,),
+            in_specs=_common_specs(L, W, wide),
+            out_specs=pl.BlockSpec((R, W), lambda b: (0, b)),
             out_shape=jax.ShapeDtypeStruct((R, B), i32),
             scratch_shapes=_scratch_shapes(Cmax, slots),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -38,6 +38,7 @@ smem1_pallas_available() and fall back to the XLA twin.
 
 import os
 from functools import lru_cache, partial
+from types import SimpleNamespace
 
 import numpy as np
 
@@ -331,10 +332,11 @@ def _gather_planes(tbl_ref, blkidx, NBP, C):
 
 def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
                  gather_words=None, MC=None, cw=None,
-                 gather_split=None):
+                 gather_split=None, slot_base=0):
     """Shared tracer for one smem1 pass (fwd + bwd) over a lane block.
-    Returns smem1_sub(x, min_iv, act) -> (ret, n_mem, m0, m1, ms, mqb,
-    mqe, over) with act/over as int32 (1, blk) rows.  Exact port of
+    Returns (smem1_sub, bind_qlen, excl_prefix, jvM, ph): smem1_sub(x,
+    min_iv, act) -> (ret, n_mem, m0, m1, ms, mqb, mqe, over) with
+    act/over as int32 (1, blk) rows.  Exact port of
     ops.smem._smem1_impl (software/bwt.c:776-835).  `qp` is the query
     tile 4-bit packed, (L/2, blk): two bases per byte so the wire pays
     half the upload; sel_q decodes nibbles in place.
@@ -348,7 +350,14 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
     `cw` (_CW) sets the coordinate width: every interval coordinate
     (ik0/ik1/s, the m0/m1/ms buffers, min_iv) is a cw-tuple of int32
     planes; primary and L2 entries are cw-tuples of scalars.  The
-    narrow (1-plane) default traces the historical int32 program."""
+    narrow (1-plane) default traces the historical int32 program.
+
+    `ph` exposes the pass decomposed into phases (fwd_init/fwd_k2/
+    fwd_post/..., see _dual_smem1): the dual-half driver interleaves
+    two halves' occ waves through them; smem1_sub is reassembled from
+    the same pieces, so there is exactly one copy of the algorithm.
+    `slot_base` offsets every wave-slot id (half B of a dual kernel
+    runs on slots slot_base..slot_base+1)."""
     i32 = jnp.int32
     if cw is None:
         cw = _CW(False)
@@ -470,17 +479,25 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
     if gather_split is not None:
         gs_start, gs_finish = gather_split
 
-        def occ4T_start(k2, slot):
+        def occ4T_start(k2, slot, guard=None):
             """Launch the row wave for k2 into `slot` (the backward-
             chunk pipeline overlaps this DMA with the previous chunk's
-            popcount math)."""
+            popcount math).  `guard` (a scalar bool) skips the wave
+            entirely — the dual-half fwd pipeline's dead-half skip
+            (per-WAVE, not the per-DMA branch that measured a loss)."""
             _, _, blkidx = _occ_prep(k2)
-            gs_start(blkidx, slot)
+            gs_start(blkidx, slot_base + slot, guard)
 
-        def occ4T_finish(k2, slot):
+        def occ4T_finish(k2, slot, guard=None):
+            """Drain slot's wave (skipped under the same guard as its
+            start — a wait with no start would hang) and run the
+            popcount tail; a dead half's tail math runs on stale rows
+            and is masked by its done state downstream."""
             valid, kk, blkidx = _occ_prep(k2)
-            ck, words = gs_finish(blkidx, slot)
+            ck, words = gs_finish(blkidx, slot_base + slot, guard)
             return _occ_tail(k2, valid, kk, ck, words)
+    else:
+        occ4T_start = occ4T_finish = None
 
     def extend_k2(x0, x1, s, is_back):
         fwd = x0 if is_back else x1
@@ -491,11 +508,16 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
         """Batched bwt_extend (software/bwt.c:416-429): (1, C)
         cw-tuples -> (4, C) cw-tuple candidates per base.  `occ_fn`
         overrides the occ lookup (the pipelined finish phase)."""
-        C = x0[0].shape[1]
         del live
-        fwd = x0 if is_back else x1
         k2 = extend_k2(x0, x1, s, is_back)
         both = occ_fn(k2) if occ_fn is not None else occ4T(k2)
+        return extend_post(x0, x1, s, is_back, both)
+
+    def extend_post(x0, x1, s, is_back, both):
+        """The occ-independent tail of bwt_extend: candidate interval
+        arithmetic from the fetched occ pair."""
+        C = x0[0].shape[1]
+        fwd = x0 if is_back else x1
         tk = cw.colslice(both, 0, C)
         tl = cw.colslice(both, C, 2 * C)
         l2r = cw.cat0([cw.map(lambda pz, sc: pz + sc,
@@ -531,11 +553,8 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
     def any_live(st):
         return jnp.max(jnp.where(st[-1] == Z, ONE, Z)) > Z
 
-    def smem1_sub(x, min_iv_in, act):
-        qlen = q_len_holder[0]
-        min_iv = cw.max1(min_iv_in)
-
-        # ---- bwt_set_intv (software/bwt.h:80) -------------------------
+    def fwd_init(x, act):
+        """bwt_set_intv (software/bwt.h:80) + fwd loop state."""
         qx = sel_q(x)
         bad = jnp.where((qx > np.int32(3)) | (act == Z), ONE, Z)
         qx_c = jnp.where(bad != Z, Z, qx)
@@ -543,223 +562,266 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
         ik1 = cw.addi(sel_L2(np.int32(3) - qx_c), ONE)
         iks = cw.sub(sel_L2(qx_c + ONE), sel_L2(qx_c))
         ikend = x + ONE
+        return (x + ONE, ik0, ik1, iks, ikend, czM, czM, czM, zM,
+                jnp.zeros((1, blk), i32), bad)
 
-        # ---- forward extension (software/bwt.c:790-801) ---------------
-        def fwd_body(st):
-            (i, ik0, ik1, iks, ikend, c0, c1, cs, cend, n_curr,
-             done) = st
-            at_end = i >= qlen
-            ii = jnp.clip(jnp.minimum(i, qlen - ONE), Z, np.int32(L - 1))
-            cb = sel_q(ii)
-            is_amb = cb > np.int32(3)
-            o0, o1, os_ = extendT(ik0, ik1, iks, is_back=False,
-                                  live=(done == Z))
-            cc = jnp.where(is_amb, Z, np.int32(3) - cb)
-            n0 = csel4(o0, cc)
-            n1 = csel4(o1, cc)
-            ns = csel4(os_, cc)
-            changed = cw.ne(ns, iks)
-            small = cw.lt(ns, min_iv)
-            live = done == Z
-            push = live & (at_end | is_amb | changed)
-            stop = live & (at_end | is_amb | (changed & small))
-            idx = jnp.where(push, n_curr, np.int32(M))
-            c0 = cset_rowM(c0, idx, ik0)
-            c1 = cset_rowM(c1, idx, ik1)
-            cs = cset_rowM(cs, idx, iks)
-            cend = set_rowM(cend, idx, ikend)
-            n_curr = n_curr + jnp.where(push, ONE, Z)
-            cont = live & ~stop
-            ik0 = cw.where(cont, n0, ik0)
-            ik1 = cw.where(cont, n1, ik1)
-            iks = cw.where(cont, ns, iks)
-            ikend = jnp.where(cont, i + ONE, ikend)
-            done = jnp.where(stop, ONE, done)
-            i = i + jnp.where(done == Z, ONE, Z)
-            return (i, ik0, ik1, iks, ikend, c0, c1, cs, cend, n_curr,
-                    done)
+    def fwd_k2(st):
+        (_i, ik0, ik1, iks) = st[:4]
+        return extend_k2(ik0, ik1, iks, is_back=False)
 
-        st = (x + ONE, ik0, ik1, iks, ikend, czM, czM, czM, zM,
-              jnp.zeros((1, blk), i32), bad)
-        st = lax.while_loop(any_live, fwd_body, st)
+    def fwd_post(min_iv, st, both):
+        """Forward-extension step (software/bwt.c:790-801) given the
+        step's fetched occ pair."""
+        qlen = q_len_holder[0]
+        (i, ik0, ik1, iks, ikend, c0, c1, cs, cend, n_curr,
+         done) = st
+        at_end = i >= qlen
+        ii = jnp.clip(jnp.minimum(i, qlen - ONE), Z, np.int32(L - 1))
+        cb = sel_q(ii)
+        is_amb = cb > np.int32(3)
+        o0, o1, os_ = extend_post(ik0, ik1, iks, False, both)
+        cc = jnp.where(is_amb, Z, np.int32(3) - cb)
+        n0 = csel4(o0, cc)
+        n1 = csel4(o1, cc)
+        ns = csel4(os_, cc)
+        changed = cw.ne(ns, iks)
+        small = cw.lt(ns, min_iv)
+        live = done == Z
+        push = live & (at_end | is_amb | changed)
+        stop = live & (at_end | is_amb | (changed & small))
+        idx = jnp.where(push, n_curr, np.int32(M))
+        c0 = cset_rowM(c0, idx, ik0)
+        c1 = cset_rowM(c1, idx, ik1)
+        cs = cset_rowM(cs, idx, iks)
+        cend = set_rowM(cend, idx, ikend)
+        n_curr = n_curr + jnp.where(push, ONE, Z)
+        cont = live & ~stop
+        ik0 = cw.where(cont, n0, ik0)
+        ik1 = cw.where(cont, n1, ik1)
+        iks = cw.where(cont, ns, iks)
+        ikend = jnp.where(cont, i + ONE, ikend)
+        done = jnp.where(stop, ONE, done)
+        i = i + jnp.where(done == Z, ONE, Z)
+        return (i, ik0, ik1, iks, ikend, c0, c1, cs, cend, n_curr,
+                done)
+
+    def fwd_fin(x, st):
+        """Post-fwd-loop bookkeeping: overflow, next start, reversed
+        prev-interval rows (fwd output, bwd input)."""
         (_, _, _, _, _, c0, c1, cs, cend, n_curr, _) = st
         overflow = jnp.where(n_curr > np.int32(M), ONE, Z)
-
         last = jnp.clip(n_curr - ONE, Z, np.int32(M - 1))
         ret = jnp.where(n_curr > Z, sel_rowM(cend, last), x + ONE)
-
         p0 = crev_rows(c0, n_curr)
         p1 = crev_rows(c1, n_curr)
         ps = crev_rows(cs, n_curr)
         pend = rev_rows(cend, n_curr)
+        return ret, overflow, (p0, p1, ps, pend, n_curr)
 
-        # ---- backward extension (software/bwt.c:808-831) ---------------
-        def bwd_body(st):
-            (i, p0, p1, ps, pend, n_prev, m0, m1, ms, mqb, mqe, n_mem,
-             done) = st
-            live = done == Z
-            ii = jnp.clip(i, Z, np.int32(L - 1))
-            cb = sel_q(ii)
-            c = jnp.where((i < Z) | (cb > np.int32(3)), np.int32(-1), cb)
-            csel = jnp.clip(c, Z, np.int32(3))
-            n_max = jnp.max(n_prev)
-            # MC prev rows share one occ4T matmul (lane-axis concat of
-            # rebased rows); chunks beyond the max live interval count
-            # are skipped (typically only chunk 0 runs)
-            rows0 = [[] for _ in range(cw.n)]
-            rows1 = [[] for _ in range(cw.n)]
-            rowss = [[] for _ in range(cw.n)]
-            j4c = lax.broadcasted_iota(i32, (4, MC * blk), 0)
-            ct = jnp.concatenate([csel] * MC, axis=1)
-
-            def chunk_inputs(mc):
-                x0c = cw.map(lambda p: jnp.concatenate(
-                    [row0(p, m) for m in range(mc, mc + MC)],
-                    axis=1), p0)
-                x1c = cw.map(lambda p: jnp.concatenate(
-                    [row0(p, m) for m in range(mc, mc + MC)],
-                    axis=1), p1)
-                ssc = cw.map(lambda p: jnp.concatenate(
-                    [row0(p, m) for m in range(mc, mc + MC)],
-                    axis=1), ps)
-                return x0c, x1c, ssc
-
-            # chunk-wave pipelining (DMA path): chunk c+1's row wave
-            # launches into the other buffer slot BEFORE chunk c's
-            # drain+popcounts, so its HBM fetches fly under c's VPU
-            # math — the per-wave cost, not iterator work, is what
-            # grows with table size (BASELINE.md round 4)
-            use_pipe = gather_split is not None and M > MC
-
-            def chunk_start(mc, slot):
-                x0c, x1c, ssc = chunk_inputs(mc)
-                occ4T_start(extend_k2(x0c, x1c, ssc, True), slot)
-
-            if use_pipe:
-                @pl.when(Z < n_max)
-                def _():
-                    chunk_start(0, 0)
-
-            for mci, mc in enumerate(range(0, M, MC)):
-                slot = mci & 1
-
-                def live_chunk(mc=mc, slot=slot):
-                    if use_pipe and mc + MC < M:
-                        @pl.when(np.int32(mc + MC) < n_max)
-                        def _():
-                            chunk_start(mc + MC, slot ^ 1)
-                    x0c, x1c, ssc = chunk_inputs(mc)
-                    occ_fn = (None if not use_pipe else
-                              (lambda k2, slot=slot:
-                               occ4T_finish(k2, slot)))
-                    o0, o1, os_ = extendT(
-                        x0c, x1c, ssc, is_back=True, occ_fn=occ_fn)
-
-                    def selc(a):
-                        return cw.map(lambda p: jnp.sum(
-                            jnp.where(j4c == ct, p, Z), axis=0,
-                            keepdims=True), a)
-                    return selc(o0) + selc(o1) + selc(os_)
-
-                def dead_chunk():
-                    zr = jnp.zeros((1, MC * blk), i32)
-                    return (zr,) * (3 * cw.n)
-
-                rr = lax.cond(np.int32(mc) < n_max, live_chunk,
-                              dead_chunk)
-                r0, r1, rs = (rr[:cw.n], rr[cw.n:2 * cw.n],
-                              rr[2 * cw.n:])
-                for m in range(MC):
-                    for p in range(cw.n):
-                        rows0[p].append(r0[p][:, m * blk:(m + 1) * blk])
-                        rows1[p].append(r1[p][:, m * blk:(m + 1) * blk])
-                        rowss[p].append(rs[p][:, m * blk:(m + 1) * blk])
-            n0 = tuple(jnp.concatenate(rw, axis=0) for rw in rows0)
-            n1 = tuple(jnp.concatenate(rw, axis=0) for rw in rows1)
-            ns = tuple(jnp.concatenate(rw, axis=0) for rw in rowss)
-
-            present = (jvM < n_prev) & live
-            fail = (c < Z) | cw.lt(ns, min_iv)
-            nonfail = present & ~fail
-
-            # dedup: prev nonfail size strictly before each row
-            prev_s = cw.zeros((M, blk))
-            run = tuple(jnp.full((1, blk), np.int32(-1), i32)
-                        for _ in range(cw.n))
-            for m in range(M):
-                prev_s = cw.map(
-                    lambda p, rp: jnp.where(jvM == np.int32(m), rp, p),
-                    prev_s, run)
-                run = cw.map(
-                    lambda rp, nsp: jnp.where(nonfail[m:m + 1],
-                                              nsp[m:m + 1], rp),
-                    run, ns)
-            nf = jnp.where(nonfail, ONE, Z)
-            nf_before = excl_prefix(nf)
-            first_nf = nonfail & (nf_before == Z)
-            keep = nonfail & (first_nf | cw.ne(ns, prev_s))
-            kp = jnp.where(keep, ONE, Z)
-            pos = excl_prefix(kp)
-            tgt = jnp.where(keep, pos, np.int32(M))
-            nc0 = cw.zeros((M, blk))
-            nc1 = cw.zeros((M, blk))
-            ncs = cw.zeros((M, blk))
-            ncend = jnp.zeros((M, blk), i32)
-            for m in range(M):
-                hit = tgt[m:m + 1] == jvM             # (M, blk)
-                nc0 = cw.map(lambda a, s_: a + jnp.where(
-                    hit, s_[m:m + 1], Z), nc0, n0)
-                nc1 = cw.map(lambda a, s_: a + jnp.where(
-                    hit, s_[m:m + 1], Z), nc1, n1)
-                ncs = cw.map(lambda a, s_: a + jnp.where(
-                    hit, s_[m:m + 1], Z), ncs, ns)
-                ncend = ncend + jnp.where(hit, pend[m:m + 1], Z)
-            n_curr_new = jnp.sum(kp, axis=0, keepdims=True)
-
-            # mem append: first present&fail row with an all-fail prefix
-            cand = present & fail & (nf_before == Z)
-            cd = jnp.where(cand, ONE, Z)
-            cd_before = excl_prefix(cd)
-            first_cand = cand & (cd_before == Z)      # <=1 per lane
-            has_cand = jnp.max(jnp.where(first_cand, ONE, Z), axis=0,
-                               keepdims=True)
-            lastm = jnp.maximum(n_mem - ONE, Z)
-            allow = (n_mem == Z) | ((i + ONE) < sel_rowM(mqb, lastm))
-            do_mem = live & (has_cand != Z) & allow
-
-            def sel_fc(a):
-                return jnp.sum(jnp.where(first_cand, a, Z), axis=0,
-                               keepdims=True)
-
-            def csel_fc(a):
-                return cw.map(sel_fc, a)
-
-            midx = jnp.where(do_mem, n_mem, np.int32(M))
-            m0 = cset_rowM(m0, midx, csel_fc(p0))
-            m1 = cset_rowM(m1, midx, csel_fc(p1))
-            ms = cset_rowM(ms, midx, csel_fc(ps))
-            mqb = set_rowM(mqb, midx, i + ONE)
-            mqe = set_rowM(mqe, midx, sel_fc(pend))
-            n_mem = n_mem + jnp.where(do_mem, ONE, Z)
-            done = jnp.where(n_curr_new == Z, ONE, done)
-            i = i - jnp.where(done == Z, ONE, Z)
-            return (i, nc0, nc1, ncs, ncend, n_curr_new, m0, m1, ms,
-                    mqb, mqe, n_mem, done)
-
+    def bwd_init(x, bad, fwdout):
+        (p0, p1, ps, pend, n_curr) = fwdout
         bdone = jnp.where((bad != Z) | (n_curr == Z), ONE, Z)
-        st = (x - ONE, p0, p1, ps, pend, n_curr, czM, czM, czM, zM, zM,
-              jnp.zeros((1, blk), i32), bdone)
-        st = lax.while_loop(any_live, bwd_body, st)
-        (_, _, _, _, _, _, m0, m1, ms, mqb, mqe, n_mem, _) = st
+        return (x - ONE, p0, p1, ps, pend, n_curr, czM, czM, czM, zM,
+                zM, jnp.zeros((1, blk), i32), bdone)
 
-        # reverse mem to qb-ascending (software/bwt.c:833), zeros
-        # outside the first n_mem rows (ops.select.permute_cols(valid))
+    # ---- backward extension (software/bwt.c:808-831), decomposed ----
+    def bwd_pre(st):
+        (i, p0, p1, ps, pend, n_prev, m0, m1, ms, mqb, mqe, n_mem,
+         done) = st
+        live = done == Z
+        ii = jnp.clip(i, Z, np.int32(L - 1))
+        cb = sel_q(ii)
+        c = jnp.where((i < Z) | (cb > np.int32(3)), np.int32(-1), cb)
+        csel = jnp.clip(c, Z, np.int32(3))
+        n_max = jnp.max(n_prev)
+        ct = jnp.concatenate([csel] * MC, axis=1)
+        return (live, c, ct, n_max)
+
+    def bwd_chunk_inputs(st, mc):
+        """MC prev rows rebased + lane-concat for one shared occ4T."""
+        p0, p1, ps = st[1], st[2], st[3]
+        x0c = cw.map(lambda p: jnp.concatenate(
+            [row0(p, m) for m in range(mc, mc + MC)], axis=1), p0)
+        x1c = cw.map(lambda p: jnp.concatenate(
+            [row0(p, m) for m in range(mc, mc + MC)], axis=1), p1)
+        ssc = cw.map(lambda p: jnp.concatenate(
+            [row0(p, m) for m in range(mc, mc + MC)], axis=1), ps)
+        return x0c, x1c, ssc
+
+    def bwd_k2(st, mc):
+        x0c, x1c, ssc = bwd_chunk_inputs(st, mc)
+        return extend_k2(x0c, x1c, ssc, is_back=True)
+
+    def bwd_chunk_post(st, pre, mc, both):
+        """extend tail + per-chunk base select from the fetched pair."""
+        ct = pre[2]
+        x0c, x1c, ssc = bwd_chunk_inputs(st, mc)
+        o0, o1, os_ = extend_post(x0c, x1c, ssc, True, both)
+        j4c = lax.broadcasted_iota(i32, (4, MC * blk), 0)
+
+        def selc(a):
+            return cw.map(lambda p: jnp.sum(
+                jnp.where(j4c == ct, p, Z), axis=0,
+                keepdims=True), a)
+        return selc(o0) + selc(o1) + selc(os_)
+
+    def bwd_dead_chunk():
+        zr = jnp.zeros((1, MC * blk), i32)
+        return (zr,) * (3 * cw.n)
+
+    def bwd_chunk_step(st, pre, mci, mc, piped):
+        """cond-guarded fetch+tail for chunk mc.  piped=True runs the
+        chunk-wave pipeline: chunk mc+1's row wave launches into the
+        other buffer slot BEFORE chunk mc's drain+popcounts, so its
+        HBM fetches fly under mc's VPU math — the per-wave cost, not
+        iterator work, is what grows with table size (BASELINE.md
+        round 4)."""
+        n_max = pre[3]
+        slot = mci & 1
+
+        def live_chunk():
+            if piped and mc + MC < M:
+                @pl.when(np.int32(mc + MC) < n_max)
+                def _():
+                    occ4T_start(bwd_k2(st, mc + MC), slot ^ 1)
+            k2 = bwd_k2(st, mc)
+            both = occ4T_finish(k2, slot) if piped else occ4T(k2)
+            return bwd_chunk_post(st, pre, mc, both)
+
+        return lax.cond(np.int32(mc) < n_max, live_chunk,
+                        bwd_dead_chunk)
+
+    def bwd_collect(rrs):
+        """Stitch per-chunk (1, MC*blk) rows back into (M, blk)."""
+        rows0 = [[] for _ in range(cw.n)]
+        rows1 = [[] for _ in range(cw.n)]
+        rowss = [[] for _ in range(cw.n)]
+        for rr in rrs:
+            r0, r1, rs = (rr[:cw.n], rr[cw.n:2 * cw.n],
+                          rr[2 * cw.n:])
+            for m in range(MC):
+                for p in range(cw.n):
+                    rows0[p].append(r0[p][:, m * blk:(m + 1) * blk])
+                    rows1[p].append(r1[p][:, m * blk:(m + 1) * blk])
+                    rowss[p].append(rs[p][:, m * blk:(m + 1) * blk])
+        n0 = tuple(jnp.concatenate(rw, axis=0) for rw in rows0)
+        n1 = tuple(jnp.concatenate(rw, axis=0) for rw in rows1)
+        ns = tuple(jnp.concatenate(rw, axis=0) for rw in rowss)
+        return n0, n1, ns
+
+    def bwd_merge(min_iv, st, pre, gathered):
+        """Dedup + compaction + mem append from the gathered rows."""
+        (i, p0, p1, ps, pend, n_prev, m0, m1, ms, mqb, mqe, n_mem,
+         done) = st
+        (live, c, _ct, _n_max) = pre
+        n0, n1, ns = gathered
+
+        present = (jvM < n_prev) & live
+        fail = (c < Z) | cw.lt(ns, min_iv)
+        nonfail = present & ~fail
+
+        # dedup: prev nonfail size strictly before each row
+        prev_s = cw.zeros((M, blk))
+        run = tuple(jnp.full((1, blk), np.int32(-1), i32)
+                    for _ in range(cw.n))
+        for m in range(M):
+            prev_s = cw.map(
+                lambda p, rp: jnp.where(jvM == np.int32(m), rp, p),
+                prev_s, run)
+            run = cw.map(
+                lambda rp, nsp: jnp.where(nonfail[m:m + 1],
+                                          nsp[m:m + 1], rp),
+                run, ns)
+        nf = jnp.where(nonfail, ONE, Z)
+        nf_before = excl_prefix(nf)
+        first_nf = nonfail & (nf_before == Z)
+        keep = nonfail & (first_nf | cw.ne(ns, prev_s))
+        kp = jnp.where(keep, ONE, Z)
+        pos = excl_prefix(kp)
+        tgt = jnp.where(keep, pos, np.int32(M))
+        nc0 = cw.zeros((M, blk))
+        nc1 = cw.zeros((M, blk))
+        ncs = cw.zeros((M, blk))
+        ncend = jnp.zeros((M, blk), i32)
+        for m in range(M):
+            hit = tgt[m:m + 1] == jvM             # (M, blk)
+            nc0 = cw.map(lambda a, s_: a + jnp.where(
+                hit, s_[m:m + 1], Z), nc0, n0)
+            nc1 = cw.map(lambda a, s_: a + jnp.where(
+                hit, s_[m:m + 1], Z), nc1, n1)
+            ncs = cw.map(lambda a, s_: a + jnp.where(
+                hit, s_[m:m + 1], Z), ncs, ns)
+            ncend = ncend + jnp.where(hit, pend[m:m + 1], Z)
+        n_curr_new = jnp.sum(kp, axis=0, keepdims=True)
+
+        # mem append: first present&fail row with an all-fail prefix
+        cand = present & fail & (nf_before == Z)
+        cd = jnp.where(cand, ONE, Z)
+        cd_before = excl_prefix(cd)
+        first_cand = cand & (cd_before == Z)      # <=1 per lane
+        has_cand = jnp.max(jnp.where(first_cand, ONE, Z), axis=0,
+                           keepdims=True)
+        lastm = jnp.maximum(n_mem - ONE, Z)
+        allow = (n_mem == Z) | ((i + ONE) < sel_rowM(mqb, lastm))
+        do_mem = live & (has_cand != Z) & allow
+
+        def sel_fc(a):
+            return jnp.sum(jnp.where(first_cand, a, Z), axis=0,
+                           keepdims=True)
+
+        def csel_fc(a):
+            return cw.map(sel_fc, a)
+
+        midx = jnp.where(do_mem, n_mem, np.int32(M))
+        m0 = cset_rowM(m0, midx, csel_fc(p0))
+        m1 = cset_rowM(m1, midx, csel_fc(p1))
+        ms = cset_rowM(ms, midx, csel_fc(ps))
+        mqb = set_rowM(mqb, midx, i + ONE)
+        mqe = set_rowM(mqe, midx, sel_fc(pend))
+        n_mem = n_mem + jnp.where(do_mem, ONE, Z)
+        done = jnp.where(n_curr_new == Z, ONE, done)
+        i = i - jnp.where(done == Z, ONE, Z)
+        return (i, nc0, nc1, ncs, ncend, n_curr_new, m0, m1, ms,
+                mqb, mqe, n_mem, done)
+
+    def bwd_fin(st):
+        """reverse mem to qb-ascending (software/bwt.c:833), zeros
+        outside the first n_mem rows (ops.select.permute_cols)."""
+        (_, _, _, _, _, _, m0, m1, ms, mqb, mqe, n_mem, _) = st
         validm = jvM < n_mem
         m0 = crev_rows(m0, n_mem, validm)
         m1 = crev_rows(m1, n_mem, validm)
         ms = crev_rows(ms, n_mem, validm)
         mqb = rev_rows(mqb, n_mem, validm)
         mqe = rev_rows(mqe, n_mem, validm)
+        return n_mem, m0, m1, ms, mqb, mqe
+
+    use_pipe = gather_split is not None and M > MC
+
+    def smem1_sub(x, min_iv_in, act):
+        min_iv = cw.max1(min_iv_in)
+        st = fwd_init(x, act)
+        bad = st[-1]
+
+        def fwd_body(st):
+            return fwd_post(min_iv, st, occ4T(fwd_k2(st)))
+
+        st = lax.while_loop(any_live, fwd_body, st)
+        ret, overflow, fwdout = fwd_fin(x, st)
+
+        def bwd_body(st):
+            pre = bwd_pre(st)
+            if use_pipe:
+                @pl.when(Z < pre[3])
+                def _():
+                    occ4T_start(bwd_k2(st, 0), 0)
+            rrs = [bwd_chunk_step(st, pre, mci, mc, use_pipe)
+                   for mci, mc in enumerate(range(0, M, MC))]
+            return bwd_merge(min_iv, st, pre, bwd_collect(rrs))
+
+        st = lax.while_loop(any_live, bwd_body, bwd_init(x, bad,
+                                                         fwdout))
+        n_mem, m0, m1, ms, mqb, mqe = bwd_fin(st)
         return ret, n_mem, m0, m1, ms, mqb, mqe, overflow
 
     # qlen is bound by the caller (a mutable one-slot holder keeps
@@ -769,7 +831,101 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
     def bind_qlen(qlen):
         q_len_holder[0] = qlen
 
-    return smem1_sub, bind_qlen, excl_prefix, jvM
+    ph = SimpleNamespace(
+        M=M, MC=MC, blk=blk, cw=cw, use_split=gather_split is not None,
+        max1=cw.max1, any_live=any_live,
+        fwd_init=fwd_init, fwd_k2=fwd_k2, fwd_post=fwd_post,
+        fwd_fin=fwd_fin, bwd_init=bwd_init, bwd_pre=bwd_pre,
+        bwd_k2=bwd_k2, bwd_chunk_post=bwd_chunk_post,
+        bwd_dead_chunk=bwd_dead_chunk, bwd_chunk_step=bwd_chunk_step,
+        bwd_collect=bwd_collect, bwd_merge=bwd_merge, bwd_fin=bwd_fin,
+        occ_start=occ4T_start, occ_finish=occ4T_finish)
+    return smem1_sub, bind_qlen, excl_prefix, jvM, ph
+
+
+
+def _multi_smem1(phs):
+    """Fused smem1 over H independent lane halves in ONE kernel
+    instance: each half runs the classic 128-lane iterator, but the
+    halves' occ-row DMA waves ride separate scratch-slot pairs and fly
+    CONCURRENTLY — half h's HBM latency hides under the other halves'
+    waves and popcount math.  Measured (tools/microbench_bigsmem.py
+    gwk, 256 Mbp table): 2 chains overlap at 1.88x efficiency, 3 at
+    2.87x — the wave is latency-bound, not bandwidth-bound, so
+    independent waves are nearly free.  This is the fwd-pass analog of
+    the round-4 backward-chunk pipeline (which only overlapped chunks
+    WITHIN one lane block).
+
+    The halves lockstep at loop granularity (a fused while_loop runs
+    until every half's is done); a finished half's waves are skipped
+    per-WAVE via the guard (the per-DMA skip measured a loss), and its
+    lane math is masked by its done row exactly like dead lanes.
+
+    phs: one _build_smem1 ph namespace per half, slot_base=2h.
+    Returns run(args) with args = [(x, min_iv_in, act)] * H ->
+    [smem1_sub result tuple] * H, each byte-identical to the classic
+    single-half smem1_sub on that half's lanes."""
+    H = len(phs)
+    M, MC = phs[0].M, phs[0].MC
+
+    def live_of(st):
+        return jnp.max(jnp.where(st[-1] == Z, ONE, Z)) > Z
+
+    def any_h(sts):
+        a = jnp.max(jnp.where(sts[0][-1] == Z, ONE, Z))
+        for st in sts[1:]:
+            a = jnp.maximum(a, jnp.max(jnp.where(st[-1] == Z, ONE, Z)))
+        return a > Z
+
+    def run(args):
+        min_ivs = [ph.max1(a[1]) for ph, a in zip(phs, args)]
+        sts = [ph.fwd_init(a[0], a[2]) for ph, a in zip(phs, args)]
+        bads = [st[-1] for st in sts]
+
+        def fwd_body(sts):
+            k2s = [ph.fwd_k2(st) for ph, st in zip(phs, sts)]
+            gs = [live_of(st) for st in sts]
+            for h in range(H):
+                phs[h].occ_start(k2s[h], 0, gs[h])
+            out = []
+            for h in range(H):
+                both = phs[h].occ_finish(k2s[h], 0, gs[h])
+                out.append(phs[h].fwd_post(min_ivs[h], sts[h], both))
+            return tuple(out)
+
+        sts = lax.while_loop(any_h, fwd_body, tuple(sts))
+        fins = [ph.fwd_fin(a[0], st)
+                for ph, a, st in zip(phs, args, sts)]
+        sts = [ph.bwd_init(a[0], bad, f[2])
+               for ph, a, bad, f in zip(phs, args, bads, fins)]
+
+        def bwd_body(sts):
+            pres = [ph.bwd_pre(st) for ph, st in zip(phs, sts)]
+            for h in range(H):
+                ph, st, pre = phs[h], sts[h], pres[h]
+
+                @pl.when(Z < pre[3])
+                def _(ph=ph, st=st):
+                    ph.occ_start(ph.bwd_k2(st, 0), 0)
+            rrs = [[] for _ in range(H)]
+            for mci, mc in enumerate(range(0, M, MC)):
+                for h in range(H):
+                    rrs[h].append(phs[h].bwd_chunk_step(
+                        sts[h], pres[h], mci, mc, True))
+            return tuple(
+                ph.bwd_merge(mi, st, pre, ph.bwd_collect(rr))
+                for ph, mi, st, pre, rr in zip(phs, min_ivs, sts,
+                                               pres, rrs))
+
+        sts = lax.while_loop(any_h, bwd_body, tuple(sts))
+        outs = []
+        for h in range(H):
+            n_mem, m0, m1, ms, mqb, mqe = phs[h].bwd_fin(sts[h])
+            outs.append((fins[h][0], n_mem, m0, m1, ms, mqb, mqe,
+                         fins[h][1]))
+        return outs
+
+    return run
 
 
 def _read_scal(sc_ref, wide: bool):
@@ -818,7 +974,7 @@ def _make_kernel(L, M, blk, NBP, gather_factory=None, wide=False):
               if gather_factory is not None else (None, None, None))
         gw, MC = gf[0], gf[1]
         gsplit = gf[2] if len(gf) > 2 else None
-        smem1_sub, bind_qlen, _, _ = _build_smem1(
+        smem1_sub, bind_qlen, _, _, _ = _build_smem1(
             L, M, blk, NBP, primary, L2, qp, tbl_ref,
             gather_words=gw, MC=MC, cw=cw, gather_split=gsplit)
         bind_qlen(qlen)
@@ -844,39 +1000,28 @@ def _make_kernel(L, M, blk, NBP, gather_factory=None, wide=False):
 
 
 def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP, gather_factory=None,
-                           wide=False):
+                           wide=False, halves=1):
     """The WHOLE per-read SMEM iterator in one kernel: rounds of
     pass1 + re-seed test + pass2 + ordered merge + stream append
     (ops.smem.smem_superstep's round_body, software/bwamem.c:110-241),
     with zero Mosaic<->XLA transitions inside the loop.
-    `gather_factory`/`wide` as in _make_kernel."""
+    `gather_factory`/`wide` as in _make_kernel.
+
+    halves=H > 1 processes H independent blk-lane halves per kernel
+    instance (in/out blocks are H*blk lanes wide) with their DMA waves
+    interleaved through _multi_smem1 — the fwd-pass latency hiding the
+    round-4 wave economics called for.  Requires a gather_factory with
+    split (start/finish) support and 2H scratch slots."""
     i32 = jnp.int32
     cw = _CW(wide)
     assert 2 * M <= _OC2 and OUT_CAP <= _OC2
 
-    def kernel(sc_ref, tbl_ref, q_ref, par_ref, out_ref, *scratch):
-        primary, L2, _ = _read_scal(sc_ref, wide)
-        qlen = par_ref[0:1, :]
-        if wide:
-            min_intv = (par_ref[1:2, :], par_ref[2:3, :])
-            active = par_ref[3:4, :]
-            split_len = par_ref[4:5, :]
-            split_width = par_ref[5:6, :]
-        else:
-            min_intv = (par_ref[1:2, :],)
-            active = par_ref[2:3, :]
-            split_len = par_ref[3:4, :]
-            split_width = par_ref[4:5, :]
-        qp = q_ref[:, :].astype(i32)
-
-        gf = (gather_factory(tbl_ref, scratch)
-              if gather_factory is not None else (None, None, None))
-        gw, MC = gf[0], gf[1]
-        gsplit = gf[2] if len(gf) > 2 else None
-        smem1_sub, bind_qlen, excl_prefix, jvM = _build_smem1(
-            L, M, blk, NBP, primary, L2, qp, tbl_ref,
-            gather_words=gw, MC=MC, cw=cw, gather_split=gsplit)
-        bind_qlen(qlen)
+    def _round_phases(qlen, min_intv, active, split_len, split_width,
+                      excl_prefix, jvM):
+        """Per-half round machinery: pass-1 args -> re-seed test ->
+        pass-2 args -> ordered merge + stream append, decomposed so the
+        halves' smem1 passes can be fused (the phases themselves are
+        pure per-half math)."""
         jvO = lax.broadcasted_iota(i32, (_OC2, blk), 0)
         zO = jnp.zeros((_OC2, blk), i32)
         czO = cw.zeros((_OC2, blk))
@@ -901,17 +1046,18 @@ def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP, gather_factory=None,
                                       vals[m:m + 1], Z)
             return out
 
-        def cplace(vals, rank, nrows):
-            return cw.map(lambda p: place(p, rank, nrows), vals)
-
-        def round_body(st):
-            (x, n_out, o0, o1, os_, oqb, oqe, over, done) = st
+        def r_args(st):
+            done = st[-1]
             act = jnp.where(done == Z, ONE, Z)
-            (ret, n_mem, m0, m1, ms, mqb, mqe, ov1) = smem1_sub(
-                x, min_intv, act)
-            ov1 = jnp.where((ov1 != Z) | (n_mem > np.int32(M)), ONE, Z)
+            return (st[0], min_intv, act)
 
-            # re-seeding test (software/bwamem.c:185-204)
+        def r_mid(st, res1):
+            """re-seeding test (software/bwamem.c:185-204): pass-2
+            args + carried pass-1 results."""
+            done = st[-1]
+            act = jnp.where(done == Z, ONE, Z)
+            (ret, n_mem, m0, m1, ms, mqb, mqe, ov1) = res1
+            ov1 = jnp.where((ov1 != Z) | (n_mem > np.int32(M)), ONE, Z)
             lens = mqe - mqb
             validm = jvM < n_mem
             lens = jnp.where(validm, lens, np.int32(-1))
@@ -934,8 +1080,16 @@ def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP, gather_factory=None,
             x2 = lax.shift_right_logical(bqb + bqe, ONE)
             n2act = jnp.where(need2, ONE, Z)
             mi2 = cw.where(need2, cw.addi(bs, ONE), cw.const(1))
-            (_r2, n2, s0, s1, ss, sqb, sqe, ov2p) = smem1_sub(
-                jnp.where(need2, x2, Z), mi2, n2act)
+            args2 = (jnp.where(need2, x2, Z), mi2, n2act)
+            mid = (act, ret, n_mem, m0, m1, ms, mqb, mqe, ov1,
+                   best_len, need2)
+            return args2, mid
+
+        def r_end(st, mid, res2):
+            (x, n_out, o0, o1, os_, oqb, oqe, over, done) = st
+            (act, ret, n_mem, m0, m1, ms, mqb, mqe, ov1, best_len,
+             need2) = mid
+            (_r2, n2, s0, s1, ss, sqb, sqe, ov2p) = res2
             n2 = jnp.where(need2, n2, Z)
             ov2 = jnp.where(need2 & ((ov2p != Z) | (n2 > np.int32(M))),
                             ONE, Z)
@@ -1013,30 +1167,106 @@ def _make_superstep_kernel(L, M, blk, NBP, OUT_CAP, gather_factory=None,
             done = jnp.where(over_now | (x >= qlen), ONE, done)
             return (x, n_out, o0, o1, os_, oqb, oqe, over, done)
 
-        def any_live(st):
-            return jnp.max(jnp.where(st[-1] == Z, ONE, Z)) > Z
+        def st0():
+            x0 = jnp.zeros((1, blk), i32)
+            done0 = jnp.where((active == Z) | (x0 >= qlen), ONE, Z)
+            return (x0, jnp.zeros((1, blk), i32), czO, czO, czO, zO,
+                    zO, jnp.zeros((1, blk), i32), done0)
 
-        x0 = jnp.zeros((1, blk), i32)
-        done0 = jnp.where((active == Z) | (x0 >= qlen), ONE, Z)
-        st = (x0, jnp.zeros((1, blk), i32), czO, czO, czO, zO, zO,
-              jnp.zeros((1, blk), i32), done0)
-        st = lax.while_loop(any_live, round_body, st)
+        return SimpleNamespace(r_args=r_args, r_mid=r_mid, r_end=r_end,
+                               st0=st0)
+
+    def _write_out(out_ref, st, lo):
         (_, n_out, o0, o1, os_, oqb, oqe, over, _) = st
-
         OC = OUT_CAP
-        out_ref[0:1, :] = n_out
-        out_ref[1:2, :] = over
+        hi = lo + blk
+        out_ref[0:1, lo:hi] = n_out
+        out_ref[1:2, lo:hi] = over
         r = 2
         for buf in (o0, o1, os_):
             for p in buf:
-                out_ref[r:r + OC, :] = p[:OC]
+                out_ref[r:r + OC, lo:hi] = p[:OC]
                 r += OC
-        out_ref[r:r + OC, :] = oqb[:OC]
-        out_ref[r + OC:r + 2 * OC, :] = oqe[:OC]
+        out_ref[r:r + OC, lo:hi] = oqb[:OC]
+        out_ref[r + OC:r + 2 * OC, lo:hi] = oqe[:OC]
         r += 2 * OC
         pad = (-r) % 8
         if pad:
-            out_ref[r:r + pad, :] = jnp.zeros((pad, blk), i32)
+            out_ref[r:r + pad, lo:hi] = jnp.zeros((pad, blk), i32)
+
+    def kernel(sc_ref, tbl_ref, q_ref, par_ref, out_ref, *scratch):
+        primary, L2, _ = _read_scal(sc_ref, wide)
+        gf = (gather_factory(tbl_ref, scratch)
+              if gather_factory is not None else (None, None, None))
+        gw, MC = gf[0], gf[1]
+        gsplit = gf[2] if len(gf) > 2 else None
+        assert halves == 1 or gsplit is not None, \
+            "multi-half kernels need a split-capable gather"
+
+        subs, phs, rps = [], [], []
+        for h in range(halves):
+            lo = h * blk
+            hi = lo + blk
+            qlen = par_ref[0:1, lo:hi]
+            if wide:
+                min_intv = (par_ref[1:2, lo:hi], par_ref[2:3, lo:hi])
+                active = par_ref[3:4, lo:hi]
+                split_len = par_ref[4:5, lo:hi]
+                split_width = par_ref[5:6, lo:hi]
+            else:
+                min_intv = (par_ref[1:2, lo:hi],)
+                active = par_ref[2:3, lo:hi]
+                split_len = par_ref[3:4, lo:hi]
+                split_width = par_ref[4:5, lo:hi]
+            qp = q_ref[:, lo:hi].astype(i32)
+            sub, bind_qlen, excl_prefix, jvM, ph = _build_smem1(
+                L, M, blk, NBP, primary, L2, qp, tbl_ref,
+                gather_words=gw, MC=MC, cw=cw, gather_split=gsplit,
+                slot_base=2 * h)
+            bind_qlen(qlen)
+            subs.append(sub)
+            phs.append(ph)
+            rps.append(_round_phases(qlen, min_intv, active, split_len,
+                                     split_width, excl_prefix, jvM))
+
+        if halves == 1:
+            sub, rp = subs[0], rps[0]
+
+            def round_body(st):
+                res1 = sub(*rp.r_args(st))
+                args2, mid = rp.r_mid(st, res1)
+                res2 = sub(*args2)
+                return rp.r_end(st, mid, res2)
+
+            def any_live(st):
+                return jnp.max(jnp.where(st[-1] == Z, ONE, Z)) > Z
+
+            st = lax.while_loop(any_live, round_body, rp.st0())
+            _write_out(out_ref, st, 0)
+            return
+
+        multi = _multi_smem1(phs)
+
+        def round_body_h(sts):
+            res1 = multi([rp.r_args(st) for rp, st in zip(rps, sts)])
+            mids = [rp.r_mid(st, r1)
+                    for rp, st, r1 in zip(rps, sts, res1)]
+            res2 = multi([m[0] for m in mids])
+            return tuple(rp.r_end(st, m[1], r2)
+                         for rp, st, m, r2 in zip(rps, sts, mids,
+                                                  res2))
+
+        def any_h(sts):
+            a = jnp.max(jnp.where(sts[0][-1] == Z, ONE, Z))
+            for st in sts[1:]:
+                a = jnp.maximum(
+                    a, jnp.max(jnp.where(st[-1] == Z, ONE, Z)))
+            return a > Z
+
+        sts = lax.while_loop(any_h, round_body_h,
+                             tuple(rp.st0() for rp in rps))
+        for h in range(halves):
+            _write_out(out_ref, sts[h], h * blk)
 
     return kernel
 

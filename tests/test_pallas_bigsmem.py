@@ -263,3 +263,31 @@ def test_superstep_big_L512(small_fm, monkeypatch):
         bv = np.where(valid, np.asarray(b, np.int64), 0)
         np.testing.assert_array_equal(av, bv, err_msg=name)
     assert np.asarray(ref[3]).dtype == np.int32  # int32 wire past 256
+
+
+@pytest.mark.parametrize("halves", [2, 4])
+def test_superstep_big_dual_matches_xla(small_fm, monkeypatch, halves):
+    """The multi-half wave-interleaved kernel (H independent 128-lane
+    halves per instance, concurrent DMA waves) must be byte-identical
+    to the XLA superstep — same contract as the single-half kernel."""
+    from bwamem_tpu.ops.smem import smem_superstep
+    fwd, fm = small_fm
+    rng = np.random.default_rng(31)
+    B, L, M = 128 * halves, 128, 16
+    d, (q, qlen, x, mi, act) = _case_args(fwd, fm, B, L, rng, True,
+                                          False, True)
+    q8 = jnp.asarray(np.asarray(q, np.int8))
+    slens = jnp.full(B, 29, jnp.int32)
+    swid = jnp.full(B, 10, jnp.int32)
+    kw = dict(L=L, M=M, OUT_CAP=48, NEED_X1=True)
+    ref = smem_superstep(d.blocks, d.primary, d.L2, q8, qlen, mi, act,
+                         slens, swid, PALLAS=False, **kw)
+    monkeypatch.setenv("BWAMEM_TPU_PALLAS_BIGSMEM", "force")
+    monkeypatch.setenv("BWAMEM_TPU_BIG_HALVES", str(halves))
+    out = smem_superstep(d.blocks, d.primary, d.L2, q8, qlen, mi,
+                         act, slens, swid, PALLAS="big", **kw)
+    for name, a, b in zip(["o0", "o1", "os", "oqb", "oqe", "n", "over"],
+                          ref, out):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.int64), np.asarray(b, np.int64),
+            err_msg=f"dual({halves}) superstep field {name} diverged")

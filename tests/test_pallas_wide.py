@@ -269,3 +269,46 @@ def test_fused_superstep_sa_wide(i64_fm, dfm64, monkeypatch):
     np.testing.assert_array_equal(np.asarray(out[7])[:nk][ok],
                                   np.asarray(ref[7])[:nk][ok],
                                   err_msg="sa_vals")
+
+
+def test_superstep_wide_dual_matches_xla_i64(i64_fm, dfm64,
+                                             monkeypatch):
+    """Wide (radix-2^30 paired-plane) superstep through the dual-half
+    wave-interleaved kernel: the 3 Gbp regime's exact configuration."""
+    from bwamem_tpu.ops.smem import smem_superstep
+    from bwamem_tpu.ops import pallas_bigsmem as pbig
+    fwd, _ = i64_fm
+    d = dfm64
+    rng = np.random.default_rng(59)
+    B, L, M, OC = 256, 128, 16, 48
+    q, qlen = _queries(fwd, B, L, rng)
+    act = np.ones(B, bool)
+    act[B - 1] = False
+    slens = np.minimum(28, qlen).astype(np.int32)
+    swid = np.full(B, 10, np.int32)
+    args = (jnp.asarray(q.astype(np.int32)), jnp.asarray(qlen),
+            jnp.full(B, 1, jnp.int64), jnp.asarray(act),
+            jnp.asarray(slens), jnp.asarray(swid))
+    ref = smem_superstep(d.blocks, d.primary, d.L2, *args,
+                         L=L, M=M, OUT_CAP=OC, NEED_X1=True,
+                         PALLAS=False)
+    monkeypatch.setenv("BWAMEM_TPU_BIG_HALVES", "2")
+    tblw = jax.jit(pbig.prep_table_wide)(d.blocks)
+    out = pbig.superstep_pallas_big(
+        tblw, d.primary, d.L2, args[0], args[1],
+        args[2], args[3], args[4], args[5],
+        L=L, M=M, OUT_CAP=OC, NEED_X1=True, interpret=True)
+    names = ["o0", "o1", "os", "oqb", "oqe", "n_out", "over"]
+    n_ref = np.asarray(ref[5])
+    n_out = np.asarray(out[5])
+    np.testing.assert_array_equal(n_out, n_ref, err_msg="n_out")
+    np.testing.assert_array_equal(np.asarray(out[6]),
+                                  np.asarray(ref[6]), err_msg="over")
+    valid = (np.arange(OC)[None, :] < n_ref[:, None]) \
+        & ~np.asarray(ref[6])[:, None]
+    for nm, a, b in zip(names[:5], out[:5], ref[:5]):
+        av, bv = np.asarray(a), np.asarray(b)
+        np.testing.assert_array_equal(np.where(valid, av, 0),
+                                      np.where(valid, bv, 0),
+                                      err_msg=nm)
+        assert av.dtype == bv.dtype, nm

@@ -7,6 +7,11 @@ variants: big     superstep_pallas_big (DMA waves)
           onehot  Mosaic one-hot superstep (past its crossover)
           gw      isolated gather_words pipeline cost at C=256/1024
                   (DMA wave + transpose + sub-block select), T steps
+          gwk     K INDEPENDENT wave chains interleaved on K scratch
+                  slots (MB_K, MB_C, MB_T): all K waves in flight
+                  together, drained in issue order — measures whether
+                  concurrent waves overlap (the fwd-pass latency-hiding
+                  question).  Compare us/step/chain across MB_K.
 
 Needs /tmp/bigref (tools/make_biggenome.py).  Each timed call uses a
 distinct read subset + forced result fetch (np.asarray) — the axon
@@ -22,6 +27,75 @@ sys.path.insert(0, os.path.join(os.path.dirname(
 import numpy as np
 
 DATA = os.environ.get("BWAMEM_TPU_BENCH_DATA", "/tmp/bigref")
+
+
+
+def _gwk_one(jax, jnp, lax, np, pbig, tblw, K, C, T, reps):
+    """One gwk measurement: K independent C-DMA wave chains, all in
+    flight together each step (start 0..K-1, then drain 0..K-1).  The
+    next step's row ids depend on the fetched bytes, so a chain is
+    latency-bound exactly like the fwd-pass occ fetch."""
+    import time
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    nrows = int(tblw.shape[0])
+
+    def kernel(seed_ref, tbl_ref, out_ref, *scratch):
+        slot_bufs, sems, bsem = pbig._split_scratch(scratch)
+        i32 = jnp.int32
+        st0 = tuple(
+            (lax.broadcasted_iota(i32, (1, C), 1) * np.int32(977)
+             + seed_ref[0] + np.int32(131 * k)) % np.int32(nrows)
+            for k in range(K))
+
+        def step(t, st):
+            for k in range(K):
+                idxv, idxs, rows = slot_bufs[k]
+                pbig._wave_start(tbl_ref, idxv, idxs, rows, sems,
+                                 bsem, st[k], C, slot=k)
+            out = []
+            for k in range(K):
+                idxv, idxs, rows = slot_bufs[k]
+                pbig._wave_drain(tbl_ref, idxv, idxs, rows, sems,
+                                 bsem, C, slot=k)
+                s2 = jnp.sum(rows[0:C, :], axis=0, keepdims=True)
+                s3 = jnp.sum(s2, axis=1, keepdims=True)
+                out.append((st[k] + jnp.zeros((1, C), i32) + s3
+                            + t) % np.int32(nrows))
+            return tuple(out)
+
+        st = lax.fori_loop(0, T, step, st0)
+        acc = st[0]
+        for k in range(1, K):
+            acc = acc + st[k]
+        out_ref[:, :] = acc
+
+    @jax.jit
+    def run(seed):
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                kernel,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((1, C), jnp.int32),
+                scratch_shapes=pbig._scratch_shapes(C, slots=K),
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True),
+            )(seed.reshape(1), tblw)
+
+    import numpy as _np
+    _np.asarray(run(jnp.int32(0)))
+    best = 1e9
+    for i in range(reps):
+        t0 = time.perf_counter()
+        _np.asarray(run(jnp.int32(i + 1)))
+        best = min(best, time.perf_counter() - t0)
+    print(f"gwk K={K} C={C} T={T}: {best*1e3:.2f} ms/call, "
+          f"{best/T*1e6:.2f} us/step, "
+          f"{best/T/K*1e6:.2f} us/step/chain")
 
 
 def main():
@@ -102,6 +176,20 @@ def main():
                 best = min(best, time.perf_counter() - t0)
             print(f"gw C={C} T={T}: {best*1e3:.2f} ms/call, "
                   f"{best/T*1e6:.1f} us/step")
+        return
+
+    if variant == "gwk":
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from bwamem_tpu.ops import pallas_bigsmem as pbig
+        tblw = jax.jit(pbig.prep_table_wide)(d.blocks)
+        nb = int(d.blocks.shape[0])
+        nrows = int(tblw.shape[0])
+        Ks = [int(x) for x in os.environ.get("MB_K", "1,2,4").split(",")]
+        C = int(os.environ.get("MB_C", "256"))
+        T = int(os.environ.get("MB_T", "2048"))
+        for K in Ks:
+            _gwk_one(jax, jnp, lax, np, pbig, tblw, K, C, T, reps)
         return
 
     # full-superstep variants on real reads
