@@ -254,11 +254,14 @@ class FmIndex:
             self.bwt.astype("<u4").tofile(f)
 
     def dump_sa8(self, path: str) -> None:
-        """Dense-SA sidecar (our own artifact, not a bwa format)."""
+        """Dense-SA sidecar (our own artifact, not a bwa format).
+        Chunked writes: a whole-array astype would transiently double
+        the ~1 GB/Gbp sample at human scale."""
         with open(path, "wb") as f:
             np.int64(self.seq_len).tofile(f)
             np.int64(self.sa8_intv).tofile(f)
-            self.sa8[1:].astype("<u8").tofile(f)
+            for lo in range(1, len(self.sa8), 1 << 26):
+                self.sa8[lo:lo + (1 << 26)].astype("<u8").tofile(f)
 
     def restore_sa8(self, path: str) -> bool:
         import os as _os

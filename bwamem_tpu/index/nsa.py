@@ -61,8 +61,41 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.bt_interleave_occ.restype = ctypes.c_int64
         lib.bt_interleave_occ.argtypes = [_u8p, ctypes.c_int64, _u32p,
                                           ctypes.c_int64]
+        try:
+            lib.bti_build_bwt.restype = ctypes.c_int64
+            lib.bti_build_bwt.argtypes = [_u8p, ctypes.c_int64,
+                                          ctypes.c_int64, _u32p,
+                                          ctypes.c_int64]
+            lib.bti_sa_walk.restype = ctypes.c_int64
+            lib.bti_sa_walk.argtypes = [_u32p, ctypes.c_int64,
+                                        ctypes.c_int64, _i64p, _i64p,
+                                        ctypes.c_int64]
+        except AttributeError:
+            # stale .so predating bwtinc.cpp: rebuild once
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-B"],
+                           check=True, capture_output=True, timeout=300)
+            lib = ctypes.CDLL(_SO_PATH)
+            return _load_retry(lib)
         _lib = lib
         return _lib
+
+
+def _load_retry(lib):
+    global _lib
+    for name, res, args in [
+            ("bt_sais_bases_32", ctypes.c_int, [_u8p, ctypes.c_int32, _i32p]),
+            ("bt_sais_bases_64", ctypes.c_int, [_u8p, ctypes.c_int64, _i64p]),
+            ("bt_bwt_from_sa32", ctypes.c_int64, [_u8p, _i32p, ctypes.c_int64, _u8p]),
+            ("bt_bwt_from_sa64", ctypes.c_int64, [_u8p, _i64p, ctypes.c_int64, _u8p]),
+            ("bt_interleave_occ", ctypes.c_int64, [_u8p, ctypes.c_int64, _u32p, ctypes.c_int64]),
+            ("bti_build_bwt", ctypes.c_int64, [_u8p, ctypes.c_int64, ctypes.c_int64, _u32p, ctypes.c_int64]),
+            ("bti_sa_walk", ctypes.c_int64, [_u32p, ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, ctypes.c_int64]),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = res
+        fn.argtypes = args
+    _lib = lib
+    return _lib
 
 
 def available() -> bool:
@@ -123,3 +156,45 @@ def interleave_occ_native(bwt_str: np.ndarray, n: int) -> np.ndarray:
     if wrote != len(out):
         raise RuntimeError("bt_interleave_occ: size mismatch")
     return out
+
+
+def streaming_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "bti_build_bwt")
+
+
+def build_bwt_streaming(pac: np.ndarray, l_pac: int,
+                        block_chars: int = 1 << 27):
+    """Interleaved BWT of the doubled (fwd + revcomp) text straight
+    from the forward .pac bytes, built incrementally in bounded memory
+    (native/bwtinc.cpp — the software/bwt_gen.c role).  Returns
+    (interleaved uint32 array, primary).  Peak transient: one extra
+    interleaved buffer (0.5 B/char) + ~24 B per block char."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bti_build_bwt"):
+        raise RuntimeError("streaming builder unavailable")
+    n = 2 * int(l_pac)
+    out_len = ((n + 15) >> 4) + (((n + 127) >> 7) + 1) * 8
+    out = np.empty(out_len, dtype=np.uint32)
+    pac = np.ascontiguousarray(pac, dtype=np.uint8)
+    primary = lib.bti_build_bwt(pac, l_pac, block_chars, out, out_len)
+    if primary < 0:
+        raise RuntimeError(f"bti_build_bwt failed ({primary})")
+    return out, int(primary)
+
+
+def sa_walk_streaming(interleaved: np.ndarray, n: int, primary: int,
+                      L2: np.ndarray) -> np.ndarray:
+    """Dense SA sample (interval 8) via the inverse-Psi walk over a
+    finished interleaved BWT (bwt_cal_sa's role, software/bwt.c:80-102):
+    sa8[k] = SA[8k], sa8[0] = -1."""
+    lib = _load()
+    n_sa8 = (n + 8) // 8
+    sa8 = np.empty(n_sa8, dtype=np.int64)
+    cnt = np.ascontiguousarray(L2[:5], dtype=np.int64)
+    rc = lib.bti_sa_walk(np.ascontiguousarray(interleaved,
+                                              dtype=np.uint32),
+                         n, primary, cnt, sa8, n_sa8)
+    if rc != 0:
+        raise RuntimeError(f"bti_sa_walk failed ({rc})")
+    return sa8

@@ -884,7 +884,9 @@ def _multi_smem1(phs):
 
         def fwd_body(sts):
             k2s = [ph.fwd_k2(st) for ph, st in zip(phs, sts)]
-            gs = [live_of(st) for st in sts]
+            guard = os.environ.get("BWAMEM_TPU_BIG_FWD_GUARD",
+                                   "1") != "0"
+            gs = [live_of(st) if guard else None for st in sts]
             for h in range(H):
                 phs[h].occ_start(k2s[h], 0, gs[h])
             out = []
