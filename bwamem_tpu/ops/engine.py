@@ -237,6 +237,8 @@ class JaxSeedingEngine:
                    and lens[i] >= opt.min_seed_len]
         host_idx = [i for i, r in enumerate(reads)
                     if lens[i] > dev_cap]
+        if host_idx:
+            self._count("host_routed_reads", len(host_idx))
 
         chains: List[list] = [[] for _ in reads]
         if dev_idx:
@@ -817,6 +819,13 @@ class JaxSeedingEngine:
         kt[_tag] = kt.get(_tag, 0.0) + dt
         kt["n_" + _tag] = kt.get("n_" + _tag, 0) + 1
         return out
+
+    def _count(self, tag: str, n: int = 1) -> None:
+        """Fallback/overflow accounting (per-cap host-fallback rates:
+        SMEM buffer, SA walk, key expansion, length routing) — rides
+        the same stats dict the bench's stage report prints."""
+        kt = self.kernel_time_by_tag
+        kt[tag] = kt.get(tag, 0) + n
 
     def _extend_wave(self, opt, reqs):
         """One batched ksw_extend2 dispatch over a wave of requests

@@ -135,6 +135,18 @@ def prep_sa_wide(sa: jnp.ndarray) -> jnp.ndarray:
     return s.reshape(-1, 128)
 
 
+_logged_configs = set()
+
+
+def _log_config_once(msg: str) -> None:
+    """One trace-time stderr line per kernel configuration, so bench
+    logs prove which path (halves/MC/wide) actually engaged."""
+    if msg not in _logged_configs:
+        _logged_configs.add(msg)
+        import sys
+        sys.stderr.write(f"[pallas_bigsmem] {msg}\n")
+
+
 # semaphore space is tiny (2 KB): cap the DMA-sem array and cycle.
 # Sharing a semaphore across equal-size copies is sound — the counter
 # accumulates completions and each wait drains exactly one copy's bytes
@@ -609,6 +621,8 @@ def superstep_pallas_big(tblw, primary, L2, q, qlen, min_intv, active,
     W = halves * blk
     if halves > 1:
         slots = 2 * halves
+    _log_config_once(f"superstep B={B} blk={blk} halves={halves} "
+                     f"MC={MC} wide={wide} L={L}")
     kernel = _make_superstep_kernel(
         L, M, blk, 128, OC,
         gather_factory=_dma_factory(Cmax, MC, wide, dedup),

@@ -289,6 +289,8 @@ class BatchedSeeder:
                     oqel = [v if v else 256 for v in oqel]
                 for i, qq in enumerate(grp):
                     if over_l[i]:
+                        if self.timer:
+                            self.timer._count("ovf_smem_lanes")
                         lst: List[Intv] = []
                         self._oracle_finish(opt, qq, 0, start_width,
                                             min(sl_init, len(qq)),
@@ -311,6 +313,8 @@ class BatchedSeeder:
             oqbl, oqel = oqb.tolist(), oqe.tolist()
             for i, qq in enumerate(grp):
                 if over_l[i]:
+                    if self.timer:
+                        self.timer._count("ovf_smem_lanes")
                     lst: List[Intv] = []
                     self._oracle_finish(opt, qq, 0, start_width,
                                         min(sl_init, len(qq)),
@@ -399,6 +403,9 @@ class BatchedSeeder:
                     if self.timer else fn())
             vals[lo:lo + n_sl] = v[:n_sl]
             over[lo:lo + n_sl] = o[:n_sl]
+        n_ovf = int(np.count_nonzero(over))
+        if n_ovf and self.timer:
+            self.timer._count("ovf_sa_keys", n_ovf)
         for idx in np.nonzero(over)[0]:  # host fallback
             vals[idx] = fm_host.sa_lookup(int(karr[idx]))
         vals_l = vals.tolist()
@@ -540,6 +547,8 @@ class BatchedSeeder:
                 # common case, costing a split SA dispatch per group)
                 if bool(g_kovf):
                     sa_ok = False
+                    if self.timer:
+                        self.timer._count("ovf_keyexp_groups")
                 else:
                     nk = int(g_nk)
                     sa_vals.append(np.asarray(g_vals)[:nk])
@@ -553,6 +562,9 @@ class BatchedSeeder:
                 pqb = np.split(gqb, np.cumsum(n_l)[:-1])
                 pqe = np.split(gqe, np.cumsum(n_l)[:-1])
                 pdm = np.split(dev_mark, np.cumsum(n_l)[:-1])
+                if self.timer:
+                    self.timer._count("ovf_smem_lanes",
+                                      int(over_l.sum()))
                 for i in np.nonzero(over_l)[0]:
                     lst: List[Intv] = []
                     self._oracle_finish(opt, grp[i], 0, start_width,
@@ -780,6 +792,9 @@ class BatchedSeeder:
                     if self.timer else fn())
             vals[lo:lo + n_sl] = v[:n_sl]
             over[lo:lo + n_sl] = o[:n_sl]
+        n_ovf = int(np.count_nonzero(over))
+        if n_ovf and self.timer:
+            self.timer._count("ovf_sa_keys", n_ovf)
         for idx in np.nonzero(over)[0]:  # host fallback
             vals[idx] = fm_host.sa_lookup(int(karr[idx]))
         n_occ = np.asarray(lay_n, dtype=np.int64)
