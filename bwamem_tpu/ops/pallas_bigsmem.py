@@ -58,8 +58,10 @@ from .pallas_smem import (Z, ONE, BLK, _OC2, _CW, M30, _make_kernel,
 # backward-pass chunk width (rows of the prev-interval list sharing one
 # DMA wave); must divide M.  Bigger MC = fewer index bounces but wider
 # (often mostly-dead) waves — measured at 4 Mbp/B=2048: MC=1 120.6 ms,
-# MC=2 117.0 ms, MC=4 129.3 ms per superstep
-MC_BIG = int(os.environ.get("BWAMEM_TPU_BIG_MC", "2"))
+# MC=2 117.0 ms, MC=4 129.3 ms per superstep.  Read at call time so
+# in-process A/Bs (tools/ab_superstep.py) can flip it per trace.
+def MC_BIG():
+    return int(os.environ.get("BWAMEM_TPU_BIG_MC", "2"))
 
 
 def smem1_pallas_big_available(n_blocks: int, cdt, L: int, M: int,
@@ -436,7 +438,7 @@ def _sa_fetch_factory(blk: int, wide: bool = False):
 
 
 def _pick_mc(M: int) -> int:
-    mc = max(1, min(M, MC_BIG))
+    mc = max(1, min(M, MC_BIG()))
     while M % mc:
         mc -= 1
     return mc

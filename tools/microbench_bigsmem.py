@@ -40,6 +40,50 @@ def _gwk_one(jax, jnp, lax, np, pbig, tblw, K, C, T, reps):
     from jax.experimental.pallas import tpu as pltpu
     nrows = int(tblw.shape[0])
 
+    # MB_GWK_MODE: plain = bare start/drain (the proven-overlap form);
+    # when  = every start and drain wrapped in pl.when(true-ish guard)
+    #         — the fused fwd kernel's guarded-wave structure;
+    # cond  = drain+math inside lax.cond(live, ...) — the bwd chunk
+    #         structure;
+    # prod  = the PRODUCTION gather (pbig._dma_factory start/finish:
+    #         arithmetic row shift, index bounce, (C,128)->(128,C)
+    #         transpose + 8-way sub-block select) under a while_loop
+    #         — the real fwd pass minus the iterator math.
+    # A/Bs which structural element serializes otherwise-concurrent
+    # waves.
+    mode = os.environ.get("MB_GWK_MODE", "plain")
+    from jax.experimental import pallas as pl2
+
+    def kernel_prod(seed_ref, tbl_ref, out_ref, *scratch):
+        i32 = jnp.int32
+        gf = pbig._dma_factory(C, 1)(tbl_ref, scratch)
+        gs_start, gs_finish = gf[2]
+        nb8 = np.int32(nrows * 8)       # block ids (rowi = blk >> 3)
+        st0 = tuple(
+            (lax.broadcasted_iota(i32, (1, C), 1) * np.int32(977)
+             + seed_ref[0] + np.int32(131 * k)) % nb8
+            for k in range(K))
+
+        def step(st):
+            t = st[0]
+            chains = st[1:]
+            for k in range(K):
+                gs_start(chains[k], slot=k)
+            out = []
+            for k in range(K):
+                ck, words = gs_finish(chains[k], slot=k)
+                dep = jnp.sum(ck[0][0:1] + words[0:1], axis=1,
+                              keepdims=True)
+                out.append((chains[k] + dep + t) % nb8)
+            return (t + np.int32(1),) + tuple(out)
+
+        st = lax.while_loop(lambda s: s[0] < np.int32(T), step,
+                            (np.int32(0),) + st0)
+        acc = st[1]
+        for k in range(2, K + 1):
+            acc = acc + st[k]
+        out_ref[:, :] = acc
+
     def kernel(seed_ref, tbl_ref, out_ref, *scratch):
         slot_bufs, sems, bsem = pbig._split_scratch(scratch)
         i32 = jnp.int32
@@ -49,15 +93,40 @@ def _gwk_one(jax, jnp, lax, np, pbig, tblw, K, C, T, reps):
             for k in range(K))
 
         def step(t, st):
+            live = [jnp.max(st[k]) >= 0 for k in range(K)]
             for k in range(K):
                 idxv, idxs, rows = slot_bufs[k]
-                pbig._wave_start(tbl_ref, idxv, idxs, rows, sems,
-                                 bsem, st[k], C, slot=k)
+                if mode == "plain":
+                    pbig._wave_start(tbl_ref, idxv, idxs, rows, sems,
+                                     bsem, st[k], C, slot=k)
+                else:
+                    @pl2.when(live[k])
+                    def _(k=k, idxv=idxv, idxs=idxs, rows=rows):
+                        pbig._wave_start(tbl_ref, idxv, idxs, rows,
+                                         sems, bsem, st[k], C, slot=k)
             out = []
             for k in range(K):
                 idxv, idxs, rows = slot_bufs[k]
-                pbig._wave_drain(tbl_ref, idxv, idxs, rows, sems,
-                                 bsem, C, slot=k)
+
+                def dm(k=k, idxv=idxv, idxs=idxs, rows=rows):
+                    pbig._wave_drain(tbl_ref, idxv, idxs, rows, sems,
+                                     bsem, C, slot=k)
+
+                if mode == "cond":
+                    def body(k=k, rows=rows, dm=dm):
+                        dm()
+                        s2 = jnp.sum(rows[0:C, :], axis=0,
+                                     keepdims=True)
+                        return jnp.sum(s2, axis=1, keepdims=True) \
+                            + jnp.zeros((1, C), i32)
+                    s3 = lax.cond(live[k], body,
+                                  lambda: jnp.zeros((1, C), i32))
+                    out.append((st[k] + s3 + t) % np.int32(nrows))
+                    continue
+                if mode == "when":
+                    pl2.when(live[k])(dm)
+                else:
+                    dm()
                 s2 = jnp.sum(rows[0:C, :], axis=0, keepdims=True)
                 s3 = jnp.sum(s2, axis=1, keepdims=True)
                 out.append((st[k] + jnp.zeros((1, C), i32) + s3
@@ -70,18 +139,21 @@ def _gwk_one(jax, jnp, lax, np, pbig, tblw, K, C, T, reps):
             acc = acc + st[k]
         out_ref[:, :] = acc
 
+    kfn = kernel_prod if mode == "prod" else kernel
+
     @jax.jit
     def run(seed):
         with jax.enable_x64(False):
             return pl.pallas_call(
-                kernel,
+                kfn,
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((1, C), jnp.int32),
-                scratch_shapes=pbig._scratch_shapes(C, slots=K),
+                scratch_shapes=pbig._scratch_shapes(
+                    C, slots=max(2, K) if mode == "prod" else K),
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True),
             )(seed.reshape(1), tblw)
