@@ -137,6 +137,12 @@ def prep_sa_wide(sa: jnp.ndarray) -> jnp.ndarray:
     return s.reshape(-1, 128)
 
 
+def _sparse() -> bool:
+    """Sparse-wave gate (BWAMEM_TPU_BIG_SPARSE, default on): skip
+    whole-dead 8-lane groups at issue and drain time."""
+    return os.environ.get("BWAMEM_TPU_BIG_SPARSE", "1") != "0"
+
+
 _logged_configs = set()
 
 
@@ -165,12 +171,18 @@ def _scratch_shapes(Cmax: int, slots: int = 1):
     scalar-core work per wave vs per-copy draining.  slots=2 lets two
     waves be in flight (the backward-chunk pipeline); separate buffers
     per slot — Mosaic cannot slice sub-tile rows out of one stacked
-    buffer."""
+    buffer.
+
+    The index buffers carry TWO rows: row 0 the per-lane row ids, row
+    1 the 8-lane-GROUP liveness flags (sparse waves: a whole-dead
+    group's 8 DMAs are skipped with one scalar branch — the per-DMA
+    skip measured a loss in round 4, but late iterator rounds run
+    almost-empty waves, a 3.7x lockstep inflation on real reads)."""
     out = []
     for _ in range(slots):
         out += [
-            pltpu.VMEM((1, Cmax), jnp.int32),   # idxv: row ids, vector
-            pltpu.SMEM((1, Cmax), jnp.int32),   # idxs: row ids, scalar
+            pltpu.VMEM((2, Cmax), jnp.int32),   # row ids + group flags
+            pltpu.SMEM((2, Cmax), jnp.int32),   # scalar-side copy
             pltpu.VMEM((Cmax, 128), jnp.int32),  # fetched 512-B rows
         ]
     out += [
@@ -198,8 +210,21 @@ def _wave_cp(tbl_ref, idxs, rows, sems, slot: int, j):
         sems.at[slot])
 
 
+def _group_flags(live, C: int):
+    """(1, C) lane liveness -> (1, C) row where lane 8g holds the OR
+    of lanes 8g..8g+7 (3 log-rolls; wraparound can only turn a flag ON
+    spuriously at the last group — extra fetches, never a miss).
+    pltpu.roll takes nonnegative shifts (lane j reads j-s), so the
+    "look ahead by s" roll is C - s."""
+    f = jnp.where(live, ONE, Z)
+    for sh in (1, 2, 4):
+        f = f | pltpu.roll(f, C - sh, axis=1)
+    return f
+
+
 def _wave_start(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
-                slot: int = 0, n_slots: int = 1, pair: bool = False):
+                slot: int = 0, n_slots: int = 1, pair: bool = False,
+                live=None):
     """Launch one DMA wave into slot's buffers: rows[j] =
     tbl[rowi[0, j]] for j < C.  The per-lane indices are VPU vectors;
     DMA starts need scalars, so they bounce VMEM -> SMEM first (one
@@ -208,32 +233,50 @@ def _wave_start(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
     flight (the backward-chunk pipeline); per-slot semaphore ranges
     keep their completions separate.
 
+    live (optional, (1, C) bool/int32): SPARSE wave — 8-lane groups
+    with no live lane are skipped with ONE scalar branch per group
+    (flag row bounced alongside the ids).  Late iterator rounds run
+    almost-empty waves (measured 3.7x lockstep inflation on real 101 bp
+    reads at 256 Mbp), where the per-DMA skip of round 4 lost to
+    branch cost but the per-GROUP skip amortizes it 8x.
+
     pair=True: the wave carries bwt_2occ4 pairs — lane j >= C/2 is
     the l-side of lane j - C/2's k-side (extendT's cat layout), and
     once the interval shrinks below the 1024-base row span the two
     sides usually share a row.  Duplicate second-half DMAs are skipped
     (the caller repairs rows via a lane roll) — the 2occ4 same-block
-    fusion of software/bwt.c:217-242 at row granularity.
-    NOTE a dead-lane skip (mark row -1, pl.when around start/wait)
-    was MEASURED A LOSS at 256 Mbp (smem 12.7 -> 17.0 s): the per-DMA
-    scalar branch costs more than the skipped fetch."""
+    fusion of software/bwt.c:217-242 at row granularity."""
     del n_slots
+    U = 8
+    assert C % U == 0, (C, U)
+    sparse = live is not None and not pair
     idxv[0:1, 0:C] = rowi
-    cpb = pltpu.make_async_copy(idxv.at[0:1, pl.ds(0, C)],
-                                idxs.at[0:1, pl.ds(0, C)],
+    if sparse:
+        idxv[1:2, 0:C] = _group_flags(live, C)
+    nr = 2 if sparse else 1
+    cpb = pltpu.make_async_copy(idxv.at[pl.ds(0, nr), pl.ds(0, C)],
+                                idxs.at[pl.ds(0, nr), pl.ds(0, C)],
                                 bsem.at[slot])
     cpb.start()
     cpb.wait()
+
+    def _cp(j):
+        return _wave_cp(tbl_ref, idxs, rows, sems, slot, j)
 
     # issue in 8-unrolled scalar loops: a plain fori_loop pays ~20 ns
     # per iteration of loop overhead on the scalar core — at 2*C
     # iterations that DOUBLED the wave cost (measured 20 us vs 9 us per
     # 256-DMA step, tools/microbench_bigsmem.py gw)
-    U = 8
-    assert C % U == 0, (C, U)
+    if sparse:
+        def issue_s(j8, c):
+            @pl.when(idxs[1, j8 * np.int32(U)] != Z)
+            def _():
+                for u in range(U):
+                    _cp(j8 * np.int32(U) + np.int32(u)).start()
+            return c
 
-    def _cp(j):
-        return _wave_cp(tbl_ref, idxs, rows, sems, slot, j)
+        lax.fori_loop(0, C // U, issue_s, 0)
+        return
 
     if not pair:
         def issue(j8, c):
@@ -267,18 +310,34 @@ def _wave_start(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
 
 
 def _wave_drain(tbl_ref, idxv, idxs, rows, sems, bsem, C: int,
-                slot: int = 0, n_slots: int = 1, pair: bool = False):
+                slot: int = 0, n_slots: int = 1, pair: bool = False,
+                live=None):
     """Wait out slot's in-flight wave (counterpart of _wave_start).
     All C copies signal the slot's single semaphore, so the whole wave
     drains in ONE wait sized as C rows (a dummy descriptor over the
     row buffer) — the per-copy drain loop was half the wave's
-    scalar-core cost.  pair mode still waits per copy (its skip
-    predicate makes the wave's total byte count data-dependent)."""
+    scalar-core cost.  Sparse waves (live is not None) wait per LIVE
+    group under the same bounced flags the start used.  pair mode
+    still waits per copy (its skip predicate makes the wave's total
+    byte count data-dependent)."""
     del n_slots
     U = 8
 
     def _cp(j):
         return _wave_cp(tbl_ref, idxs, rows, sems, slot, j)
+
+    if live is not None and not pair:
+        def drain_s(j8, c):
+            @pl.when(idxs[1, j8 * np.int32(U)] != Z)
+            def _():
+                pltpu.make_async_copy(
+                    rows.at[pl.ds(0, U), :],
+                    rows.at[pl.ds(0, U), :],
+                    sems.at[slot]).wait()
+            return c
+
+        lax.fori_loop(0, C // U, drain_s, 0)
+        return
 
     if not pair:
         pltpu.make_async_copy(rows.at[pl.ds(0, C), :],
@@ -308,12 +367,13 @@ def _wave_drain(tbl_ref, idxv, idxs, rows, sems, bsem, C: int,
 
 
 def _wave(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
-          slot: int = 0, n_slots: int = 1, pair: bool = False):
+          slot: int = 0, n_slots: int = 1, pair: bool = False,
+          live=None):
     """Synchronous wave: start + drain (the non-pipelined call sites)."""
     _wave_start(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C,
-                slot=slot, n_slots=n_slots, pair=pair)
+                slot=slot, n_slots=n_slots, pair=pair, live=live)
     _wave_drain(tbl_ref, idxv, idxs, rows, sems, bsem, C,
-                slot=slot, n_slots=n_slots, pair=pair)
+                slot=slot, n_slots=n_slots, pair=pair, live=live)
 
 
 def _dma_factory(Cmax: int, MC: int, wide: bool = False,
@@ -338,7 +398,7 @@ def _dma_factory(Cmax: int, MC: int, wide: bool = False,
             # the chip faults)
             return lax.shift_right_arithmetic(blkidx, np.int32(3))
 
-        def gather_start(blkidx, slot=0, guard=None):
+        def gather_start(blkidx, slot=0, guard=None, live=None):
             C = blkidx.shape[1]
             assert C <= Cmax, (C, Cmax)
             idxv, idxs, rows = slot_bufs[slot]
@@ -346,7 +406,8 @@ def _dma_factory(Cmax: int, MC: int, wide: bool = False,
             def _go():
                 _wave_start(tbl_ref, idxv, idxs, rows, sems, bsem,
                             _rowi(blkidx), C, slot=slot,
-                            n_slots=n_slots, pair=dedup)
+                            n_slots=n_slots, pair=dedup,
+                            live=live if _sparse() else None)
             if guard is None:
                 _go()
             else:
@@ -355,7 +416,7 @@ def _dma_factory(Cmax: int, MC: int, wide: bool = False,
                 # per 2*blk DMAs is noise)
                 pl.when(guard)(_go)
 
-        def gather_finish(blkidx, slot=0, guard=None):
+        def gather_finish(blkidx, slot=0, guard=None, live=None):
             C = blkidx.shape[1]
             rowi = _rowi(blkidx)
             sub = blkidx & np.int32(7)
@@ -363,7 +424,8 @@ def _dma_factory(Cmax: int, MC: int, wide: bool = False,
 
             def _go():
                 _wave_drain(tbl_ref, idxv, idxs, rows, sems, bsem, C,
-                            slot=slot, n_slots=n_slots, pair=dedup)
+                            slot=slot, n_slots=n_slots, pair=dedup,
+                            live=live if _sparse() else None)
             if guard is None:
                 _go()
             else:
@@ -393,9 +455,9 @@ def _dma_factory(Cmax: int, MC: int, wide: bool = False,
                 [wf[1:2], wf[3:4], wf[5:6], wf[7:8]], axis=0)
             return cw.from_ck(wlo, whi), words
 
-        def gather_words(blkidx):
-            gather_start(blkidx, 0)
-            return gather_finish(blkidx, 0)
+        def gather_words(blkidx, live=None):
+            gather_start(blkidx, 0, live=live)
+            return gather_finish(blkidx, 0, live=live)
 
         return (gather_words, MC,
                 (gather_start, gather_finish) if n_slots >= 2 else None)

@@ -456,13 +456,12 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
         """Batched bwt_occ4 over (1, C) coordinates: the row gather +
         _occ_tail.  k2 is a cw-tuple; returns a cw-tuple of (4, C).
 
-        `live` is accepted for interface stability but unused: marking
-        dead lanes' block ids -1 and pl.when-guarding each DMA start/
-        wait was MEASURED A LOSS at 256 Mbp (smem 12.7 -> 17.0 s/16
-        dispatches) — the per-DMA scalar-core branch costs more than
-        the skipped fetch, so dead lanes fetch row 0 like the FPGA's
-        idle PEs re-polling (cheap, cached)."""
-        del live
+        `live` ((1, C), optional) marks lanes whose fetch matters: the
+        DMA path skips whole-dead 8-lane GROUPS (one scalar branch per
+        8 DMAs — the round-4 per-DMA skip lost to branch cost, but
+        late iterator rounds run almost-empty waves: 3.7x lockstep
+        inflation measured on real reads).  Dead lanes inside a live
+        group still fetch (cheap); the one-hot path ignores live."""
         C = k2[0].shape[1]
         valid, kk, blkidx = _occ_prep(k2)
         if gather_words is None:
@@ -473,28 +472,30 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
             ck = (w[0:4],)
             words = w[4:12]
         else:
-            ck, words = gather_words(blkidx)
+            ck, words = gather_words(blkidx, live=live)
         return _occ_tail(k2, valid, kk, ck, words)
 
     if gather_split is not None:
         gs_start, gs_finish = gather_split
 
-        def occ4T_start(k2, slot, guard=None):
+        def occ4T_start(k2, slot, guard=None, live=None):
             """Launch the row wave for k2 into `slot` (the backward-
             chunk pipeline overlaps this DMA with the previous chunk's
             popcount math).  `guard` (a scalar bool) skips the wave
             entirely — the dual-half fwd pipeline's dead-half skip
-            (per-WAVE, not the per-DMA branch that measured a loss)."""
+            (per-WAVE, not the per-DMA branch that measured a loss).
+            `live` enables the sparse per-8-group skip."""
             _, _, blkidx = _occ_prep(k2)
-            gs_start(blkidx, slot_base + slot, guard)
+            gs_start(blkidx, slot_base + slot, guard, live=live)
 
-        def occ4T_finish(k2, slot, guard=None):
-            """Drain slot's wave (skipped under the same guard as its
-            start — a wait with no start would hang) and run the
-            popcount tail; a dead half's tail math runs on stale rows
-            and is masked by its done state downstream."""
+        def occ4T_finish(k2, slot, guard=None, live=None):
+            """Drain slot's wave (skipped under the same guard/flags
+            as its start — a wait with no start would hang) and run
+            the popcount tail; a dead half's tail math runs on stale
+            rows and is masked by its done state downstream."""
             valid, kk, blkidx = _occ_prep(k2)
-            ck, words = gs_finish(blkidx, slot_base + slot, guard)
+            ck, words = gs_finish(blkidx, slot_base + slot, guard,
+                                  live=live)
             return _occ_tail(k2, valid, kk, ck, words)
     else:
         occ4T_start = occ4T_finish = None
@@ -507,10 +508,14 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
     def extendT(x0, x1, s, is_back, live=None, occ_fn=None):
         """Batched bwt_extend (software/bwt.c:416-429): (1, C)
         cw-tuples -> (4, C) cw-tuple candidates per base.  `occ_fn`
-        overrides the occ lookup (the pipelined finish phase)."""
-        del live
+        overrides the occ lookup (the pipelined finish phase).
+        `live` ((1, C0) input-lane liveness) doubles to the wave's
+        cat layout for the sparse group skip."""
         k2 = extend_k2(x0, x1, s, is_back)
-        both = occ_fn(k2) if occ_fn is not None else occ4T(k2)
+        lv2 = None if live is None else \
+            jnp.concatenate([live, live], axis=1)
+        both = occ_fn(k2, lv2) if occ_fn is not None \
+            else occ4T(k2, live=lv2)
         return extend_post(x0, x1, s, is_back, both)
 
     def extend_post(x0, x1, s, is_back, both):
@@ -637,6 +642,22 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
         ct = jnp.concatenate([csel] * MC, axis=1)
         return (live, c, ct, n_max)
 
+    def fwd_wave_live(st):
+        """(1, 2*blk) wave-lane liveness for a fwd step (k/l cat)."""
+        lv = jnp.where(st[-1] == Z, ONE, Z)
+        return jnp.concatenate([lv, lv], axis=1)
+
+    def bwd_chunk_live(st, pre, mc):
+        """(1, 2*MC*blk) wave-lane liveness for bwd chunk mc: row m of
+        the chunk is live where the lane still runs and has that many
+        prev intervals."""
+        n_prev = st[5]
+        live = pre[0]
+        lv = jnp.concatenate(
+            [jnp.where((n_prev > np.int32(m)) & live, ONE, Z)
+             for m in range(mc, mc + MC)], axis=1)
+        return jnp.concatenate([lv, lv], axis=1)
+
     def bwd_chunk_inputs(st, mc):
         """MC prev rows rebased + lane-concat for one shared occ4T."""
         p0, p1, ps = st[1], st[2], st[3]
@@ -683,9 +704,12 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
             if piped and mc + MC < M:
                 @pl.when(np.int32(mc + MC) < n_max)
                 def _():
-                    occ4T_start(bwd_k2(st, mc + MC), slot ^ 1)
+                    occ4T_start(bwd_k2(st, mc + MC), slot ^ 1,
+                                live=bwd_chunk_live(st, pre, mc + MC))
             k2 = bwd_k2(st, mc)
-            both = occ4T_finish(k2, slot) if piped else occ4T(k2)
+            lv = bwd_chunk_live(st, pre, mc)
+            both = occ4T_finish(k2, slot, live=lv) if piped \
+                else occ4T(k2, live=lv)
             return bwd_chunk_post(st, pre, mc, both)
 
         return lax.cond(np.int32(mc) < n_max, live_chunk,
@@ -804,7 +828,8 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
         bad = st[-1]
 
         def fwd_body(st):
-            return fwd_post(min_iv, st, occ4T(fwd_k2(st)))
+            return fwd_post(min_iv, st, occ4T(
+                fwd_k2(st), live=fwd_wave_live(st)))
 
         st = lax.while_loop(any_live, fwd_body, st)
         ret, overflow, fwdout = fwd_fin(x, st)
@@ -814,7 +839,8 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
             if use_pipe:
                 @pl.when(Z < pre[3])
                 def _():
-                    occ4T_start(bwd_k2(st, 0), 0)
+                    occ4T_start(bwd_k2(st, 0), 0,
+                                live=bwd_chunk_live(st, pre, 0))
             rrs = [bwd_chunk_step(st, pre, mci, mc, use_pipe)
                    for mci, mc in enumerate(range(0, M, MC))]
             return bwd_merge(min_iv, st, pre, bwd_collect(rrs))
@@ -839,6 +865,7 @@ def _build_smem1(L, M, blk, NBP, primary, L2, qp, tbl_ref,
         bwd_k2=bwd_k2, bwd_chunk_post=bwd_chunk_post,
         bwd_dead_chunk=bwd_dead_chunk, bwd_chunk_step=bwd_chunk_step,
         bwd_collect=bwd_collect, bwd_merge=bwd_merge, bwd_fin=bwd_fin,
+        fwd_wave_live=fwd_wave_live, bwd_chunk_live=bwd_chunk_live,
         occ_start=occ4T_start, occ_finish=occ4T_finish)
     return smem1_sub, bind_qlen, excl_prefix, jvM, ph
 
@@ -887,11 +914,13 @@ def _multi_smem1(phs):
             guard = os.environ.get("BWAMEM_TPU_BIG_FWD_GUARD",
                                    "1") != "0"
             gs = [live_of(st) if guard else None for st in sts]
+            lvs = [ph.fwd_wave_live(st) for ph, st in zip(phs, sts)]
             for h in range(H):
-                phs[h].occ_start(k2s[h], 0, gs[h])
+                phs[h].occ_start(k2s[h], 0, gs[h], live=lvs[h])
             out = []
             for h in range(H):
-                both = phs[h].occ_finish(k2s[h], 0, gs[h])
+                both = phs[h].occ_finish(k2s[h], 0, gs[h],
+                                         live=lvs[h])
                 out.append(phs[h].fwd_post(min_ivs[h], sts[h], both))
             return tuple(out)
 
@@ -907,8 +936,9 @@ def _multi_smem1(phs):
                 ph, st, pre = phs[h], sts[h], pres[h]
 
                 @pl.when(Z < pre[3])
-                def _(ph=ph, st=st):
-                    ph.occ_start(ph.bwd_k2(st, 0), 0)
+                def _(ph=ph, st=st, pre=pre):
+                    ph.occ_start(ph.bwd_k2(st, 0), 0,
+                                 live=ph.bwd_chunk_live(st, pre, 0))
             rrs = [[] for _ in range(H)]
             for mci, mc in enumerate(range(0, M, MC)):
                 for h in range(H):
@@ -1485,7 +1515,9 @@ def _make_sa_kernel(blk, NBP, NSP, sa_shift, max_steps,
                 ck = (w[0:4],)
                 words = w[4:12]
             else:
-                ck, words = gw(blkidx)
+                # sparse per-8-group skip once walks finish (lanes
+                # exit at different psi depths)
+                ck, words = gw(blkidx, live=jnp.where(act, ONE, Z))
             # bwt_B0: word (x>>4)&7, shift ((~x)&15)*2 — bits 0..6 of
             # x live entirely in the lo plane (2^30 ≡ 0 mod 128)
             xlo = x[-1]

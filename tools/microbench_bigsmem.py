@@ -77,12 +77,23 @@ def _gwk_one(jax, jnp, lax, np, pbig, tblw, K, C, T, reps):
                 out.append((chains[k] + dep + t) % nb8)
             return (t + np.int32(1),) + tuple(out)
 
-        st = lax.while_loop(lambda s: s[0] < np.int32(T), step,
-                            (np.int32(0),) + st0)
-        acc = st[1]
-        for k in range(2, K + 1):
-            acc = acc + st[k]
-        out_ref[:, :] = acc
+        # MB_GWK_NEST=n: run the chain loop as n nested rounds (the
+        # real superstep nests its fwd/bwd whiles inside a round
+        # while) — T total steps either way
+        nest = int(os.environ.get("MB_GWK_NEST", "1"))
+
+        def rounds(r, carry):
+            st = lax.while_loop(
+                lambda s: s[0] < np.int32(T // nest), step,
+                (np.int32(0),) + carry)
+            return st[1:]
+
+        chains = lax.fori_loop(0, nest, rounds, st0) if nest > 1 \
+            else rounds(0, st0)
+        acc = chains[0]
+        for k in range(1, K):
+            acc = acc + chains[k]
+        out_ref[:, :] = acc + jnp.zeros(out_ref.shape, i32)
 
     def kernel(seed_ref, tbl_ref, out_ref, *scratch):
         slot_bufs, sems, bsem = pbig._split_scratch(scratch)
@@ -140,10 +151,31 @@ def _gwk_one(jax, jnp, lax, np, pbig, tblw, K, C, T, reps):
         out_ref[:, :] = acc
 
     kfn = kernel_prod if mode == "prod" else kernel
+    # MB_GWK_GRID=G: G grid instances of the chain loop (the real
+    # superstep runs B/blk grid steps; tests whether Mosaic's grid
+    # machinery serializes user DMA slots).  T steps per instance;
+    # the printed us/step divides by T only, so compare per-G.
+    G = int(os.environ.get("MB_GWK_GRID", "0"))
+    slots = max(2, K) if mode == "prod" else K
 
     @jax.jit
     def run(seed):
         with jax.enable_x64(False):
+            if G:
+                return pl.pallas_call(
+                    kfn,
+                    grid=(G,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec(memory_space=pl.ANY),
+                    ],
+                    out_specs=pl.BlockSpec((8, C), lambda b: (b, 0)),
+                    out_shape=jax.ShapeDtypeStruct((8 * G, C),
+                                                   jnp.int32),
+                    scratch_shapes=pbig._scratch_shapes(C, slots=slots),
+                    compiler_params=pltpu.CompilerParams(
+                        has_side_effects=True),
+                )(seed.reshape(1), tblw)
             return pl.pallas_call(
                 kfn,
                 in_specs=[
@@ -152,8 +184,7 @@ def _gwk_one(jax, jnp, lax, np, pbig, tblw, K, C, T, reps):
                 ],
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((1, C), jnp.int32),
-                scratch_shapes=pbig._scratch_shapes(
-                    C, slots=max(2, K) if mode == "prod" else K),
+                scratch_shapes=pbig._scratch_shapes(C, slots=slots),
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True),
             )(seed.reshape(1), tblw)
