@@ -253,9 +253,13 @@ def _wave_start(tbl_ref, idxv, idxs, rows, sems, bsem, rowi, C: int,
     idxv[0:1, 0:C] = rowi
     if sparse:
         idxv[1:2, 0:C] = _group_flags(live, C)
-    nr = 2 if sparse else 1
-    cpb = pltpu.make_async_copy(idxv.at[pl.ds(0, nr), pl.ds(0, C)],
-                                idxs.at[pl.ds(0, nr), pl.ds(0, C)],
+    else:
+        # the flag row still rides the bounce: a 1-row slice of the
+        # (2, Cmax) buffer violates the (2, 128) VMEM tiling on
+        # hardware, and 2 KB extra on an on-chip copy is free
+        idxv[1:2, 0:C] = jnp.ones((1, C), jnp.int32)
+    cpb = pltpu.make_async_copy(idxv.at[pl.ds(0, 2), pl.ds(0, C)],
+                                idxs.at[pl.ds(0, 2), pl.ds(0, C)],
                                 bsem.at[slot])
     cpb.start()
     cpb.wait()
