@@ -138,9 +138,13 @@ def prep_sa_wide(sa: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sparse() -> bool:
-    """Sparse-wave gate (BWAMEM_TPU_BIG_SPARSE, default on): skip
-    whole-dead 8-lane groups at issue and drain time."""
-    return os.environ.get("BWAMEM_TPU_BIG_SPARSE", "1") != "0"
+    """Sparse-wave gate (BWAMEM_TPU_BIG_SPARSE, default OFF): skip
+    whole-dead 8-lane groups at issue and drain time.  MEASURED A
+    LOSS at 256 Mbp (888 vs 818 ms/superstep, tools/ab_superstep.py):
+    dead lanes all fetch row 0, which stays row-buffer-resident, so
+    the skipped fetches were nearly free while the per-group drain
+    gives up the one-wait economics.  Kept as an A/B knob."""
+    return os.environ.get("BWAMEM_TPU_BIG_SPARSE", "0") != "0"
 
 
 _logged_configs = set()
@@ -331,6 +335,9 @@ def _wave_drain(tbl_ref, idxv, idxs, rows, sems, bsem, C: int,
         return _wave_cp(tbl_ref, idxs, rows, sems, slot, j)
 
     if live is not None and not pair:
+        # per-live-group waits under the same bounced flags the issue
+        # used (pltpu.semaphore_wait refuses DMA semaphores, so a
+        # single dynamic-byte wait is unavailable)
         def drain_s(j8, c):
             @pl.when(idxs[1, j8 * np.int32(U)] != Z)
             def _():
