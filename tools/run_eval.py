@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--bench-chunks", type=int, default=0)
     ap.add_argument("--bench-passes", type=int, default=1)
     ap.add_argument("--skip-pe", action="store_true")
+    ap.add_argument("--skip-se", action="store_true",
+                    help="PE only (e.g. a rerun after a timeout)")
     args = ap.parse_args()
 
     from bwamem_tpu.index import load_index
@@ -109,12 +111,13 @@ def main():
                           "vs_baseline": round(med / 1199.0, 4)}))
 
     # ---- SE ----
-    se = ChunkReader(os.path.join(args.data, "reads_se.fq")) \
-        .read_chunk(1 << 34)
-    opt = MemOptions()
-    diff(se[:args.n_diff], args.se_host, opt, "se")
-    if args.bench_chunks:
-        bench(se, opt, "se", pe=False)
+    if not args.skip_se:
+        se = ChunkReader(os.path.join(args.data, "reads_se.fq")) \
+            .read_chunk(1 << 34)
+        opt = MemOptions()
+        diff(se[:args.n_diff], args.se_host, opt, "se")
+        if args.bench_chunks:
+            bench(se, opt, "se", pe=False)
 
     # ---- PE ----
     if not args.skip_pe and \
